@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{TextFunctions, Tokenize, TokenFrequencies}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a lazy DataFrame program over the parquet
+  * tables in the given sf directory; entries with a DuckDB-equivalent
+  * formulation also appear in `oracleSql` (same column names, same row
+  * order, doubles rounded to 6 decimals on both sides so the driver's
+  * hash compare is stable across engines).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Corpus-comparison keyness (log-likelihood G² et al.) of English vs
+    * non-English documents — tokenize → explode → aggregate → full-outer
+    * join → column algebra, the reference's headline capability
+    * re-expressed as one distributed plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    keyness(spark, "/root/testdata/sf0.001")
+
+  private def keyness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("lang"), col("text"))
+    val f0 = TokenFrequencies.tokenFrequencies(docs.filter(col("lang") === "en"), "text")
+    val f1 = TokenFrequencies.tokenFrequencies(docs.filter(col("lang") =!= "en"), "text")
+    val stats = TokenFrequencies.tokenFrequencyStats(f0, f1)
+    val doubles = Seq(
+      "expected_0", "expected_1", "log_likelihood_llv", "bayes_factor_bic",
+      "effect_size_ell", "percent_corpus_0", "percent_corpus_1",
+      "percent_diff", "relative_risk", "log_ratio", "odds_ratio")
+    doubles
+      .foldLeft(stats)((df, c) => df.withColumn(c, round(col(c), 6)))
+      .orderBy("token")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 #1 clean_text
+    "q_clean_text" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("cleaned"))
+        .orderBy("doc_id")),
+
+    // §2.1 #2-4 word/char/sentence counts
+    "q_text_counts" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("word_cnt"),
+          TextFunctions.charCount(col("text")).as("char_cnt"),
+          TextFunctions.sentenceCount(col("text")).as("sentence_cnt"))
+        .orderBy("doc_id")),
+
+    // counts aggregated per corpus — exercises agg over derived columns
+    "q_counts_by_lang" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.wordCount(col("text"))).as("total_words"),
+          sum(TextFunctions.charCount(col("text"))).as("total_chars"),
+          sum(TextFunctions.sentenceCount(col("text"))).as("total_sentences"))
+        .withColumn(
+          "avg_chars",
+          round(col("total_chars") / col("n_docs"), 6))
+        .orderBy("lang")),
+
+    // §2.2 #5 tokenize (token stream; offsets are spec-tested invariants)
+    "q_tokenize_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(Tokenize.tokenize(col("text"))).as("t"))
+        .select(col("doc_id"), col("t.token").as("token"))
+        .orderBy("doc_id", "token")),
+
+    // §2.4 #11 token_frequencies
+    "q_token_freq" -> ((s, dir) =>
+      TokenFrequencies
+        .tokenFrequencies(tbl(s, dir, "documents"), "text")
+        .orderBy("token")),
+
+    // §2.4 #12 token_frequency_stats (flagship keyness)
+    "q_keyness_en_rest" -> ((s, dir) => keyness(s, dir)))
+
+  /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
+    * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
+    * whitespace+punctuation-isolation then punct-drop is exactly "split on
+    * runs of whitespace/ASCII-punctuation", minus special tokens. */
+  private val tokSql =
+    "SELECT doc_id, lang, unnest(list_filter(" +
+      "regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'), " +
+      "s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token " +
+      "FROM documents"
+
+  private val keynessSql: String = {
+    s"""WITH tok AS ($tokSql),
+f0 AS (SELECT token, count(*) AS freq_corpus_0 FROM tok WHERE lang = 'en' GROUP BY 1),
+f1 AS (SELECT token, count(*) AS freq_corpus_1 FROM tok WHERE lang <> 'en' GROUP BY 1),
+j AS (SELECT token, coalesce(freq_corpus_0, 0) AS f0, coalesce(freq_corpus_1, 0) AS f1
+      FROM f0 FULL OUTER JOIN f1 USING (token)),
+tot AS (SELECT CAST(sum(f0) AS BIGINT) AS t0, CAST(sum(f1) AS BIGINT) AS t1,
+               CAST(sum(f0) + sum(f1) AS BIGINT) AS grand FROM j),
+base AS (
+  SELECT token, f0, f1, t0, t1, grand, f0 + f1 AS total_freq,
+         (f0 + f1) * t0 / grand AS expected_0,
+         (f0 + f1) * t1 / grand AS expected_1
+  FROM j CROSS JOIN tot),
+ll AS (
+  SELECT *,
+    2 * (CASE WHEN f0 > 0 THEN f0 * ln(f0 / greatest(expected_0, 1e-10)) ELSE 0.0 END
+       + CASE WHEN f1 > 0 THEN f1 * ln(f1 / greatest(expected_1, 1e-10)) ELSE 0.0 END) AS llv,
+    least(expected_0, expected_1) AS min_expected
+  FROM base)
+SELECT token,
+  f0 AS freq_corpus_0,
+  f1 AS freq_corpus_1,
+  round(expected_0, 6) AS expected_0,
+  round(expected_1, 6) AS expected_1,
+  CAST(t0 AS BIGINT) AS corpus_0_total,
+  CAST(t1 AS BIGINT) AS corpus_1_total,
+  round(llv, 6) AS log_likelihood_llv,
+  round(llv - ln(grand), 6) AS bayes_factor_bic,
+  round(CASE WHEN min_expected > 0 THEN llv / (grand * ln(greatest(min_expected, 1e-10))) ELSE 0.0 END, 6) AS effect_size_ell,
+  CASE WHEN llv >= 15.13 THEN '****' WHEN llv >= 10.83 THEN '***'
+       WHEN llv >= 6.63 THEN '**' WHEN llv >= 3.84 THEN '*' ELSE '' END AS significance,
+  round(f0 / t0 * 100, 6) AS percent_corpus_0,
+  round(f1 / t1 * 100, 6) AS percent_corpus_1,
+  round(f0 / t0 - f1 / t1, 6) AS percent_diff,
+  round(CASE WHEN f1 > 0 THEN (f0 / t0) / (f1 / t1) END, 6) AS relative_risk,
+  round(CASE WHEN f0 > 0 AND f1 > 0 THEN ln((f0 / t0) / (f1 / t1)) END, 6) AS log_ratio,
+  round(CASE WHEN f0 > 0 AND f1 > 0 AND t1 > f1 AND t0 > f0
+             THEN (f0 * (t1 - f1)) / (f1 * (t0 - f0)) END, 6) AS odds_ratio
+FROM ll ORDER BY token"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_clean_text" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
+        "'[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_text_counts" ->
+      ("""SELECT doc_id,
+CAST(CASE WHEN t = '' THEN 0
+     WHEN regexp_matches(t, '\s') THEN len(regexp_split_to_array(t, '\s+'))
+     WHEN regexp_matches(t, '^[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{20000}-\x{2A6DF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{AC00}-\x{D7AF}]+$') THEN length(t)
+     ELSE 1 END AS BIGINT) AS word_cnt,
+CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt,
+CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[.!?。！？۔؟।॥]'), s -> regexp_matches(s, '\S'))) AS BIGINT) AS sentence_cnt
+FROM (SELECT doc_id, text, regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS t FROM documents) ORDER BY doc_id"""),
+
+    "q_counts_by_lang" ->
+      ("""WITH c AS (
+SELECT lang,
+CAST(CASE WHEN t = '' THEN 0
+     WHEN regexp_matches(t, '\s') THEN len(regexp_split_to_array(t, '\s+'))
+     WHEN regexp_matches(t, '^[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{20000}-\x{2A6DF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{AC00}-\x{D7AF}]+$') THEN length(t)
+     ELSE 1 END AS BIGINT) AS word_cnt,
+CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt,
+CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[.!?。！？۔؟।॥]'), s -> regexp_matches(s, '\S'))) AS BIGINT) AS sentence_cnt
+FROM (SELECT lang, text, regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS t FROM documents))
+SELECT lang, count(*) AS n_docs, CAST(sum(word_cnt) AS BIGINT) AS total_words,
+  CAST(sum(char_cnt) AS BIGINT) AS total_chars,
+  CAST(sum(sentence_cnt) AS BIGINT) AS total_sentences,
+  round(CAST(sum(char_cnt) AS BIGINT) / count(*), 6) AS avg_chars
+FROM c GROUP BY lang ORDER BY lang"""),
+
+    "q_tokenize_tokens" ->
+      s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
+
+    "q_token_freq" ->
+      s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",
+
+    "q_keyness_en_rest" -> keynessSql)
 }

@@ -1,0 +1,181 @@
+package graft.text
+
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** One token with Unicode code-point offsets into the (optionally
+  * lowercased) source text. Matches the reference's
+  * `List(Struct{token, start, end})` output schema
+  * (`/root/reference/src/expressions.rs:487-501`). */
+case class Token(token: String, start: Long, end: Long)
+
+/** `native:plain_words_en` tokenizer — BERT-style pre-tokenization
+  * re-expressed from the reference's semantics
+  * (`/root/reference/src/tokenizer.rs:62-117`):
+  *
+  *   1. optional full-Unicode lowercase (offsets then index the lowercased
+  *      text — `tests/test_tokenize_with_offsets.py:64-78`),
+  *   2. split on Unicode whitespace (separators removed),
+  *   3. isolate every punctuation character (ASCII punctuation or Unicode
+  *      category P*) as its own token,
+  *   4. if `removePunct`, drop tokens containing no alphanumeric char,
+  *   5. drop special tokens `[CLS] [SEP] [PAD] [UNK] [MASK]` — both the
+  *      bracketed form and the bare word (`src/tokenizer.rs:30, 52-60`),
+  *   6. offsets are Unicode code-point indices (JVM strings are UTF-16, so
+  *      we walk code points; a Hanzi or an emoji counts as 1).
+  *
+  * Single O(C) pass — offsets are computed directly in code points, so the
+  * reference's byte→char sweep (`src/offsets.rs:21-51`) is unnecessary here.
+  */
+object PlainTokenizer {
+
+  private val SpecialWords = Set("CLS", "SEP", "PAD", "UNK", "MASK")
+
+  private def asciiUpper(s: String): String =
+    s.map(c => if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
+
+  /** `[CLS]` etc. or the bare word (reference `is_special_token_text`,
+    * `src/tokenizer.rs:52-60`). */
+  def isSpecialToken(tok: String): Boolean = {
+    val up = asciiUpper(tok)
+    SpecialWords.contains(up) ||
+    (up.length > 2 && up.head == '[' && up.last == ']' &&
+      SpecialWords.contains(up.substring(1, up.length - 1)))
+  }
+
+  /** Rust `char::is_whitespace` == Unicode White_Space. Java needs the union
+    * of `isWhitespace` (control whitespace) and `isSpaceChar` (Zs/Zl/Zp,
+    * incl. NBSP). */
+  @inline def isWs(cp: Int): Boolean =
+    Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+
+  /** HF BertPreTokenizer punctuation test: ASCII punctuation (all graphic
+    * non-alnum ASCII) or Unicode general category P*. */
+  @inline def isPunct(cp: Int): Boolean =
+    if (cp < 128) {
+      (cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
+      (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')
+    } else {
+      Character.getType(cp) match {
+        case Character.CONNECTOR_PUNCTUATION | Character.DASH_PUNCTUATION |
+            Character.START_PUNCTUATION | Character.END_PUNCTUATION |
+            Character.INITIAL_QUOTE_PUNCTUATION |
+            Character.FINAL_QUOTE_PUNCTUATION |
+            Character.OTHER_PUNCTUATION =>
+          true
+        case _ => false
+      }
+    }
+
+  /** Rust `char::is_alphanumeric` = Alphabetic ∪ {Nd, Nl, No}. */
+  @inline def isAlnum(cp: Int): Boolean =
+    Character.isLetterOrDigit(cp) || {
+      val t = Character.getType(cp)
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+
+  private def hasAlnum(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isAlnum(cp)) return true
+      i += Character.charCount(cp)
+    }
+    false
+  }
+
+  def tokenize(
+      text: String,
+      lowercase: Boolean = true,
+      removePunct: Boolean = true): Vector[Token] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val t = if (lowercase) text.toLowerCase(Locale.ROOT) else text
+    val out = Vector.newBuilder[Token]
+
+    def emit(tok: String, startCp: Long, endCp: Long): Unit = {
+      if (tok.nonEmpty &&
+        (!removePunct || hasAlnum(tok)) &&
+        !isSpecialToken(tok)) {
+        out += Token(tok, startCp, endCp)
+      }
+    }
+
+    var i = 0 // UTF-16 index
+    var cp$ = 0L // code-point index
+    var segStart = -1 // UTF-16 start of current word segment
+    var segStartCp = 0L
+    def flush(endUtf16: Int, endCp: Long): Unit =
+      if (segStart >= 0) {
+        emit(t.substring(segStart, endUtf16), segStartCp, endCp)
+        segStart = -1
+      }
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (isWs(cp)) {
+        flush(i, cp$)
+      } else if (isPunct(cp)) {
+        flush(i, cp$)
+        emit(t.substring(i, i + n), cp$, cp$ + 1)
+      } else {
+        if (segStart < 0) { segStart = i; segStartCp = cp$ }
+      }
+      i += n
+      cp$ += 1
+    }
+    flush(t.length, cp$)
+    out.result()
+  }
+}
+
+/** Model inventory mirroring the reference's predefined ids
+  * (`/root/reference/polars_text/models.py:22-57`). Only the native backend
+  * is implemented in this zero-egress build; CJK (`lindera:*`) and
+  * HuggingFace backends are registered ids that fail with a clear message
+  * until a JVM morphological backend is wired in. */
+object TokenizerModels {
+  val PlainWordsEn = "native:plain_words_en"
+
+  /** id → supported language codes. */
+  val inventory: Map[String, Seq[String]] = Map(
+    PlainWordsEn -> Seq("en"),
+    "huggingface:bert-base-uncased" -> Seq("en"),
+    "lindera:cc-cedict" -> Seq("zh"),
+    "lindera:jieba" -> Seq("zh"),
+    "lindera:ja-ipadic" -> Seq("ja"),
+    "lindera:ja-ipadic-neologd" -> Seq("ja"),
+    "lindera:ja-unidic" -> Seq("ja"),
+    "lindera:ko-dic" -> Seq("ko"))
+
+  /** Backends actually available in this build. */
+  val implemented: Set[String] = Set(PlainWordsEn)
+
+  def require(model: String): Unit = {
+    if (!inventory.contains(model))
+      throw new IllegalArgumentException(
+        s"unknown tokenizer model '$model'; known: ${inventory.keys.toSeq.sorted.mkString(", ")}")
+    if (!implemented.contains(model))
+      throw new UnsupportedOperationException(
+        s"tokenizer model '$model' requires a network-fetched backend, " +
+          "unavailable in this offline build; use " + PlainWordsEn)
+  }
+}
+
+/** Column-level tokenize API. Deterministic UDF (same input ⇒ same output)
+  * so Catalyst keeps filter/limit pushdown below it — the reference's
+  * `is_elementwise=True` contract (`polars_text/functions.py:70`). */
+object Tokenize {
+  def tokenize(
+      c: Column,
+      model: String = TokenizerModels.PlainWordsEn,
+      lowercase: Boolean = true,
+      removePunct: Boolean = true): Column = {
+    TokenizerModels.require(model)
+    val f = udf { text: String =>
+      PlainTokenizer.tokenize(if (text == null) "" else text, lowercase, removePunct)
+    }
+    f(c)
+  }
+}

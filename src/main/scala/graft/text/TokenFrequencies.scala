@@ -44,12 +44,17 @@ object TokenFrequencies {
       col("token"),
       col("freq").cast("long").as("freq_corpus_1"))
 
+    // `joined` feeds both the totals aggregate and the main row stream; an
+    // unpersisted plan would recompute the whole tokenize→explode→aggregate
+    // →outer-join subtree twice (doubling the corpus scan at scale). The
+    // table is post-aggregation (vocabulary-sized), so caching is cheap.
     val joined = a
       .join(b, Seq("token"), "full_outer")
       .select(
         col("token"),
         coalesce(col("freq_corpus_0"), lit(0L)).as("freq_corpus_0"),
         coalesce(col("freq_corpus_1"), lit(0L)).as("freq_corpus_1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val totals = joined.agg(
       sum("freq_corpus_0").as("corpus_0_total"),

@@ -47,9 +47,9 @@ object PlainTokenizer {
 
   /** Rust `char::is_whitespace` == Unicode White_Space. Java needs the union
     * of `isWhitespace` (control whitespace) and `isSpaceChar` (Zs/Zl/Zp,
-    * incl. NBSP). */
+    * incl. NBSP) plus U+0085 NEL, which neither Java predicate covers. */
   @inline def isWs(cp: Int): Boolean =
-    Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+    Character.isWhitespace(cp) || Character.isSpaceChar(cp) || cp == 0x85
 
   /** HF BertPreTokenizer punctuation test: ASCII punctuation (all graphic
     * non-alnum ASCII) or Unicode general category P*. */

@@ -39,7 +39,7 @@ def cmp_cell(a, b):
         if isinstance(a, float) or isinstance(b, float):
             if math.isnan(a) and math.isnan(b):
                 return True
-            return a == b
+            return math.isclose(a, b, rel_tol=0.0, abs_tol=1e-9)
         return a == b
     except Exception:
         return False
@@ -52,6 +52,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # The DuckDB oracles tokenize with ASCII-only regex classes while the
+    # Spark engine uses full Unicode classes; equivalence holds only while
+    # the corpus is pure ASCII. Guard that assumption explicitly.
+    non_ascii = con.execute(
+        r"SELECT count(*) FROM documents "
+        r"WHERE regexp_matches(text, '[^\x00-\x7f]')").fetchone()[0]
+    if non_ascii:
+        print(f"WARN  {non_ascii} non-ASCII documents: tokenizer oracles "
+              "(ASCII regex classes) are not trustworthy on this corpus")
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -28,9 +28,11 @@ object SparkEntry {
 
   private def keyness(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("lang"), col("text"))
-    val f0 = TokenFrequencies.tokenFrequencies(docs.filter(col("lang") === "en"), "text")
-    val f1 = TokenFrequencies.tokenFrequencies(docs.filter(col("lang") =!= "en"), "text")
-    val stats = TokenFrequencies.tokenFrequencyStats(f0, f1)
+    // One corpus scan, one shuffle: conditional aggregation replaces two
+    // filtered passes + full-outer join (totals inlined as literals).
+    val counts = TokenFrequencies
+      .conditionalTokenFrequencies(docs, "text", col("lang") === "en")
+    val stats = TokenFrequencies.tokenFrequencyStatsFromCounts(counts)
     val doubles = Seq(
       "expected_0", "expected_1", "log_likelihood_llv", "bayes_factor_bic",
       "effect_size_ell", "percent_corpus_0", "percent_corpus_1",

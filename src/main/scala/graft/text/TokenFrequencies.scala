@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Corpus token frequencies + corpus-comparison keyness statistics
@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The reference materializes a Python dict; here both operators are lazy
   * DataFrame programs: tokenize → explode → hash-aggregate (map-side partial
-  * aggregation, fully distributed — no driver materialization), and the
-  * stats table is a full-outer join plus pure Column algebra. At 100 TB the
-  * only shuffles are the token-count aggregation and the (token-keyed) outer
-  * join of two already-aggregated, small-cardinality frequency tables.
+  * aggregation, fully distributed — no driver materialization of the corpus).
+  *
+  * Scale design (100 TB): the two-corpus comparison is ONE scan and ONE
+  * shuffle — a single conditional aggregation
+  * (`groupBy(token).agg(sum(when(corpus0,1)), sum(when(!corpus0,1)))`)
+  * replaces two filtered passes plus a full-outer join. The corpus totals are
+  * a 1-row aggregate collected to the driver and injected as literals
+  * (16 bytes at any scale) instead of a crossJoin(broadcast) — this is the
+  * only eager step, and it avoids both a persist of the vocabulary table and
+  * a second join.
   */
 object TokenFrequencies {
 
@@ -28,51 +34,68 @@ object TokenFrequencies {
       .groupBy(col("t.token").as("token"))
       .agg(count(lit(1)).as("freq"))
 
-  /** Keyness statistics between two frequency tables (each `token, freq`).
-    * Output: the reference's 17 columns, same names, same formulas
-    * (`polars_text/token_frequencies.py:62-221`):
-    * log-likelihood G², Bayes factor BIC, effect size ELL, significance
-    * stars, percents, relative risk, log ratio, odds ratio.
-    *
-    * Totals are joined in via a broadcast cross-join of a 1-row aggregate —
-    * no window over the full table, no driver collect. */
-  def tokenFrequencyStats(freq0: DataFrame, freq1: DataFrame): DataFrame = {
-    val a = freq0.select(
-      col("token"),
-      col("freq").cast("long").as("freq_corpus_0"))
-    val b = freq1.select(
-      col("token"),
-      col("freq").cast("long").as("freq_corpus_1"))
+  /** Both corpora's token frequencies in one scan: rows where `isCorpus0`
+    * count toward `freq_corpus_0`, the rest toward `freq_corpus_1`. One
+    * tokenize pass, one shuffle — the scale-correct shape for keyness. */
+  def conditionalTokenFrequencies(
+      df: DataFrame,
+      textCol: String,
+      isCorpus0: Column,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame =
+    df.select(isCorpus0.as("c0"), explode(Tokenize.tokenize(col(textCol), model)).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(
+        sum(when(col("c0"), 1L).otherwise(0L)).as("freq_corpus_0"),
+        sum(when(col("c0"), 0L).otherwise(1L)).as("freq_corpus_1"))
 
-    // `joined` feeds both the totals aggregate and the main row stream; an
-    // unpersisted plan would recompute the whole tokenize→explode→aggregate
-    // →outer-join subtree twice (doubling the corpus scan at scale). The
-    // table is post-aggregation (vocabulary-sized), so caching is cheap.
+  /** Keyness statistics between two frequency tables (each `token, freq`).
+    * API parity with the reference's two-dict signature; aligns via a
+    * full-outer join on token (both inputs are post-aggregation,
+    * vocabulary-sized). Prefer [[conditionalTokenFrequencies]] +
+    * [[tokenFrequencyStatsFromCounts]] when both corpora come from one
+    * table — that path scans the corpus once. */
+  def tokenFrequencyStats(freq0: DataFrame, freq1: DataFrame): DataFrame = {
+    val a = freq0.select(col("token"), col("freq").cast("long").as("freq_corpus_0"))
+    val b = freq1.select(col("token"), col("freq").cast("long").as("freq_corpus_1"))
     val joined = a
       .join(b, Seq("token"), "full_outer")
       .select(
         col("token"),
         coalesce(col("freq_corpus_0"), lit(0L)).as("freq_corpus_0"),
         coalesce(col("freq_corpus_1"), lit(0L)).as("freq_corpus_1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tokenFrequencyStatsFromCounts(joined)
+  }
 
-    val totals = joined.agg(
-      sum("freq_corpus_0").as("corpus_0_total"),
-      sum("freq_corpus_1").as("corpus_1_total"))
+  /** Keyness statistics from an aligned counts table
+    * (`token, freq_corpus_0, freq_corpus_1`). Output: the reference's 17
+    * columns, same names, same formulas
+    * (`polars_text/token_frequencies.py:62-221`): log-likelihood G², Bayes
+    * factor BIC, effect size ELL, significance stars, percents, relative
+    * risk, log ratio, odds ratio.
+    *
+    * The corpus totals are collected (1 row, 2 longs) and inlined as
+    * literals, so the returned plan is a single pass over `counts` with no
+    * joins. The collect evaluates `counts` once eagerly; the caller's final
+    * action evaluates it again — for repeated use over an expensive source,
+    * cache upstream of this call. */
+  def tokenFrequencyStatsFromCounts(counts: DataFrame): DataFrame = {
+    val Row(sum0, sum1) = counts
+      .agg(
+        sum("freq_corpus_0").cast("long"),
+        sum("freq_corpus_1").cast("long"))
+      .head()
+    def asLong(v: Any): Long = v match {
+      case null => 0L
+      case l: Long => l
+      case n: Number => n.longValue()
+    }
+    val t0 = lit(asLong(sum0)).cast("long")
+    val t1 = lit(asLong(sum1)).cast("long")
 
     val f0 = col("freq_corpus_0")
     val f1 = col("freq_corpus_1")
-    val t0 = col("corpus_0_total")
-    val t1 = col("corpus_1_total")
     val grand = col("grand_total")
     val eps = lit(1e-10)
-
-    val withExpected = joined
-      .crossJoin(broadcast(totals))
-      .withColumn("grand_total", t0 + t1)
-      .withColumn("total_freq", f0 + f1)
-      .withColumn("expected_0", col("total_freq") * t0 / grand)
-      .withColumn("expected_1", col("total_freq") * t1 / grand)
 
     def llTerm(f: Column, expected: Column): Column =
       when(f > 0, f * log(f / greatest(expected, eps))).otherwise(lit(0.0))
@@ -80,7 +103,13 @@ object TokenFrequencies {
     val llv = col("log_likelihood_llv")
     val minExp = col("min_expected")
 
-    withExpected
+    counts
+      .withColumn("corpus_0_total", t0)
+      .withColumn("corpus_1_total", t1)
+      .withColumn("grand_total", t0 + t1)
+      .withColumn("total_freq", f0 + f1)
+      .withColumn("expected_0", col("total_freq") * t0 / grand)
+      .withColumn("expected_1", col("total_freq") * t1 / grand)
       .withColumn("ll_0", llTerm(f0, col("expected_0")))
       .withColumn("ll_1", llTerm(f1, col("expected_1")))
       .withColumn("log_likelihood_llv", lit(2) * (col("ll_0") + col("ll_1")))
@@ -119,8 +148,8 @@ object TokenFrequencies {
         f1,
         col("expected_0"),
         col("expected_1"),
-        t0,
-        t1,
+        col("corpus_0_total"),
+        col("corpus_1_total"),
         llv,
         col("bayes_factor_bic"),
         col("effect_size_ell"),

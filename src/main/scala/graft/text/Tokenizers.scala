@@ -167,15 +167,22 @@ object TokenizerModels {
   * so Catalyst keeps filter/limit pushdown below it — the reference's
   * `is_elementwise=True` contract (`polars_text/functions.py:70`). */
 object Tokenize {
+  // Hoisted per (lowercase, removePunct) variant so repeated call sites share
+  // one UDF object (plan-cache friendly) instead of minting a new one each
+  // call.
+  private val variants: Map[(Boolean, Boolean), org.apache.spark.sql.expressions.UserDefinedFunction] =
+    (for (lc <- Seq(true, false); rp <- Seq(true, false)) yield {
+      (lc, rp) -> udf { text: String =>
+        PlainTokenizer.tokenize(if (text == null) "" else text, lc, rp)
+      }
+    }).toMap
+
   def tokenize(
       c: Column,
       model: String = TokenizerModels.PlainWordsEn,
       lowercase: Boolean = true,
       removePunct: Boolean = true): Column = {
     TokenizerModels.require(model)
-    val f = udf { text: String =>
-      PlainTokenizer.tokenize(if (text == null) "" else text, lowercase, removePunct)
-    }
-    f(c)
+    variants((lowercase, removePunct))(c)
   }
 }

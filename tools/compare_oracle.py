@@ -39,7 +39,7 @@ def cmp_cell(a, b):
         if isinstance(a, float) or isinstance(b, float):
             if math.isnan(a) and math.isnan(b):
                 return True
-            return math.isclose(a, b, rel_tol=0.0, abs_tol=1e-9)
+            return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
         return a == b
     except Exception:
         return False

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.text.{TextFunctions, Tokenize, TokenFrequencies}
+import graft.text.{Concordance, TextFunctions, Tokenize, TokenFrequencies}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,7 +88,17 @@ object SparkEntry {
         .orderBy("token")),
 
     // §2.4 #12 token_frequency_stats (flagship keyness)
-    "q_keyness_en_rest" -> ((s, dir) => keyness(s, dir)))
+    "q_keyness_en_rest" -> ((s, dir) => keyness(s, dir)),
+
+    // §2.3 #10 concordance (KWIC): explode + unnest, mirroring the
+    // reference's `.list.explode().struct.unnest()` consumption pattern
+    "q_concordance" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(Concordance.concordanceCol(col("text"), "spark", 5, 5)).as("c"))
+        .select(col("doc_id"), col("c.*"))
+        .orderBy("doc_id", "start_idx")))
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
@@ -181,5 +191,30 @@ FROM c GROUP BY lang ORDER BY lang"""),
     "q_token_freq" ->
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",
 
-    "q_keyness_en_rest" -> keynessSql)
+    "q_keyness_en_rest" -> keynessSql,
+
+    // Contexts are recomputable in SQL because this corpus is single-space
+    // separated ASCII words with no punctuation (guarded by the non-ASCII
+    // warning in tools/compare_oracle.py): tokenize(.., lowercase=false,
+    // remove_punct=false) degenerates to whitespace split.
+    "q_concordance" ->
+      """WITH m AS (
+  SELECT doc_id, text,
+         unnest(list_filter(range(1, length(text) + 1),
+                            i -> substring(text, i, 5) = 'spark')) AS pos
+  FROM documents),
+ctx AS (
+  SELECT doc_id, pos,
+    list_filter(regexp_split_to_array(substring(text, 1, pos - 1), '\s+'), s -> s <> '') AS ltoks,
+    list_filter(regexp_split_to_array(substring(text, pos + 5), '\s+'), s -> s <> '') AS rtoks
+  FROM m)
+SELECT doc_id,
+  coalesce(array_to_string(ltoks[greatest(len(ltoks) - 4, 1):len(ltoks)], ' '), '') AS left_context,
+  'spark' AS matched_text,
+  coalesce(array_to_string(rtoks[1:least(5, len(rtoks))], ' '), '') AS right_context,
+  CAST(pos - 1 AS BIGINT) AS start_idx,
+  CAST(pos + 4 AS BIGINT) AS end_idx,
+  coalesce(ltoks[len(ltoks)], '') AS l1,
+  coalesce(rtoks[1], '') AS r1
+FROM ctx ORDER BY doc_id, start_idx""")
 }

@@ -98,7 +98,27 @@ object SparkEntry {
           col("doc_id"),
           explode(Concordance.concordanceCol(col("text"), "spark", 5, 5)).as("c"))
         .select(col("doc_id"), col("c.*"))
-        .orderBy("doc_id", "start_idx")))
+        .orderBy("doc_id", "start_idx")),
+
+    // LLM-pipeline: exact dedup — hash-partitioned window over sha256
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .exactDedup(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("dup_rank"), col("n_copies"))
+        .orderBy("doc_id")),
+
+    // LLM-pipeline: exact token-set Jaccard over bucketed candidate pairs
+    // (bucket = lang|source here; an LSH band at scale — never all-pairs)
+    "q_jaccard_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .jaccardPairs(
+          tbl(s, dir, "documents"),
+          "text",
+          "doc_id",
+          concat_ws("|", col("lang"), col("source")),
+          threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")))
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
@@ -216,5 +236,32 @@ SELECT doc_id,
   CAST(pos + 4 AS BIGINT) AS end_idx,
   coalesce(ltoks[len(ltoks)], '') AS l1,
   coalesce(rtoks[1], '') AS r1
-FROM ctx ORDER BY doc_id, start_idx""")
+FROM ctx ORDER BY doc_id, start_idx""",
+
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+  sha256(coalesce(text, '')) AS content_hash,
+  CAST(row_number() OVER (PARTITION BY sha256(coalesce(text, '')) ORDER BY doc_id) AS BIGINT) AS dup_rank,
+  CAST(count(*) OVER (PARTITION BY sha256(coalesce(text, ''))) AS BIGINT) AS n_copies
+FROM documents ORDER BY doc_id""",
+
+    "q_jaccard_pairs" ->
+      s"""WITH tok AS (
+  SELECT DISTINCT doc_id, bucket, token FROM (
+    SELECT doc_id, lang || '|' || source AS bucket,
+           unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                              s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token
+    FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM tok a JOIN tok b ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+ORDER BY id_a, id_b""")
 }

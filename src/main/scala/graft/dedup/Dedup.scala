@@ -1,0 +1,291 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.PlainTokenizer
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * These go beyond the reference library's surface (its cache layer hashes
+  * content for memoization, `/root/reference/src/cache.rs:23-27`, but it has
+  * no dedup operators); they are designed for the 100 TB regime:
+  *
+  *   - '''Exact dedup''' is a hash-partitioned window over `sha256(text)` —
+  *     one shuffle keyed by the digest, uniformly distributed by
+  *     construction (no skew), no driver state.
+  *   - '''MinHash/LSH near-dup''' NEVER compares all pairs: documents are
+  *     shuffled on `(band_index, band_hash)` and only bucket-mates become
+  *     candidate pairs — the classic banding scheme where a pair with
+  *     Jaccard similarity s collides in ≥1 of b bands with probability
+  *     1-(1-s^r)^b. All-pairs work is confined to within-bucket, and
+  *     candidate verification is a key-partitioned join.
+  *   - '''SimHash''' reduces each document to a 64-bit fingerprint;
+  *     candidates share one of four 16-bit blocks (pigeonhole: any pair at
+  *     Hamming distance ≤ 3 shares a block), then exact Hamming distance
+  *     filters within buckets.
+  *   - '''Token-set Jaccard''' verifies candidates with a token-keyed join
+  *     restricted to a bucket column (an LSH band at scale; any cheap
+  *     partition key for small corpora) — again never all-pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Annotate each row with its content digest, duplicate rank (1 = keep)
+    * and copy count. `normalized = true` hashes `clean_text`-normalized text
+    * so trivially-reformatted copies collapse. One shuffle on the digest. */
+  def exactDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      normalized: Boolean = false): DataFrame = {
+    val content =
+      if (normalized) graft.text.TextFunctions.cleanText(col(textCol))
+      else coalesce(col(textCol), lit(""))
+    val hashed = df.withColumn("content_hash", sha2(content, 256))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    hashed
+      .withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("content_hash"))).cast("long"))
+  }
+
+  /** Keep only the first copy (smallest id) of each exact-duplicate group. */
+  def dropExactDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      normalized: Boolean = false): DataFrame =
+    exactDedup(df, textCol, idCol, normalized)
+      .filter(col("dup_rank") === 1)
+      .drop("dup_rank", "n_copies")
+
+  // -------------------------------------------------------------- hashing
+
+  /** FNV-1a 64-bit — deterministic, seed-mixable, dependency-free. */
+  private[dedup] def fnv1a64(s: String, seed: Long = 0L): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Word n-gram shingle hashes of the tokenized (lowercased, punct-dropped)
+    * text. Shorter texts fall back to unigram shingles so nothing hashes to
+    * the empty set unless the text is blank. */
+  private[dedup] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = PlainTokenizer.tokenize(text, lowercase = true, removePunct = true).map(_.token)
+    val grams =
+      if (toks.isEmpty) Vector.empty[String]
+      else if (toks.length < n) Vector(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toVector
+    grams.iterator.map(fnv1a64(_)).toArray.distinct
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Seeded (a, b) pairs for the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod (2^61-1). Cached per (numHashes, seed) so
+    * executors derive them once, not per row. */
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[(Long, Long)]]()
+
+  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] =
+    paramCache.computeIfAbsent((numHashes, seed), { case (n, s) =>
+      val rnd = new scala.util.Random(s)
+      Array.fill(n) {
+        (math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1, math.abs(rnd.nextLong()) % MersennePrime)
+      }
+    })
+
+  private[dedup] def minHashSignature(
+      text: String,
+      numHashes: Int,
+      shingleSize: Int,
+      seed: Long): Array[Long] = {
+    val shingles = shingleHashes(if (text == null) "" else text, shingleSize)
+    val params = hashParams(numHashes, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      // map into [0, p) once per shingle
+      val x = java.lang.Long.remainderUnsigned(shingles(i), MersennePrime)
+      var j = 0
+      while (j < numHashes) {
+        val (a, b) = params(j)
+        val h = (mulMod61(a, x) + b) % MersennePrime
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (a·b) mod (2^61-1) for 0 ≤ a,b < 2^61-1, exact: with p Mersenne,
+    * 2^64 ≡ 8 and 2^61 ≡ 1 (mod p), so the 128-bit product hi·2^64 + lo
+    * reduces to 8·hi + (lo & p) + (lo >>> 61); each term < 2^61. */
+  private def mulMod61(a: Long, b: Long): Long = {
+    val p = MersennePrime
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo & p) + (lo >>> 61)
+    while (r >= p) r -= p
+    r
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** Per-document MinHash signatures: `(id, signature: Array[Long])`.
+    * Deterministic for a fixed seed. Elementwise — no shuffle. */
+  def minHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val f = udf { text: String => minHashSignature(text, numHashes, shingleSize, seed) }
+    df.select(col(idCol).as("id"), f(col(textCol)).as("signature"))
+  }
+
+  /** LSH banding: explode each signature into `bands` band-hashes, shuffle
+    * on `(band, band_hash)`, and emit candidate pairs that share a bucket.
+    * The only join is bucket-keyed; no all-pairs comparison ever happens. */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int = 32): DataFrame = {
+    val bandHash = udf { (sig: Seq[Long], nBands: Int) =>
+      val rows = math.max(1, sig.length / nBands)
+      (0 until nBands).map { b =>
+        val slice = sig.slice(b * rows, (b + 1) * rows)
+        (b, fnv1a64(slice.mkString(",")))
+      }
+    }
+    val buckets = signatures
+      .select(col("id"), explode(bandHash(col("signature"), lit(bands))).as("bh"))
+      .select(col("id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs with their estimated Jaccard similarity: LSH
+    * candidates verified by signature agreement (fraction of equal MinHash
+    * components — an unbiased Jaccard estimator). */
+  def nearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
+    val cands = lshCandidatePairs(sigs, bands)
+    val est = udf { (x: Seq[Long], y: Seq[Long]) =>
+      if (x.isEmpty || y.isEmpty) 0.0
+      else x.zip(y).count { case (u, v) => u == v }.toDouble / x.length
+    }
+    cands
+      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("signature", "sig_a"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("signature", "sig_b"), "id_b")
+      .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token unigrams (term-frequency weighted). */
+  private[dedup] def simHash64(text: String): Long = {
+    val toks = PlainTokenizer.tokenize(if (text == null) "" else text).map(_.token)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = fnv1a64(t)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) fp |= (1L << bit)
+      bit += 1
+    }
+    fp
+  }
+
+  /** Per-document SimHash fingerprints: `(id, simhash)`. */
+  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val f = udf { text: String => simHash64(text) }
+    df.select(col(idCol).as("id"), f(col(textCol)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxDistance` (≤ 3 for
+    * the 4-block pigeonhole to be exhaustive): candidates share one 16-bit
+    * block (bucket-keyed shuffle), verified by exact popcount. */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val fps = simHashes(df, textCol, idCol)
+    val blocks = fps.select(
+      col("id"),
+      col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("block"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.block").as("block"), col("bk.key").as("key"))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // ------------------------------------------------------------- jaccard
+
+  /** Exact token-set Jaccard over candidate pairs restricted to a bucket
+    * key (LSH band at scale; any blocking column for small corpora): the
+    * pair space is generated by a (bucket, token)-keyed self-join, never
+    * all-pairs. Output: `id_a, id_b, jaccard`. */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bucket: Column,
+      threshold: Double = 0.0): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), bucket.as("bucket"),
+        explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
+      .select(col("id"), col("bucket"), col("t.token").as("token"))
+      .distinct()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    val shared = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tokens", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tokens", "n_b"), "id_b")
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup operators: planted-duplicate behavior that the all-unique synthetic
+  * corpus (and hence the SQL oracles) cannot exercise. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill " +
+      "and the birds sing in the tall green trees beside the quiet river bank every single morning"
+
+  test("exact dedup ranks copies and dropExactDuplicates keeps the first") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "something else"),
+      (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id").orderBy("doc_id")
+    assert(out.select("dup_rank").as[Long].collect().toSeq == Seq(1L, 2L, 1L, 3L))
+    assert(out.select("n_copies").as[Long].collect().toSeq == Seq(3L, 3L, 1L, 3L))
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("normalized exact dedup collapses case/punctuation variants") {
+    val df = Seq(
+      (1L, "Alpha, Beta: GAMMA!"),
+      (2L, "alpha beta gamma"),
+      (3L, "entirely different")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id", normalized = true)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("minhash signature is deterministic and sized") {
+    val s1 = Dedup.minHashSignature(base, 128, 3, 42L)
+    val s2 = Dedup.minHashSignature(base, 128, 3, 42L)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.length == 128)
+    assert(Dedup.minHashSignature("", 16, 3, 42L).forall(_ == Long.MaxValue))
+  }
+
+  test("minhash LSH finds planted near-duplicate, not unrelated text") {
+    val nearDup = base.replace("lazy dog", "sleepy dog") // 2 tokens changed
+    val unrelated =
+      "completely distinct subject matter about databases indexes partitions " +
+        "shuffles joins aggregations filters projections scans and columnar storage formats"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup
+      .nearDuplicates(df, "text", "doc_id", numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical → distance 0; near-dup small; unrelated large") {
+    val nearDup = base.replace("lazy", "sleepy")
+    assert(Dedup.simHash64(base) == Dedup.simHash64(base))
+    val dNear = java.lang.Long.bitCount(Dedup.simHash64(base) ^ Dedup.simHash64(nearDup))
+    assert(dNear <= 8, s"near-dup hamming $dNear")
+    val df = Seq((1L, base), (2L, base), (3L, "xyzzy plugh quux")).toDF("doc_id", "text")
+    val out = Dedup
+      .simHashNearDuplicates(df, "text", "doc_id", maxDistance = 3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("jaccard pairs compute exact token-set similarity within buckets") {
+    val df = Seq(
+      (1L, "a b c d", "g1"),
+      (2L, "a b c e", "g1"), // |∩|=3, |∪|=5 → 0.6
+      (3L, "a b c d", "g2")  // exact copy of 1 but different bucket → no pair
+    ).toDF("doc_id", "text", "grp")
+    val out = Dedup
+      .jaccardPairs(df, "text", "doc_id", col("grp"), threshold = 0.0)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(out == Seq((1L, 2L, 0.6)))
+  }
+}

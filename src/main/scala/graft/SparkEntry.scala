@@ -118,7 +118,17 @@ object SparkEntry {
           concat_ws("|", col("lang"), col("source")),
           threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // LLM-pipeline: exact cosine top-10 for a broadcast query set; the
+    // LSH-bucketed ANN variant is spec-tested (approximate → no oracle)
+    "q_knn_cosine" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }))
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
@@ -263,5 +273,20 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
-ORDER BY id_a, id_b""")
+ORDER BY id_a, id_b""",
+
+    // Cosine in double precision on both sides: float→double is exact and
+    // both engines fold the 64-element arrays left-to-right, so the values
+    // agree bitwise before rounding.
+    "q_knn_cosine" ->
+      """SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id) AS BIGINT) AS rank,
+    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+WHERE rank <= 10 ORDER BY query_id, rank""")
 }

@@ -1,0 +1,136 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, per the training-data-pipeline mandate:
+  *
+  *   - '''Brute-force cosine top-k''' — the exact baseline: the query set is
+  *     `broadcast()` (queries are small by assumption: a probe set, a batch
+  *     of dedup candidates), the corpus streams once with no shuffle until
+  *     the final per-query top-k (a window keyed on the query id). Cosine is
+  *     pure `Column` algebra (`zip_with` + `aggregate` in double precision),
+  *     so the whole map side stays inside whole-stage codegen — no UDF.
+  *   - '''LSH-bucketed ANN''' — the 100 TB path: L independent
+  *     random-hyperplane sign-buckets per vector; candidates are generated
+  *     by a `(table, bucket)`-keyed join (never all-pairs), then verified
+  *     with exact cosine within buckets only. Collision probability for
+  *     angle θ is (1-θ/π)^bits per table; L tables drive recall up
+  *     exponentially while each table's join stays hash-partitioned and
+  *     skew-free (buckets are uniform for mean-zero data).
+  */
+object Similarity {
+
+  /** Elementwise cosine similarity of two `Array`-typed columns, computed
+    * in double precision. Empty/size-mismatched arrays → null. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
+    when(size(a) === size(b) && size(a) > 0 && na > 0 && nb > 0, dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for every query vector.
+    *
+    * `queries` must be broadcast-small; `corpus` is scanned once. Output:
+    * `query_id, neighbor_id, rank, sim` (self-matches excluded when the id
+    * spaces coincide). Deterministic: ties break on ascending neighbor id. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Deterministic pseudo-Gaussian hyperplane component for
+    * (table, bit, dim) derived from the seed — executors regenerate the
+    * same planes with no broadcast state. */
+  private def planeComponent(seed: Long, table: Int, bit: Int, d: Int): Double = {
+    var h = seed ^ (table * 0x9e3779b97f4a7c15L) ^ (bit * 0xbf58476d1ce4e5b9L) ^ (d * 0x94d049bb133111ebL)
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    // sum of two uniforms centered at 0 — symmetric, sign-balanced
+    val u1 = (h >>> 11).toDouble / (1L << 53).toDouble
+    val u2 = ((h * 0x2545f4914f6cdd1dL) >>> 11).toDouble / (1L << 53).toDouble
+    u1 + u2 - 1.0
+  }
+
+  /** `(table, bucket)` keys for one vector: per table, the sign bits of
+    * `bits` random hyperplane projections. */
+  private[similarity] def lshBuckets(
+      vec: Seq[Float],
+      tables: Int,
+      bits: Int,
+      seed: Long): Seq[(Int, Long)] =
+    if (vec == null || vec.isEmpty) Seq.empty
+    else (0 until tables).map { t =>
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < vec.length) {
+          dot += vec(d) * planeComponent(seed, t, b, d)
+          d += 1
+        }
+        if (dot > 0) bucket |= (1L << b)
+        b += 1
+      }
+      (t, bucket)
+    }
+
+  /** Approximate top-k: candidates from L sign-LSH tables (bucket-keyed
+    * join), exact cosine re-rank within the candidate set. Same output
+    * schema as [[bruteForceTopK]]; recall < 1 by design — raise `tables`
+    * or lower `bits` to trade cost for recall. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      tables: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("tb", explode(bucketize(col(vec))))
+        .select(col(id), col(vec), col("tb._1").as("table"), col("tb._2").as("bucket"))
+
+    val qb = withBuckets(queries, "query_id", "q_vec")
+    val cb = withBuckets(corpus, "neighbor_id", "c_vec")
+    val candidates = qb
+      .join(cb, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+}

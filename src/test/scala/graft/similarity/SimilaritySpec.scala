@@ -1,0 +1,76 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  /** Seeded clustered vectors: `n` points around `centers` cluster centers
+    * in `dim` dimensions. */
+  private def clustered(n: Int, centers: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val cs = Array.fill(centers, dim)(rnd.nextGaussian().toFloat)
+    (0L until n).map { i =>
+      val c = cs((i % centers).toInt)
+      val v = c.zip(Array.fill(dim)(rnd.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b }
+      (i, unit(v))
+    }
+  }
+
+  test("brute-force top-k: exact cosine, ranked, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity
+      .bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 2)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 2L)) // nearest then orthogonal
+    assert(out(0)._4 > 0.99 && math.abs(out(1)._4) < 1e-9)
+  }
+
+  test("lsh finds the planted near-duplicate neighbor") {
+    val data = clustered(200, 8, 32, seed = 7L)
+    // plant: vector 200 = tiny perturbation of vector 0
+    val planted = (200L, unit(data.head._2.map(x => x + 0.01f)))
+    val df = (data :+ planted).toDF("vec_id", "embedding")
+    val out = Similarity
+      .lshTopK(df.filter($"vec_id" === 200), df, k = 5, tables = 12, bits = 8)
+      .as[(Long, Long, Long, Double)]
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.head._2 == 0L, s"expected planted neighbor 0 first, got ${out.toSeq}")
+  }
+
+  test("lsh recall vs brute force is high on clustered data") {
+    val df = clustered(300, 6, 32, seed = 11L).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, df, k = 5, tables = 12, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("cosine handles empty and mismatched arrays as null") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array.empty[Float], Array(1.0f)),
+      (Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b").as("s")).as[Option[Double]].collect()
+    assert(sims(0).exists(s => math.abs(s - 1.0) < 1e-12))
+    assert(sims(1).isEmpty && sims(2).isEmpty)
+  }
+}

@@ -128,6 +128,29 @@ object SparkEntry {
         .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
+    }),
+
+    // topic §2.6 #19 c-TF-IDF: topics injected as the lang column — the
+    // distributed scoring algebra is what's under test
+    "q_ctfidf_topk" -> ((s, dir) => {
+      val counts = graft.topic.Ctfidf
+        .countTopicTerms(tbl(s, dir, "documents"), "text", col("lang"))
+      graft.topic.Ctfidf
+        .topTerms(counts, topK = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("topic", "rank")
+    }),
+
+    // topic §2.6 #20 rollup: chunk labels injected deterministically from
+    // token length so the proportion/dominant algebra is SQL-checkable
+    "q_topic_rollup" -> ((s, dir) => {
+      val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(Tokenize.tokenize(col("text"))).as("t"))
+        .select(col("doc_id"), (length(col("t.token")) % 4 - 1).cast("int").as("label"))
+      graft.topic.Rollup
+        .rollup(chunks)
+        .withColumn("proportion", round(col("proportion"), 6))
+        .orderBy("doc_id", "topic_id")
     }))
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
@@ -288,5 +311,40 @@ ORDER BY id_a, id_b""",
     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
   FROM embeddings q CROSS JOIN embeddings c
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
-WHERE rank <= 10 ORDER BY query_id, rank""")
+WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q_ctfidf_topk" ->
+      s"""WITH tok AS ($tokSql),
+counts AS (SELECT lang AS topic, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+wpt AS (SELECT topic, sum(cnt) AS topic_words FROM counts GROUP BY 1),
+cf AS (SELECT token, sum(cnt) AS corpus_freq FROM counts GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) / count(DISTINCT topic) AS avg_words FROM counts),
+scored AS (
+  SELECT c.topic, c.token,
+    (CAST(c.cnt AS DOUBLE) / wpt.topic_words) * ln(1 + tot.avg_words / cf.corpus_freq) AS score
+  FROM counts c JOIN wpt USING (topic) JOIN cf USING (token) CROSS JOIN tot),
+ranked AS (
+  SELECT topic, token, score,
+    CAST(row_number() OVER (PARTITION BY topic ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT topic, rank, token, round(score, 6) AS score
+FROM ranked WHERE rank <= 10 ORDER BY topic, rank""",
+
+    "q_topic_rollup" ->
+      s"""WITH tok AS ($tokSql),
+chunks AS (SELECT doc_id, CAST(length(token) % 4 - 1 AS INT) AS label FROM tok),
+counts AS (SELECT doc_id, label AS topic_id, count(*) AS cnt FROM chunks GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(cnt) AS total FROM counts GROUP BY 1),
+dom AS (
+  SELECT doc_id, topic_id AS dominant_topic FROM (
+    SELECT doc_id, topic_id,
+      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, topic_id ASC) AS rn
+    FROM counts WHERE topic_id <> -1) WHERE rn = 1)
+SELECT c.doc_id, c.topic_id,
+  round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS proportion,
+  coalesce(d.dominant_topic, -1) AS dominant_topic
+FROM counts c
+JOIN tot t ON t.doc_id = c.doc_id
+LEFT JOIN dom d ON d.doc_id = c.doc_id
+ORDER BY c.doc_id, c.topic_id""")
 }

@@ -151,6 +151,20 @@ object SparkEntry {
         .rollup(chunks)
         .withColumn("proportion", round(col("proportion"), 6))
         .orderBy("doc_id", "topic_id")
+    }),
+
+    // §2.5 #13 embedding via the mapPartitions batch engine (pseudo-model;
+    // not SQL-expressible → no oracle entry, driver records rows-only)
+    "q_embed_docs" -> ((s, dir) => {
+      val embedded = graft.embed.Embedders.embed(tbl(s, dir, "documents"), "text", "emb")
+      embedded
+        .select(
+          col("doc_id"),
+          size(col("emb")).cast("long").as("emb_dim"),
+          round(
+            sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
+              lit(0.0), (acc, v) => acc + v * v)), 4).as("emb_norm"))
+        .orderBy("doc_id")
     }))
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.text.{Concordance, TextFunctions, Tokenize, TokenFrequencies}
+import graft.text.{Concordance, TextAnalysis, TextFunctions, Tokenize, TokenFrequencies}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -152,6 +152,31 @@ object SparkEntry {
         .withColumn("proportion", round(col("proportion"), 6))
         .orderBy("doc_id", "topic_id")
     }),
+
+    // text-analysis tier: script+marker language id
+    "q_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // text-analysis tier: quality metrics + composite score
+    "q_quality" -> ((s, dir) => {
+      val metrics = TextAnalysis.qualityMetrics(col("text"))
+      val rounded = metrics.map {
+        case (n @ ("punct_ratio" | "digit_ratio" | "stopword_ratio" | "quality_score"), c) =>
+          round(c, 6).as(n)
+        case (n, c) => c.as(n)
+      }
+      tbl(s, dir, "documents")
+        .select(col("doc_id") +: rounded: _*)
+        .orderBy("doc_id")
+    }),
+
+    // text-analysis tier: rolling-hash fingerprint over normalized text
+    "q_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
 
     // §2.5 #13 embedding via the mapPartitions batch engine (pseudo-model;
     // not SQL-expressible → no oracle entry, driver records rows-only)
@@ -360,5 +385,78 @@ SELECT c.doc_id, c.topic_id,
 FROM counts c
 JOIN tot t ON t.doc_id = c.doc_id
 LEFT JOIN dom d ON d.doc_id = c.doc_id
-ORDER BY c.doc_id, c.topic_id""")
+ORDER BY c.doc_id, c.topic_id""",
+
+    "q_lang_id" -> langIdSql,
+    "q_quality" -> qualitySql,
+
+    "q_fingerprint" ->
+      """WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[!-/:-@\[-`{-~0-9]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+  FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN length(clean) = 0 THEN 0 ELSE
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_split_to_array(clean, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 1000000007)
+  END AS BIGINT) AS fingerprint
+FROM c ORDER BY doc_id""")
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Lang-id oracle generated from the same marker constants as the engine
+    * so the two can never drift. */
+  private def langIdSql: String = {
+    val hitCols = TextAnalysis.MarkerLangs.map { l =>
+      s"len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.Markers(l))}, x))) AS h_$l"
+    }.mkString(",\n    ")
+    val markerCases = TextAnalysis.MarkerLangs.map { l =>
+      val geOthers = TextAnalysis.MarkerLangs.filterNot(_ == l)
+        .map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN h_$l > 0 AND $geOthers THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+  SELECT doc_id, lang, coalesce(text, '') AS tx,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, lang, length(tx) AS n,
+    length(tx) - length(regexp_replace(tx, '[\\x{3040}-\\x{30FF}]', '', 'g')) AS kana,
+    length(tx) - length(regexp_replace(tx, '[\\x{AC00}-\\x{D7AF}]', '', 'g')) AS hangul,
+    length(tx) - length(regexp_replace(tx, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS han,
+    $hitCols
+  FROM t)
+SELECT doc_id, lang,
+  CASE WHEN kana > 0 THEN 'ja'
+       WHEN hangul > 0 THEN 'ko'
+       WHEN han > 0 AND han * 10 >= n * 3 THEN 'zh'
+    $markerCases
+    ELSE 'und' END AS pred_lang
+FROM h ORDER BY doc_id"""
+  }
+
+  private def qualitySql: String =
+    s"""WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS tx,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    (length(tx) - length(regexp_replace(tx, '[!-/:-@\\[-`{-~]', '', 'g')))
+      / greatest(CAST(length(tx) AS DOUBLE), 1.0) AS punct_ratio,
+    (length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')))
+      / greatest(CAST(length(tx) AS DOUBLE), 1.0) AS digit_ratio,
+    CAST(len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, x))) AS BIGINT) AS stop
+  FROM t)
+SELECT doc_id, n_words,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(digit_ratio, 6) AS digit_ratio,
+  round(stop / greatest(CAST(n_words AS DOUBLE), 1.0), 6) AS stopword_ratio,
+  round(least(1.0, n_words / 20.0) * (1.0 - punct_ratio) * (1.0 - digit_ratio), 6) AS quality_score,
+  (n_words >= 10 AND stop >= 1) AS keep
+FROM m ORDER BY doc_id"""
 }

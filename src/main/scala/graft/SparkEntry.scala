@@ -178,6 +178,26 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // §2.6 full topic-modeling pipeline (pseudo-embedder + PCA/DBSCAN
+    // stand-ins; stochastic-stage parity is structural → rows-only check)
+    "q_topic_model" -> ((s, dir) => {
+      val out = graft.topic.TopicModeling.run(
+        tbl(s, dir, "documents").limit(200),
+        "text",
+        "doc_id",
+        corpusCol = None,
+        cfg = graft.topic.TopicModeling.Config(
+          cluster = graft.topic.Cluster.Config(minClusterSize = 5)))
+      out.documents
+        .select(
+          col("doc_id"),
+          col("dominant_topic"),
+          size(col("topic_distribution")).as("n_dist"),
+          col("n_topics"),
+          col("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
     // §2.5 #13 embedding via the mapPartitions batch engine (pseudo-model;
     // not SQL-expressible → no oracle entry, driver records rows-only)
     "q_embed_docs" -> ((s, dir) => {

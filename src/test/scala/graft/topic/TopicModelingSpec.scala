@@ -1,0 +1,146 @@
+package graft.topic
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Driver-side reduce/cluster stages: structural assertions only (shape,
+  * determinism, blob separation) — geometric parity with PaCMAP/HDBSCAN is
+  * explicitly out of contract, matching the reference's own test posture
+  * (`reduce.rs:98-136`, `cluster.rs:96-141`). */
+class ReduceClusterSpec extends AnyFunSuite {
+
+  test("reduce rejects too few points and ragged rows") {
+    intercept[IllegalArgumentException] { Reduce.reduce(Array.fill(3)(Array(0.0f, 1.0f)), 2) }
+    intercept[IllegalArgumentException] {
+      Reduce.reduce(Array(Array(0.0f), Array(0.0f, 1.0f)) ++ Array.fill(10)(Array(0.0f)), 2)
+    }
+  }
+
+  test("reduce outputs requested dims, deterministic, separates blobs") {
+    val pts = Array.tabulate(40) { i =>
+      val base = if (i % 2 == 0) 0.0f else 5.0f
+      Array.tabulate(8)(j => base + (i * j % 3) * 0.01f)
+    }
+    val a = Reduce.reduce(pts, 3, seed = 7L)
+    val b = Reduce.reduce(pts, 3, seed = 7L)
+    assert(a.length == 40 && a.forall(_.length == 3))
+    assert(a.zip(b).forall { case (ra, rb) => ra.sameElements(rb) })
+    // blob separation survives: distance between group means dominates spread
+    val g0 = a.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+    val g1 = a.zipWithIndex.filter(_._2 % 2 == 1).map(_._1)
+    def mean(g: Array[Array[Float]]) = g.transpose.map(c => c.sum / c.length)
+    val d = mean(g0).zip(mean(g1)).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d > 1.0, s"separation $d")
+  }
+
+  test("cluster separates two blobs and marks the lone outlier") {
+    val points =
+      Array.tabulate(10)(i => Array(i * 0.01f, 0.0f)) ++
+        Array.tabulate(10)(i => Array(10.0f + i * 0.01f, 10.0f)) :+
+        Array(100.0f, 100.0f)
+    val res = Cluster.cluster(points, Cluster.Config(minClusterSize = 5))
+    assert(res.nTopics == 2, s"labels: ${res.labels.toSeq}")
+    assert(res.labels.last == Cluster.OutlierLabel)
+    assert(res.labels.forall(l => l == Cluster.OutlierLabel || (l >= 0 && l < 2)))
+    // contiguous, first-seen order
+    assert(res.labels.filter(_ >= 0).distinct.toSeq == Seq(0, 1))
+  }
+
+  test("cluster: single point is one trivial topic; empty input none") {
+    val single = Cluster.cluster(Array(Array(1.0f, 2.0f)))
+    assert(single.nTopics == 1 && single.labels.toSeq == Seq(0))
+    val empty = Cluster.cluster(Array.empty[Array[Float]])
+    assert(empty.nTopics == 0 && empty.labels.isEmpty)
+  }
+
+  test("cluster is deterministic") {
+    val rnd = new scala.util.Random(3)
+    val pts = Array.fill(50)(Array.fill(4)(rnd.nextGaussian().toFloat))
+    val a = Cluster.cluster(pts, Cluster.Config(minClusterSize = 4))
+    val b = Cluster.cluster(pts, Cluster.Config(minClusterSize = 4))
+    assert(a.labels.sameElements(b.labels) && a.nTopics == b.nTopics)
+  }
+}
+
+class TopicModelingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Two disjoint-vocabulary document groups → the pseudo-embedder maps them
+    * to two separated regions → two topics. */
+  private def corpus(): Seq[(Long, Int, String)] = {
+    val vocabA = Vector("astronomy", "telescope", "galaxy", "nebula", "orbit", "comet", "stellar", "cosmic")
+    val vocabB = Vector("pastry", "croissant", "baguette", "oven", "flour", "yeast", "dough", "crust")
+    val rnd = new scala.util.Random(5)
+    (0 until 24).map { i =>
+      val v = if (i < 12) vocabA else vocabB
+      val words = Seq.fill(12)(v(rnd.nextInt(v.length)))
+      (i.toLong, i % 2, words.mkString(" "))
+    }
+  }
+
+  test("end-to-end: two vocab groups → two topics, coherent assembly") {
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+      TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4)))
+
+    assert(out.nChunks == 24)
+    assert(out.nTopics == 2, s"expected 2 topics, got ${out.nTopics}")
+
+    val documents = out.documents.orderBy("doc_id").collect()
+    assert(documents.length == 24)
+    // distributions sum to 1 (docs are single-chunk → one-hot)
+    documents.foreach { r =>
+      val distSum = r.getAs[scala.collection.Seq[Row]]("topic_distribution").map(_.getDouble(1)).sum
+      assert(math.abs(distSum - 1.0) < 1e-9)
+    }
+    // group purity: docs 0-11 share a dominant topic; 12-23 the other
+    val doms = documents.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("dominant_topic")).toMap
+    val gA = (0L until 12L).map(doms).toSet
+    val gB = (12L until 24L).map(doms).toSet
+    assert(gA.size == 1 && gB.size == 1 && gA != gB, s"doms: $doms")
+
+    // representative words come from the right vocabulary
+    val topics = out.topics.orderBy("id").collect()
+    assert(topics.length == 2)
+    val words0 = topics(doms(0L)).getAs[scala.collection.Seq[String]]("representative_words")
+    assert(words0.exists(Set("astronomy", "telescope", "galaxy", "nebula", "orbit", "comet", "stellar", "cosmic")))
+    // soft sizes: 2 corpora, each topic split across both (docs alternate corpus)
+    assert(topics.forall(_.getAs[scala.collection.Seq[Float]]("size").length == 2))
+
+    // stage timing keys mirror the reference's names
+    val stages = out.stageTimings.map(_._1)
+    assert(Seq("embedder_load", "chunking", "embedding", "reduce_clustering",
+      "cluster", "reduce_coordinates", "topic_coordinates", "ctfidf_count_terms",
+      "ctfidf_scores", "rollup", "assemble_topics", "total").forall(stages.contains))
+  }
+
+  test("empty and whitespace docs get dominant -1 and empty payload") {
+    val docs = (corpus() :+ ((99L, 0, "   "))).toDF("doc_id", "corpus", "text")
+    val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+      TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4)))
+    val r = out.documents.filter($"doc_id" === 99L).collect().head
+    assert(r.getAs[Int]("dominant_topic") == -1)
+    assert(r.getAs[scala.collection.Seq[Row]]("topic_distribution").isEmpty)
+    assert(r.getAs[scala.collection.Seq[String]]("representative_words").isEmpty)
+  }
+
+  test("tiny corpus collapses to one trivial topic (numeric guard)") {
+    val docs = Seq((0L, 0, "alpha beta"), (1L, 0, "gamma delta")).toDF("doc_id", "corpus", "text")
+    val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"))
+    assert(out.nTopics == 1 && out.nChunks == 2)
+    assert(out.documents.select("dominant_topic").as[Int].collect().forall(_ == 0))
+  }
+
+  test("deterministic across runs") {
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val cfg = TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4))
+    val a = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
+    val b = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
+    assert(a.documents.orderBy("doc_id").collect().toSeq ==
+      b.documents.orderBy("doc_id").collect().toSeq)
+    assert(a.topics.orderBy("id").collect().toSeq == b.topics.orderBy("id").collect().toSeq)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.cache
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed text cache, re-expressed Spark-first (reference
+  * `/root/reference/src/cache.rs:49-163`: SHA-256 content addressing,
+  * unique-miss computation outside the lock, INSERT OR IGNORE, expansion
+  * back to input order).
+  *
+  * The DuckDB table + file-lock design becomes a parquet table per cache
+  * key + left-anti join — lock-free by construction (SURVEY §2.7):
+  *
+  *   1. hash every distinct input text (`sha2`, uniform keys, no skew),
+  *   2. '''left-anti join''' against the cache table → unique misses only,
+  *   3. run the expensive compute on misses, append results to the table,
+  *   4. equi-join the union back to the input (the "expand to input order"
+  *      step — order is carried by the input rows themselves).
+  *
+  * Each cache key gets its own subdirectory so value schemas stay
+  * homogeneous (the reference likewise keeps separate token/embedding
+  * tables, `src/expressions.rs:235-299`,
+  * `src/topic_modeling/embedding_cache.rs:20-160`).
+  *
+  * The correctness contract is the reference's own: cached == uncached
+  * (`tests/test_tokenize_cache.py:22-34`), pinned by `TextCacheSpec`.
+  *
+  * Concurrency: the reference serializes cross-process writers with an fs2
+  * file lock; here appends are atomic at the parquet-file level and
+  * duplicate rows from racing writers are harmless — reads deduplicate on
+  * `content_hash`, mirroring INSERT OR IGNORE semantics. */
+final class TextCache(spark: SparkSession, path: String) {
+
+  private def keyDir(cacheKey: String): String = {
+    val safe = cacheKey.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+    s"$path/$safe"
+  }
+
+  private def cachedPairs(cacheKey: String, valueCol: String): Option[DataFrame] =
+    try {
+      Some(
+        spark.read.parquet(keyDir(cacheKey))
+          .dropDuplicates("content_hash") // racing writers: first wins
+          .select(col("content_hash"), col("value").as(valueCol)))
+    } catch {
+      case _: Exception => None // cache not created yet
+    }
+
+  /** Run `compute` over the rows of `df` whose hashed `textCol` is not yet
+    * cached under `cacheKey`, persist the new `(hash, value)` pairs, and
+    * return `df` with `valueCol` attached for every row.
+    *
+    * `compute` receives a DataFrame of distinct `(content_hash, textCol)`
+    * misses and must return `(content_hash, valueCol)`. */
+  def withCachedColumn(
+      df: DataFrame,
+      textCol: String,
+      cacheKey: String,
+      valueCol: String)(compute: DataFrame => DataFrame): DataFrame = {
+    val hashed = df.withColumn("content_hash", sha2(coalesce(col(textCol), lit("")), 256))
+
+    val distinctTexts =
+      hashed.select(col("content_hash"), col(textCol)).dropDuplicates("content_hash")
+
+    val misses = cachedPairs(cacheKey, valueCol) match {
+      case Some(cached) => distinctTexts.join(cached.select("content_hash"), Seq("content_hash"), "left_anti")
+      case None => distinctTexts
+    }
+
+    val newRows = compute(misses).select(col("content_hash"), col(valueCol).as("value"))
+    if (!newRows.isEmpty) newRows.write.mode("append").parquet(keyDir(cacheKey))
+
+    val lookup = cachedPairs(cacheKey, valueCol).getOrElse(
+      // df was empty and nothing was ever cached: attach an empty lookup
+      newRows.select(col("content_hash"), col("value").as(valueCol)).limit(0))
+    hashed
+      .join(lookup, Seq("content_hash"), "left")
+      .drop("content_hash")
+  }
+}

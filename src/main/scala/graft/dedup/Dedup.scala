@@ -269,21 +269,21 @@ object Dedup {
       idCol: String,
       bucket: Column,
       threshold: Double = 0.0): DataFrame = {
+    // Each doc's token-set size rides along as a window over the token
+    // table BEFORE the self-join, so the tokenize subtree is built twice
+    // (the two join sides — inherent to a self-join) instead of three
+    // times (a separate sizes aggregation would re-derive it again).
     val toks = df
       .select(col(idCol).as("id"), bucket.as("bucket"),
         explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
       .select(col("id"), col("bucket"), col("t.token").as("token"))
       .distinct()
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("n_tokens", count(lit(1)).over(Window.partitionBy(col("id"))))
     val a = toks.as("a")
     val b = toks.as("b")
-    val shared = a
-      .join(b, col("a.bucket") === col("b.bucket") && col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.token") === col("b.token") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tokens", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tokens", "n_b"), "id_b")
+      .agg(count(lit(1)).as("shared"), first(col("a.n_tokens")).as("n_a"), first(col("b.n_tokens")).as("n_b"))
       .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

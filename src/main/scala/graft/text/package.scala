@@ -27,5 +27,16 @@ package object text {
         lowercase: Boolean = true,
         removePunct: Boolean = true): Column =
       Tokenize.tokenize(c, model, lowercase, removePunct)
+    def concordance(
+        searchWord: String,
+        numLeftTokens: Int = 5,
+        numRightTokens: Int = 5,
+        regex: Boolean = false,
+        caseSensitive: Boolean = false): Column =
+      Concordance.concordanceCol(c, searchWord, numLeftTokens, numRightTokens, regex, caseSensitive)
+    def embedding(modelId: String = graft.embed.EmbedderRegistry.DefaultModelId): Column =
+      graft.embed.Embedders.embedding(c, modelId)
+    def langId: Column = TextAnalysis.langId(c)
+    def fingerprint: Column = TextAnalysis.fingerprint(c)
   }
 }

@@ -46,10 +46,15 @@ object Ctfidf {
 
   /** Top-`k` c-TF-IDF terms per topic from a `(topic, token, cnt)` counts
     * table. Output: `topic, rank, token, score` (score descending,
-    * alphabetical tie-break). */
+    * alphabetical tie-break).
+    *
+    * Plan shape: the per-topic word totals and corpus-wide term frequency
+    * are '''windows over the counts table''' rather than self-joins — a
+    * join formulation makes Catalyst recompute the tokenize→explode→agg
+    * subtree once per join branch (3 corpus scans in one plan); windows
+    * reuse the single aggregated stream, so the corpus is tokenized once
+    * in the returned plan (plus once for the 1-row `avgWords` collect). */
   def topTerms(termCounts: DataFrame, topK: Int = 10): DataFrame = {
-    val wordsPerTopic = termCounts.groupBy("topic").agg(sum("cnt").as("topic_words"))
-    val corpusFreq = termCounts.groupBy("token").agg(sum("cnt").as("corpus_freq"))
     val Row(totalWords, nTopics) = termCounts
       .agg(sum("cnt").cast("double"), countDistinct("topic").cast("double"))
       .head()
@@ -58,8 +63,8 @@ object Ctfidf {
       else totalWords.asInstanceOf[Double] / nTopics.asInstanceOf[Double]
 
     val scored = termCounts
-      .join(broadcast(wordsPerTopic), "topic")
-      .join(corpusFreq, "token")
+      .withColumn("topic_words", sum("cnt").over(Window.partitionBy(col("topic"))))
+      .withColumn("corpus_freq", sum("cnt").over(Window.partitionBy(col("token"))))
       .withColumn(
         "score",
         (col("cnt").cast("double") / col("topic_words")) *

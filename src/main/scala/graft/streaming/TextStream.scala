@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{TextAnalysis, Tokenize}
+
+/** Structured Streaming surface for the text pipeline (the reference has no
+  * streaming — this is the Spark-native extension the north star asks for:
+  * `readStream` → transforms → `writeStream` with watermarked state).
+  *
+  * All transforms compose on any streaming DataFrame (Kafka, file source,
+  * rate source); specs drive them with `MemoryStream`. State stores stay
+  * bounded by watermarks: windowed aggregations evict closed windows, and
+  * streaming dedup evicts hashes older than the watermark horizon.
+  */
+object TextStream {
+
+  /** Event-time windowed token counts over quality-filtered text: the
+    * streaming form of `token_frequencies`. One shuffle keyed on
+    * `(window, token)`; late data beyond `watermark` is dropped and closed
+    * windows leave the state store. */
+  def windowedTokenCounts(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      windowDuration: String = "1 minute",
+      watermark: String = "2 minutes",
+      minWords: Int = 1): DataFrame = {
+    val quality = TextAnalysis.qualityMetrics(col(textCol)).toMap
+    stream
+      .withWatermark(tsCol, watermark)
+      .filter(quality("n_words") >= minWords)
+      .select(col(tsCol), explode(Tokenize.tokenize(col(textCol))).as("t"))
+      .groupBy(window(col(tsCol), windowDuration), col("t.token").as("token"))
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        col("window.start").as("window_start"),
+        col("token"),
+        col("freq"))
+  }
+
+  /** Streaming exact dedup: first occurrence of each normalized content
+    * hash within the watermark horizon survives. Uses Spark's native
+    * `dropDuplicatesWithinWatermark` so the hash state is evicted once the
+    * event time passes the horizon — bounded state at any throughput. */
+  def streamingExactDedup(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .withColumn("content_hash", sha2(coalesce(col(textCol), lit("")), 256))
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming language routing: tag each record with the detected
+    * language (pure Column — stateless, no shuffle). */
+  def withLangId(stream: DataFrame, textCol: String): DataFrame =
+    stream.withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
+}

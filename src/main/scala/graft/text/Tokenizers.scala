@@ -130,11 +130,33 @@ object PlainTokenizer {
   }
 }
 
-/** Model inventory mirroring the reference's predefined ids
-  * (`/root/reference/polars_text/models.py:22-57`). Only the native backend
-  * is implemented in this zero-egress build; CJK (`lindera:*`) and
-  * HuggingFace backends are registered ids that fail with a clear message
-  * until a JVM morphological backend is wired in. */
+/** A tokenizer backend: the reference's `TokenizerBackend` enum
+  * (`src/tokenizer.rs:40-44`) as a trait so user-supplied backends
+  * (WordPiece with a local vocab, a future morphological segmenter) plug
+  * into the same registry, UDF, and offset machinery. Instances are
+  * captured in UDF closures, so they must be serializable; heavyweight
+  * state should live in lazy fields re-derived per executor. */
+trait TokenizerBackend extends Serializable {
+  def tokenize(text: String, lowercase: Boolean, removePunct: Boolean): Vector[Token]
+  /** Lowercasing is meaningful (reference `case_aware`,
+    * `src/tokenizer.rs:95-103`): caseless-script backends skip the fold. */
+  def caseAware: Boolean = true
+}
+
+/** The `native:plain_words_en` backend. */
+object PlainBackend extends TokenizerBackend {
+  override def tokenize(text: String, lowercase: Boolean, removePunct: Boolean): Vector[Token] =
+    PlainTokenizer.tokenize(text, lowercase, removePunct)
+}
+
+/** Model inventory + backend registry mirroring the reference's predefined
+  * ids and process-wide registry
+  * (`/root/reference/polars_text/models.py:22-57`,
+  * `src/tokenizer.rs:211-241`). Only the native backend loads in this
+  * zero-egress build; CJK (`lindera:*`) and hosted HuggingFace ids fail
+  * fast with a clear message (deviation recorded in README). Users can
+  * [[register]] an offline backend — e.g. a [[WordPieceTokenizer]] built
+  * from a local vocab — under any id, including the predefined ones. */
 object TokenizerModels {
   val PlainWordsEn = "native:plain_words_en"
 
@@ -149,28 +171,48 @@ object TokenizerModels {
     "lindera:ja-unidic" -> Seq("ja"),
     "lindera:ko-dic" -> Seq("ko"))
 
-  /** Backends actually available in this build. */
-  val implemented: Set[String] = Set(PlainWordsEn)
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, TokenizerBackend]()
+  registry.put(PlainWordsEn, PlainBackend)
 
-  def require(model: String): Unit = {
-    if (!inventory.contains(model))
+  /** Register (or replace) a backend under `id`. */
+  def register(id: String, backend: TokenizerBackend): Unit = { registry.put(id, backend); () }
+
+  /** Resolve a model id to its backend; unknown ids and registered-but-
+    * unloaded ids fail with distinct messages (the reference's
+    * `ensure_tokenizer_for_model` contract). */
+  def resolve(model: String): TokenizerBackend = {
+    val found = registry.get(model)
+    if (found != null) found
+    else if (!inventory.contains(model))
       throw new IllegalArgumentException(
-        s"unknown tokenizer model '$model'; known: ${inventory.keys.toSeq.sorted.mkString(", ")}")
-    if (!implemented.contains(model))
+        s"unknown tokenizer model '$model'; known: ${(inventory.keys ++ loadedModels).toSeq.distinct.sorted.mkString(", ")}")
+    else
       throw new UnsupportedOperationException(
         s"tokenizer model '$model' requires a network-fetched backend, " +
-          "unavailable in this offline build; use " + PlainWordsEn)
+          "unavailable in this offline build; use " + PlainWordsEn +
+          " or register an offline backend via TokenizerModels.register")
   }
+
+  /** Idempotent warm-load (`prefetch_model` parity). */
+  def prefetch(model: String): Unit = { resolve(model); () }
+
+  /** Sorted ids with a loaded backend (`list_loaded_models` parity). */
+  def loadedModels: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keys.asScala.toSeq.sorted
+  }
+
+  def require(model: String): Unit = { resolve(model); () }
 }
 
 /** Column-level tokenize API. Deterministic UDF (same input ⇒ same output)
   * so Catalyst keeps filter/limit pushdown below it — the reference's
   * `is_elementwise=True` contract (`polars_text/functions.py:70`). */
 object Tokenize {
-  // Hoisted per (lowercase, removePunct) variant so repeated call sites share
-  // one UDF object (plan-cache friendly) instead of minting a new one each
-  // call.
-  private val variants: Map[(Boolean, Boolean), org.apache.spark.sql.expressions.UserDefinedFunction] =
+  // Hoisted per (lowercase, removePunct) variant for the hot plain-words
+  // path so repeated call sites share one UDF object (plan-cache friendly).
+  private val plainVariants: Map[(Boolean, Boolean), org.apache.spark.sql.expressions.UserDefinedFunction] =
     (for (lc <- Seq(true, false); rp <- Seq(true, false)) yield {
       (lc, rp) -> udf { text: String =>
         PlainTokenizer.tokenize(if (text == null) "" else text, lc, rp)
@@ -182,7 +224,14 @@ object Tokenize {
       model: String = TokenizerModels.PlainWordsEn,
       lowercase: Boolean = true,
       removePunct: Boolean = true): Column = {
-    TokenizerModels.require(model)
-    variants((lowercase, removePunct))(c)
+    val backend = TokenizerModels.resolve(model) // fail fast at plan build
+    if (backend eq PlainBackend) plainVariants((lowercase, removePunct))(c)
+    else {
+      val lc = lowercase && backend.caseAware
+      val f = udf { text: String =>
+        backend.tokenize(if (text == null) "" else text, lc, removePunct)
+      }
+      f(c)
+    }
   }
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class TextStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowed token counts aggregate per event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = TextStream.windowedTokenCounts(
+      input.toDF().toDF("ts", "text"), "text", "ts")
+
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("tok_counts")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData((ts(0), "spark joins tables"), (ts(0), "spark scans"), (ts(1), "spark sorts"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      input.addData((ts(10), "flush"))
+      q.processAllAvailable()
+
+      val rows = spark.table("tok_counts")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts(0), "spark", 2L)))
+      assert(rows.contains((ts(0), "joins", 1L)))
+      assert(rows.contains((ts(1), "spark", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = TextStream.streamingExactDedup(
+      input.toDF().toDF("ts", "id", "text"), "text", "ts")
+
+    val q = dedup.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        (ts(0), 1L, "same document text"),
+        (ts(0), 2L, "same document text"),
+        (ts(1), 3L, "other text"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("lang routing is stateless and appends pred_lang") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val routed = TextStream.withLangId(input.toDF().toDF("text"), "text")
+    val q = routed.writeStream.format("memory").queryName("routed").start()
+    try {
+      input.addData("the cat is on the mat", "これはテストです")
+      q.processAllAvailable()
+      val langs = spark.table("routed").select("pred_lang").as[String].collect().toSet
+      assert(langs == Set("en", "ja"))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** WordPiece contract, pinned by the reference's HF tests
+  * (`tests/test_tokenize_with_offsets.py:64-78`: `##` prefix convention,
+  * offsets re-slice the lowercased text with the prefix stripped). */
+class WordPieceSpec extends AnyFunSuite {
+
+  private val vocab = Set(
+    "token", "##ization", "##izer", "happens", "fast", "un", "##want", "##ed",
+    ",", ".", "the", "##s")
+  private val wp = new WordPieceTokenizer(vocab)
+
+  test("greedy longest-match-first decomposition with ## continuation") {
+    val toks = wp.tokenize("Tokenization happens fast", lowercase = true, removePunct = true)
+    assert(toks.map(_.token) == Vector("token", "##ization", "happens", "fast"))
+  }
+
+  test("offsets re-slice the lowercased text (## stripped) — reference invariant") {
+    val text = "Tokenization happens fast"
+    val lc = text.toLowerCase
+    val toks = wp.tokenize(text, lowercase = true, removePunct = true)
+    toks.foreach { t =>
+      val stripped = if (t.token.startsWith("##")) t.token.substring(2) else t.token
+      assert(lc.substring(t.start.toInt, t.end.toInt) == stripped, t)
+    }
+  }
+
+  test("unknown words become [UNK] and are dropped by the special filter") {
+    val toks = wp.tokenize("token zzzqqq fast", lowercase = true, removePunct = true)
+    assert(toks.map(_.token) == Vector("token", "fast"))
+    // but the raw decomposition reports UNK
+    assert(wp.wordPieces("zzzqqq") == Vector(("[UNK]", 0L, 6L)))
+  }
+
+  test("punctuation pieces kept without removePunct, dropped with") {
+    val kept = wp.tokenize("token, fast.", lowercase = true, removePunct = false)
+    assert(kept.map(_.token) == Vector("token", ",", "fast", "."))
+    val dropped = wp.tokenize("token, fast.", lowercase = true, removePunct = true)
+    assert(dropped.map(_.token) == Vector("token", "fast"))
+  }
+
+  test("over-long words collapse to UNK") {
+    val tiny = new WordPieceTokenizer(vocab, maxInputCharsPerWord = 3)
+    assert(tiny.wordPieces("fast") == Vector(("[UNK]", 0L, 4L)))
+  }
+}
+
+class TokenizerRegistrySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("registered WordPiece backend runs through the Column API") {
+    val vocab = Set("spark", "##s", "run", "##s", "fast")
+    TokenizerModels.register("wordpiece:test", new WordPieceTokenizer(vocab))
+    assert(TokenizerModels.loadedModels.contains("wordpiece:test"))
+    TokenizerModels.prefetch("wordpiece:test")
+
+    val out = Seq("Sparks runs fast").toDF("text")
+      .select(explode(Tokenize.tokenize(col("text"), "wordpiece:test")).as("t"))
+      .select($"t.token").as[String].collect().toSeq
+    assert(out == Seq("spark", "##s", "run", "##s", "fast"))
+  }
+
+  test("hosted HF id fails fast; unknown id names itself") {
+    val e = intercept[UnsupportedOperationException] {
+      Tokenize.tokenize(col("text"), "huggingface:bert-base-uncased")
+    }
+    assert(e.getMessage.contains("register an offline backend"))
+    val u = intercept[IllegalArgumentException] {
+      Tokenize.tokenize(col("text"), "nope:missing")
+    }
+    assert(u.getMessage.contains("nope:missing"))
+  }
+}

@@ -46,6 +46,27 @@ class TextCacheSpec extends SparkSpec {
       .as[(Long, Seq[(String, Long, Long)])].collect().toMap == direct)
   }
 
+  test("typed caches: cachedTokenize and cachedEmbed equal their uncached forms") {
+    val dir = Files.createTempDirectory("graft-cache3").toString + "/cache"
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+
+    val direct = df.select(col("doc_id"), Tokenize.tokenize(col("text")).as("tokens"))
+      .as[(Long, Seq[(String, Long, Long)])].collect().toMap
+    val cachedToks = TypedCaches.cachedTokenize(spark, dir, df, "text")
+      .select(col("doc_id"), col("tokens"))
+      .as[(Long, Seq[(String, Long, Long)])].collect().toMap
+    assert(cachedToks == direct)
+
+    val directEmb = graft.embed.Embedders.embed(df, "text", "embedding")
+      .select(col("doc_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+    val cachedEmb = TypedCaches.cachedEmbed(spark, dir, df, "text")
+      .select(col("doc_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+    assert(cachedEmb == directEmb)
+
+    // distinct params → distinct cache key (different params_hash)
+    assert(TypedCaches.tokenizeParamsHash(true, true) != TypedCaches.tokenizeParamsHash(true, false))
+  }
+
   test("cache keys are isolated: different key recomputes") {
     val dir = Files.createTempDirectory("graft-cache2").toString + "/cache"
     val cache = new TextCache(spark, dir)

@@ -210,23 +210,18 @@ object TokenizerModels {
   * so Catalyst keeps filter/limit pushdown below it — the reference's
   * `is_elementwise=True` contract (`polars_text/functions.py:70`). */
 object Tokenize {
-  // Hoisted per (lowercase, removePunct) variant for the hot plain-words
-  // path so repeated call sites share one UDF object (plan-cache friendly).
-  private val plainVariants: Map[(Boolean, Boolean), org.apache.spark.sql.expressions.UserDefinedFunction] =
-    (for (lc <- Seq(true, false); rp <- Seq(true, false)) yield {
-      (lc, rp) -> udf { text: String =>
-        PlainTokenizer.tokenize(if (text == null) "" else text, lc, rp)
-      }
-    }).toMap
-
   def tokenize(
       c: Column,
       model: String = TokenizerModels.PlainWordsEn,
       lowercase: Boolean = true,
       removePunct: Boolean = true): Column = {
     val backend = TokenizerModels.resolve(model) // fail fast at plan build
-    if (backend eq PlainBackend) plainVariants((lowercase, removePunct))(c)
-    else {
+    if (backend eq PlainBackend) {
+      // hot path: native Catalyst expression — no UDF encoder round-trip,
+      // stays inside whole-stage codegen (TokenizeExpression.scala)
+      org.apache.spark.sql.graft.Bridge.column(
+        TokenizeExpr(org.apache.spark.sql.graft.Bridge.expression(c), lowercase, removePunct))
+    } else {
       val lc = lowercase && backend.caseAware
       val f = udf { text: String =>
         backend.tokenize(if (text == null) "" else text, lc, removePunct)

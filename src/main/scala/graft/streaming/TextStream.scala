@@ -58,4 +58,34 @@ object TextStream {
     * language (pure Column — stateless, no shuffle). */
   def withLangId(stream: DataFrame, textCol: String): DataFrame =
     stream.withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
+
+  /** Custom-state example: per-key running document and token totals via
+    * `mapGroupsWithState` (the arbitrary-state API the brief's streaming
+    * tier calls for — state the built-in aggregations can't express, e.g.
+    * totals that must survive across windows without event-time bounds).
+    * Output mode: Update. State size is O(distinct keys). */
+  def runningTotals(
+      stream: DataFrame,
+      keyCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    stream
+      .select(col(keyCol).cast("string").as("key"), coalesce(col(textCol), lit("")).as("text"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val (docs0, toks0) = state.getOption.getOrElse((0L, 0L))
+          var docs = docs0
+          var toks = toks0
+          rows.foreach { case (_, text) =>
+            docs += 1
+            toks += graft.text.PlainTokenizer.tokenize(text).length
+          }
+          state.update((docs, toks))
+          (key, docs, toks)
+      }
+  }
 }

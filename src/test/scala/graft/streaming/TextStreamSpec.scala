@@ -61,6 +61,27 @@ class TextStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotals accumulates custom state across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val totals = TextStream.runningTotals(input.toDF().toDF("user", "text"), "user", "text")
+    val q = totals.toDF("key", "docs", "tokens").writeStream
+      .format("memory").queryName("totals").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(("u1", "one two three"), ("u2", "four"))
+      q.processAllAvailable()
+      input.addData(("u1", "five six"))
+      q.processAllAvailable()
+      // Update mode: latest row per key wins
+      val last = spark.table("totals").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("docs").as("docs"),
+          org.apache.spark.sql.functions.max("tokens").as("tokens"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(last("u1") == ((2L, 5L))) // 3 + 2 tokens across two batches
+      assert(last("u2") == ((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("lang routing is stateless and appends pred_lang") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]

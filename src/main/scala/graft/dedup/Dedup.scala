@@ -257,6 +257,28 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ---------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
+    * bucket tables (never all-pairs), verified by exact cosine ≥
+    * `threshold`. Output: `id_a, id_b, sim`. The embedding column is
+    * `Array[Float]` (e.g. from `graft.embed.Embedders.embed`). */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      tables: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = graft.similarity.Similarity
+      .lshCandidates(df, df, idCol, vecCol, tables, bits, seed)
+      .filter(col("query_id") < col("neighbor_id")) // dedup symmetric pairs
+      .withColumn("sim", graft.similarity.Similarity.cosine(col("q_vec"), col("c_vec")))
+      .filter(col("sim") >= threshold)
+    pairs.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("sim"))
+  }
+
   // ------------------------------------------------------------- jaccard
 
   /** Exact token-set Jaccard over candidate pairs restricted to a bucket

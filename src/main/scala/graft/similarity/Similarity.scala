@@ -100,6 +100,30 @@ object Similarity {
       (t, bucket)
     }
 
+  /** Candidate pairs from L sign-LSH tables: `(query_id, neighbor_id,
+    * q_vec, c_vec)`, deduplicated, self-pairs removed. Shared by
+    * [[lshTopK]] and the embedding-cosine dedup operator. */
+  def lshCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int,
+      bits: Int,
+      seed: Long): DataFrame = {
+    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("tb", explode(bucketize(col(vec))))
+        .select(col(id), col(vec), col("tb._1").as("table"), col("tb._2").as("bucket"))
+
+    withBuckets(queries, "query_id", "q_vec")
+      .join(withBuckets(corpus, "neighbor_id", "c_vec"), Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** Approximate top-k: candidates from L sign-LSH tables (bucket-keyed
     * join), exact cosine re-rank within the candidate set. Same output
     * schema as [[bruteForceTopK]]; recall < 1 by design — raise `tables`
@@ -112,25 +136,114 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .withColumn("tb", explode(bucketize(col(vec))))
-        .select(col(id), col(vec), col("tb._1").as("table"), col("tb._2").as("bucket"))
+      seed: Long = 42L): DataFrame =
+    rerank(lshCandidates(queries, corpus, idCol, vecCol, tables, bits, seed), k)
 
-    val qb = withBuckets(queries, "query_id", "q_vec")
-    val cb = withBuckets(corpus, "neighbor_id", "c_vec")
-    val candidates = qb
-      .join(cb, Seq("table", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
-      .dropDuplicates("query_id", "neighbor_id")
+  private def rerank(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     candidates
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Seeded Lloyd k-means over a driver-side sample — the IVF coarse
+    * quantizer. Returns `nCells` centroids. At cluster scale the sample is
+    * a bounded `df.sample` collect; centroid count stays O(√n)-ish. */
+  private[similarity] def trainCentroids(
+      sample: Array[Array[Float]],
+      nCells: Int,
+      seed: Long,
+      iters: Int = 10): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val k = math.min(nCells, sample.length)
+    var centroids = rnd.shuffle(sample.indices.toList).take(k).map(sample(_).clone()).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  private def nearestCell(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ct = centroids(c)
+      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Seq[Int] =
+    centroids.indices
+      .map { c =>
+        var d = 0.0; var i = 0
+        val ct = centroids(c)
+        while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      .sortBy(_._2)
+      .take(n)
+      .map(_._1)
+
+  /** IVF approximate top-k: a seeded k-means coarse quantizer partitions
+    * the corpus into `nCells` inverted lists (one shuffle keyed on cell
+    * id); each query probes its `nProbe` nearest cells and exact cosine
+    * re-ranks only those lists. The quantizer trains on a driver-side
+    * sample (`sampleSize` rows) — the classic IVF-Flat layout. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 3,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val sample = corpus
+      .select(col(vecCol))
+      .limit(sampleSize)
+      .as[Seq[Float]]
+      .collect()
+      .map(_.toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val centroids = trainCentroids(sample, nCells, seed)
+
+    val assignCell = udf { v: Seq[Float] => nearestCell(v.toArray, centroids) }
+    val probeCells = udf { v: Seq[Float] => nearestCells(v.toArray, centroids, nProbe) }
+
+    val lists = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      assignCell(col(vecCol)).as("cell"))
+    val probes = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      explode(probeCells(col(vecCol))).as("cell"))
+    val candidates = probes
+      .join(lists, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    rerank(candidates, k)
   }
 }

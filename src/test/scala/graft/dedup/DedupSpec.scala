@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("embedding-cosine near-dup finds the planted near-identical vector") {
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rnd = new scala.util.Random(21)
+    val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 50L).map(i => (i, unit(Array.fill(32)(rnd.nextGaussian().toFloat)))) ++
+      Seq((100L, unit(base)), (101L, unit(base.map(_ + 0.005f))))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .embeddingNearDuplicates(df, "embedding", "vec_id", threshold = 0.99, tables = 12, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+  }
+
   test("jaccard pairs compute exact token-set similarity within buckets") {
     val df = Seq(
       (1L, "a b c d", "g1"),

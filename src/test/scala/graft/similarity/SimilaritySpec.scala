@@ -64,6 +64,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivf recall vs brute force is high on clustered data") {
+    val df = clustered(300, 6, 32, seed = 13L).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, df, k = 5, nCells = 12, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("ivf is deterministic for a fixed seed") {
+    val df = clustered(100, 4, 16, seed = 17L).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    val a = Similarity.ivfTopK(q, df, k = 3, nCells = 8).collect().toSeq
+    val b = Similarity.ivfTopK(q, df, k = 3, nCells = 8).collect().toSeq
+    assert(a == b)
+  }
+
   test("cosine handles empty and mismatched arrays as null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),

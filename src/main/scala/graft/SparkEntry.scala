@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.text.{Concordance, TextAnalysis, TextFunctions, Tokenize, TokenFrequencies}
+import graft.text.{Concordance, TextAnalysis, TextFunctions, Tokenize, TokenFrequencies, TokenizerModels, WordPieceTokenizer}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,20 @@ object SparkEntry {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Offline WordPiece fixture: the in-repo `vocab.txt` covers the corpus
+    * vocabulary with 25 whole words + 6 two-piece decompositions, so the
+    * greedy longest-match output is hand-derivable (and SQL-recomputable
+    * for the oracle). Registered once, lazily, under a `local:` id —
+    * exercising the registry's non-native path end-to-end. */
+  val WordPieceModelId = "local:wordpiece-fixture"
+  private lazy val wordPieceRegistered: Unit = {
+    val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
+    require(in != null, "wordpiece_vocab.txt fixture missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try TokenizerModels.register(WordPieceModelId, WordPieceTokenizer.fromVocabText(src.getLines()))
+    finally src.close()
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Corpus-comparison keyness (log-likelihood G² et al.) of English vs
@@ -80,6 +94,21 @@ object SparkEntry {
         .select(col("doc_id"), explode(Tokenize.tokenize(col("text"))).as("t"))
         .select(col("doc_id"), col("t.token").as("token"))
         .orderBy("doc_id", "token")),
+
+    // §2.2 #5 tokenize, WordPiece backend via the pluggable registry —
+    // pins the ##-prefix + unprefixed-substring offset contract
+    // (tests/test_tokenize_with_offsets.py:64-78) under the DuckDB oracle
+    "q_tokenize_wordpiece" -> ((s, dir) => {
+      wordPieceRegistered
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(Tokenize.tokenize(col("text"), WordPieceModelId)).as("t"))
+        .select(
+          col("doc_id"),
+          col("t.token").as("token"),
+          col("t.start").as("start_cp"),
+          col("t.end").as("end_cp"))
+        .orderBy("doc_id", "start_cp", "token")
+    }),
 
     // §2.4 #11 token_frequencies
     "q_token_freq" -> ((s, dir) =>
@@ -299,6 +328,37 @@ FROM c GROUP BY lang ORDER BY lang"""),
 
     "q_tokenize_tokens" ->
       s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
+
+    // WordPiece greedy decomposition hand-derived per corpus word (the
+    // vocab fixture makes it unambiguous); word starts recomputed from the
+    // single-spaced corpus via a running-length window.
+    "q_tokenize_wordpiece" ->
+      """WITH w AS (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS word,
+    unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+  FROM documents),
+pos AS (
+  SELECT doc_id, word, idx,
+    coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
+  FROM w),
+pieces AS (
+  SELECT doc_id, wstart,
+    unnest(CASE word
+      WHEN 'column' THEN [{'p': 'col', 's': 0, 'e': 3}, {'p': '##umn', 's': 3, 'e': 6}]
+      WHEN 'customer' THEN [{'p': 'custom', 's': 0, 'e': 6}, {'p': '##er', 's': 6, 'e': 8}]
+      WHEN 'spark' THEN [{'p': 'sp', 's': 0, 'e': 2}, {'p': '##ark', 's': 2, 'e': 5}]
+      WHEN 'stream' THEN [{'p': 'str', 's': 0, 'e': 3}, {'p': '##eam', 's': 3, 'e': 6}]
+      WHEN 'vector' THEN [{'p': 'vec', 's': 0, 'e': 3}, {'p': '##tor', 's': 3, 'e': 6}]
+      WHEN 'window' THEN [{'p': 'win', 's': 0, 'e': 3}, {'p': '##dow', 's': 3, 'e': 6}]
+      ELSE [{'p': word, 's': 0, 'e': CAST(length(word) AS INT)}]
+    END) AS pc
+  FROM pos)
+SELECT doc_id, struct_extract(pc, 'p') AS token,
+  CAST(wstart + struct_extract(pc, 's') AS BIGINT) AS start_cp,
+  CAST(wstart + struct_extract(pc, 'e') AS BIGINT) AS end_cp
+FROM pieces ORDER BY doc_id, start_cp, token""",
 
     "q_token_freq" ->
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",

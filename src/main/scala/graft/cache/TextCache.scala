@@ -43,7 +43,12 @@ final class TextCache(spark: SparkSession, path: String) {
           .dropDuplicates("content_hash") // racing writers: first wins
           .select(col("content_hash"), col("value").as(valueCol)))
     } catch {
-      case _: Exception => None // cache not created yet
+      // Only the two "cache not created yet" shapes: a missing path, or a
+      // directory with no readable footers (e.g. only _SUCCESS after an
+      // empty-miss append). Corrupt files / transient IO errors propagate —
+      // silently recomputing everything would mask real storage problems.
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: java.io.FileNotFoundException => None
     }
 
   /** Run `compute` over the rows of `df` whose hashed `textCol` is not yet
@@ -67,14 +72,23 @@ final class TextCache(spark: SparkSession, path: String) {
       case None => distinctTexts
     }
 
+    // The miss plan must evaluate exactly ONCE (it is the expensive work a
+    // cache exists to amortize): persist, materialize fully with count()
+    // (a take-1 `isEmpty` would cache only the first partition and re-run
+    // the rest at write time), and let the append read from the cache.
     val newRows = compute(misses).select(col("content_hash"), col(valueCol).as("value"))
-    if (!newRows.isEmpty) newRows.write.mode("append").parquet(keyDir(cacheKey))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (newRows.count() > 0) newRows.write.mode("append").parquet(keyDir(cacheKey))
 
-    val lookup = cachedPairs(cacheKey, valueCol).getOrElse(
-      // df was empty and nothing was ever cached: attach an empty lookup
-      newRows.select(col("content_hash"), col("value").as(valueCol)).limit(0))
-    hashed
-      .join(lookup, Seq("content_hash"), "left")
-      .drop("content_hash")
+      val lookup = cachedPairs(cacheKey, valueCol).getOrElse(
+        // df was empty and nothing was ever cached: attach an empty lookup
+        newRows.select(col("content_hash"), col("value").as(valueCol)).limit(0))
+      hashed
+        .join(lookup, Seq("content_hash"), "left")
+        .drop("content_hash")
+    } finally {
+      newRows.unpersist()
+    }
   }
 }

@@ -39,7 +39,15 @@ object Similarity {
     *
     * `queries` must be broadcast-small; `corpus` is scanned once. Output:
     * `query_id, neighbor_id, rank, sim` (self-matches excluded when the id
-    * spaces coincide). Deterministic: ties break on ascending neighbor id. */
+    * spaces coincide). Deterministic: ties break on ascending neighbor id.
+    *
+    * Shuffle bound: the map side (broadcast + codegen'd cosine) is followed
+    * by an exact per-partition top-k prune — each corpus partition keeps at
+    * most `k` rows per query (plus boundary ties), so the exchange feeding
+    * the final ranking window carries ≤ partitions × |queries| × k rows
+    * instead of |corpus| × |queries|. The prune is lossless: a dropped row
+    * has ≥ k same-partition rows with strictly greater similarity, so its
+    * global `row_number` (sim desc first) necessarily exceeds k. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -53,11 +61,44 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pruned = localTopKPerQuery(scored, k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored
+    pruned
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Exact per-partition top-k prune over a `(query_id, neighbor_id, sim)`
+    * frame: per query, keeps the k highest-sim rows of each partition plus
+    * any rows tying the k-th similarity (so tie-breaking on the global
+    * window stays exact regardless of the id type's ordering). Null sims
+    * rank as −∞ and survive only when a partition has < k scored rows for
+    * that query. */
+  private[similarity] def localTopKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val schema = scored.schema
+    val simIdx = schema.fieldIndex("sim")
+    val qIdx = schema.fieldIndex("query_id")
+    scored.mapPartitions { rows =>
+      import scala.collection.mutable
+      // min-heap by sim per query; evict only rows strictly below the
+      // partition's current k-th similarity (boundary ties are kept)
+      val minFirst = Ordering.by[(Double, org.apache.spark.sql.Row), Double](_._1).reverse
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[(Double, org.apache.spark.sql.Row)]]
+      rows.foreach { r =>
+        val sim = if (r.isNullAt(simIdx)) Double.NegativeInfinity else r.getDouble(simIdx)
+        val pq = heaps.getOrElseUpdate(r.get(qIdx), mutable.PriorityQueue.empty(minFirst))
+        pq.enqueue((sim, r))
+        var done = false
+        while (pq.size > k && !done) {
+          val m = pq.dequeue()
+          if (pq.size >= k && pq.head._1 > m._1) () // strictly dominated by k rows — drop
+          else { pq.enqueue(m); done = true }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   // ---------------------------------------------------------------- LSH
@@ -207,7 +248,15 @@ object Similarity {
     * the corpus into `nCells` inverted lists (one shuffle keyed on cell
     * id); each query probes its `nProbe` nearest cells and exact cosine
     * re-ranks only those lists. The quantizer trains on a driver-side
-    * sample (`sampleSize` rows) — the classic IVF-Flat layout. */
+    * sample (`sampleSize` rows) — the classic IVF-Flat layout.
+    *
+    * Sampling: rows are ordered by a seeded 64-bit hash of the vector and
+    * the first `sampleSize` taken. The hash order is uncorrelated with
+    * storage order, so the sample is uniform over the whole corpus even
+    * when the parquet files are sorted/clustered (a plain `limit` would
+    * train the quantizer on one file's corner of the space), deterministic
+    * for a fixed seed, and executes as TakeOrderedAndProject — each
+    * partition keeps a `sampleSize` heap, no full sort, no extra scan. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -221,6 +270,7 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val sample = corpus
       .select(col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(vecCol)))
       .limit(sampleSize)
       .as[Seq[Float]]
       .collect()

@@ -41,6 +41,21 @@ case class ConcordanceMatch(
   */
 object Concordance {
 
+  /** Compile the search pattern once per invocation — the pattern is
+    * constant for a whole column call, so per-row compilation would be pure
+    * overhead on the hot KWIC path (the reference likewise compiles once,
+    * `src/concordance.rs:64-70`). `Pattern` is immutable and thread-safe;
+    * only the per-text `Matcher` is allocated per row. */
+  private[text] def compilePattern(
+      searchWord: String,
+      regex: Boolean,
+      caseSensitive: Boolean): Pattern = {
+    val pattern = if (regex) searchWord else Pattern.quote(searchWord)
+    var flags = 0
+    if (!caseSensitive) flags |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+    Pattern.compile(pattern, flags)
+  }
+
   def concordance(
       text: String,
       searchWord: String,
@@ -48,13 +63,21 @@ object Concordance {
       numRightTokens: Int = 5,
       regex: Boolean = false,
       caseSensitive: Boolean = false): Vector[ConcordanceMatch] = {
-    if (text == null || text.isEmpty || searchWord == null || searchWord.isEmpty)
+    if (searchWord == null || searchWord.isEmpty) Vector.empty
+    else concordance(text, compilePattern(searchWord, regex, caseSensitive), numLeftTokens, numRightTokens)
+  }
+
+  /** Core matcher over a pre-compiled pattern (one compile per column
+    * call, not per row). */
+  def concordance(
+      text: String,
+      compiled: Pattern,
+      numLeftTokens: Int,
+      numRightTokens: Int): Vector[ConcordanceMatch] = {
+    if (text == null || text.isEmpty)
       return Vector.empty
 
-    val pattern = if (regex) searchWord else Pattern.quote(searchWord)
-    var flags = 0
-    if (!caseSensitive) flags |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
-    val matcher = Pattern.compile(pattern, flags).matcher(text)
+    val matcher = compiled.matcher(text)
 
     val out = Vector.newBuilder[ConcordanceMatch]
     // Single forward sweep converting UTF-16 match offsets to code-point
@@ -110,8 +133,15 @@ object Concordance {
       numRightTokens: Int = 5,
       regex: Boolean = false,
       caseSensitive: Boolean = false): Column = {
+    if (searchWord == null || searchWord.isEmpty) {
+      val empty = udf { (_: String) => Vector.empty[ConcordanceMatch] }
+      return empty(c)
+    }
+    // Compiled once here; serialized into the task closure (Pattern is
+    // Serializable) so executors never recompile per row.
+    val compiled = compilePattern(searchWord, regex, caseSensitive)
     val f = udf { text: String =>
-      concordance(text, searchWord, numLeftTokens, numRightTokens, regex, caseSensitive)
+      concordance(text, compiled, numLeftTokens, numRightTokens)
     }
     f(c)
   }

@@ -93,15 +93,13 @@ object TextAnalysis {
 
   /** Deterministic document fingerprint: polynomial rolling hash
     * `h = (h·31 + codepoint) mod 1e9+7` over the `clean_text`-normalized
-    * characters, so trivially-reformatted documents collide. Pure column
-    * algebra (`aggregate` over `split`), identical in any engine with
-    * exact 64-bit integer arithmetic. */
+    * Unicode code points, so trivially-reformatted documents collide.
+    * Implemented as the native codegen'd [[CodePointHashExpr]] — genuinely
+    * code-point-based (surrogate pairs hash as one value), so the result
+    * matches DuckDB's `unicode(ch)` formulation on any corpus, not just
+    * ASCII, with one walk per row and no per-character array. */
   def fingerprint(c: Column): Column = {
-    val cleaned = TextFunctions.cleanText(c)
-    when(length(cleaned) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(split(cleaned, ""), ch => ascii(ch).cast("long")),
-        lit(0L),
-        (acc, x) => (acc * 31 + x) % 1000000007L))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CodePointHashExpr(Bridge.expression(TextFunctions.cleanText(c))))
   }
 }

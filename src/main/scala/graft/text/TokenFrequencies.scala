@@ -34,6 +34,22 @@ object TokenFrequencies {
       .groupBy(col("t.token").as("token"))
       .agg(count(lit(1)).as("freq"))
 
+  /** API-parity convenience mirroring the reference's dict-returning
+    * `token_frequencies` (`polars_text/token_frequencies.py:10-21`, which
+    * materializes a Python `dict[str, int]`).
+    *
+    * ⚠ Driver-bounded: collects the whole vocabulary to the driver. Fine
+    * for natural-language vocabularies (≤ millions of tokens); for
+    * open-ended token spaces at 100 TB prefer [[tokenFrequencies]], which
+    * stays a distributed DataFrame. */
+  def tokenFrequenciesMap(
+      df: DataFrame,
+      textCol: String,
+      model: String = TokenizerModels.PlainWordsEn): Map[String, Long] = {
+    import df.sparkSession.implicits._
+    tokenFrequencies(df, textCol, model).as[(String, Long)].collect().toMap
+  }
+
   /** Both corpora's token frequencies in one scan: rows where `isCorpus0`
     * count toward `freq_corpus_0`, the rest toward `freq_corpus_1`. One
     * tokenize pass, one shuffle — the scale-correct shape for keyness. */

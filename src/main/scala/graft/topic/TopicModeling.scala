@@ -3,9 +3,15 @@ package graft.topic
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.embed.EmbedderRegistry
 import graft.text.TokenizerModels
+
+/** One stage-timing entry, mirroring the reference's
+  * `StageTiming { stage, elapsed_ms }`
+  * (`/root/reference/src/topic_modeling/mod.rs:148-152`). */
+final case class StageTiming(stage: String, elapsed_ms: Double)
 
 /** Full topic-modeling pipeline as a `DataFrame => DataFrames` transform
   * (reference `/root/reference/src/topic_modeling/mod.rs:209-399` and row
@@ -15,14 +21,27 @@ import graft.text.TokenizerModels
   * (`posexplode` + `mapPartitions`); the reduce/cluster stages are the
   * genuinely global, small-data steps — the `[n_chunks × dim]` matrix is
   * collected to the driver (the explicit barrier that Polars'
-  * `is_elementwise=False` expresses), labels re-join the chunk frame by
-  * key; c-TF-IDF, rollup and the per-document assembly are distributed
-  * algebra again. Nothing corpus-sized lives on the driver except the
-  * chunk embedding matrix, exactly like the reference.
+  * `is_elementwise=False` expresses). c-TF-IDF, rollup and the per-document
+  * assembly are distributed algebra again. Nothing corpus-sized lives on
+  * the driver except the chunk embedding matrix and the `(doc_id,
+  * chunk_idx, label)` triples that ride along with it.
+  *
+  * Plan shape (the 100 TB contract): the chunk frame is persisted
+  * (MEMORY_AND_DISK) and materialized exactly once, in the `chunking`
+  * stage; the embedding collect and the c-TF-IDF aggregation read that one
+  * materialization, and the rollup/assembly stages are rebuilt from the
+  * already-collected label triples — so the lazy `documents` plan handed
+  * back to the caller contains NO chunking/embedding subtree and every
+  * expensive map stage runs once per pipeline, not once per action. The
+  * persist is released in a `finally` before returning (all dependents are
+  * eager).
   *
   * Deviations (documented): PaCMAP → seeded PCA ([[Reduce]]), HDBSCAN →
-  * deterministic DBSCAN ([[Cluster]]). Stage names in `stageTimings`
-  * mirror the reference's `stage_timings_ms` keys.
+  * deterministic DBSCAN ([[Cluster]]) — the `hdbscan` stage-timing key is
+  * kept for parity with the reference's key set. Stage names mirror
+  * `stage_timings_ms` (`mod.rs:223-390`), and the same
+  * `stage_timings_ms` list is replicated onto every output row exactly
+  * like the reference (`plugin.rs:242-280`).
   */
 object TopicModeling {
 
@@ -38,7 +57,7 @@ object TopicModeling {
       stopwords: Set[String] = Set.empty)
 
   /** `documents`: one row per input doc —
-    * `doc_id, corpus, dominant_topic, topic_distribution, representative_words, x, y, n_topics, n_chunks`.
+    * `doc_id, corpus, dominant_topic, topic_distribution, representative_words, x, y, n_topics, n_chunks, stage_timings_ms`.
     * `topics`: one row per topic —
     * `id, representative_words, representative_scores, size, total_size, chunk_count, x, y`. */
   final case class Output(
@@ -74,7 +93,9 @@ object TopicModeling {
       coalesce(col(textCol), lit("")).as("text"))
 
     // 1. chunking — distributed; the sizer resolves the executor-singleton
-    //    model (never serialized in the closure)
+    //    model (never serialized in the closure). Persisted and materialized
+    //    here so the UDF pass runs exactly once; every later stage reads the
+    //    cached rows.
     val modelId = cfg.modelId
     val chunkCfg = cfg.chunking
     val chunkUdf = udf { text: String =>
@@ -82,130 +103,147 @@ object TopicModeling {
         .chunkDocument(0L, text, chunkCfg, t => EmbedderRegistry.ensure(modelId).countTokens(t))
         .map(_.text)
     }
-    val chunks = timed("chunking") {
-      base
-        .select(col("doc_id"), col("corpus"), posexplode(chunkUdf(col("text"))).as(Seq("chunk_idx", "chunk_text")))
-    }
+    val chunks = base
+      .select(col("doc_id"), col("corpus"), posexplode(chunkUdf(col("text"))).as(Seq("chunk_idx", "chunk_text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      timed("chunking") { chunks.count() } // materialize the one chunking pass
 
-    // 2. embedding — mapPartitions batch engine
-    val embedded = graft.embed.Embedders.embed(chunks, "chunk_text", "emb", cfg.modelId)
+      // 2. embedding — mapPartitions batch engine over the cached chunks
+      val embedded = graft.embed.Embedders.embed(chunks, "chunk_text", "emb", cfg.modelId)
 
-    // 3. the global barrier: [n_chunks × dim] to the driver, ordered
-    val collected = timed("embedding") {
-      embedded
-        .select(col("doc_id"), col("chunk_idx"), col("emb"))
-        .orderBy("doc_id", "chunk_idx")
-        .as[(Long, Int, Seq[Float])]
-        .collect()
-    }
-    val nChunks = collected.length
-    val matrix = collected.map(_._3.toArray)
-
-    // 4. reduce + cluster (numeric guard identical to mod.rs:262-301)
-    val (labels, nTopics, topicCoords): (Array[Int], Int, Array[(Float, Float)]) =
-      if (nChunks == 0) (Array.empty, 0, Array.empty)
-      else if (nChunks < Reduce.MinPointsForReduction)
-        (Array.fill(nChunks)(0), 1, Array((0.0f, 0.0f)))
-      else {
-        val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
-        val result = timed("cluster") { Cluster.cluster(reduced, cfg.cluster) }
-        val twoD = timed("reduce_coordinates") { Reduce.reduce(matrix, 2, cfg.seed) }
-        val coords = timed("topic_coordinates") {
-          val sums = Array.fill(result.nTopics)((0.0, 0.0, 0))
-          twoD.zip(result.labels).foreach { case (pt, l) =>
-            if (l >= 0) sums(l) = (sums(l)._1 + pt(0), sums(l)._2 + pt(1), sums(l)._3 + 1)
-          }
-          sums.map { case (sx, sy, c) => if (c == 0) (0.0f, 0.0f) else ((sx / c).toFloat, (sy / c).toFloat) }
-        }
-        (result.labels, result.nTopics, coords)
-      }
-
-    // 5. labels re-join the distributed chunk frame by (doc_id, chunk_idx)
-    val labelRows = collected.zip(labels).map { case ((d, c, _), l) => (d, c, l) }.toSeq
-    val labelDf = labelRows.toDF("doc_id", "chunk_idx", "label")
-    val labeled = chunks.join(labelDf, Seq("doc_id", "chunk_idx"))
-
-    // 6. c-TF-IDF over non-outlier chunks, distributed
-    val termCounts = timed("ctfidf_count_terms") {
-      Ctfidf.countTopicTerms(
-        labeled.filter(col("label") >= 0),
-        "chunk_text",
-        col("label"),
-        cfg.vectorizerModel,
-        cfg.lowercase,
-        cfg.stopwords)
-    }
-    val keywords: Map[Int, Seq[(String, Double)]] = timed("ctfidf_scores") {
-      if (nTopics == 0) Map.empty
-      else
-        Ctfidf
-          .topTerms(termCounts, cfg.topK)
-          .as[(Int, Long, String, Double)]
+      // 3. the global barrier: [n_chunks × dim] to the driver, ordered
+      val collected = timed("embedding") {
+        embedded
+          .select(col("doc_id"), col("chunk_idx"), col("emb"))
+          .orderBy("doc_id", "chunk_idx")
+          .as[(Long, Int, Seq[Float])]
           .collect()
-          .groupBy(_._1)
-          .view
-          .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
-          .toMap
-    }
-
-    // 7. rollup — distributed
-    val dist = timed("rollup") { Rollup.rollup(labeled.select(col("doc_id"), col("label"))) }
-
-    val output = timed("assemble_topics") {
-      val chunkCounts = labels.filter(_ >= 0).groupBy(identity).view.mapValues(_.length).toMap
-      val corpusOf = base.select(col("doc_id"), col("corpus"))
-      val sizes = Rollup
-        .corpusTopicSizes(dist, corpusOf)
-        .as[(Int, Int, Double)]
-        .collect()
-      val nCorpora = math.max(1, corpusOf.agg(max("corpus")).as[Int].head() + 1)
-      val sizeMap = sizes.map { case (corpus, topic, s) => (corpus, topic) -> s.toFloat }.toMap
-
-      val topicRows = (0 until nTopics).map { t =>
-        val kw = keywords.getOrElse(t, Seq.empty)
-        val size = (0 until nCorpora).map(c => sizeMap.getOrElse((c, t), 0.0f))
-        val (x, y) = if (t < topicCoords.length) topicCoords(t) else (0.0f, 0.0f)
-        Row(t, kw.map(_._1), kw.map(_._2.toFloat), size, size.sum, chunkCounts.getOrElse(t, 0), x, y)
       }
-      val topicSchema = StructType(Seq(
-        StructField("id", IntegerType),
-        StructField("representative_words", ArrayType(StringType)),
-        StructField("representative_scores", ArrayType(FloatType)),
-        StructField("size", ArrayType(FloatType)),
-        StructField("total_size", FloatType),
-        StructField("chunk_count", IntegerType),
-        StructField("x", FloatType),
-        StructField("y", FloatType)))
-      val topicsDf = spark.createDataFrame(spark.sparkContext.parallelize(topicRows, 1), topicSchema)
+      val nChunks = collected.length
+      val matrix = collected.map(_._3.toArray)
 
-      val distAgg = dist
-        .groupBy(col("doc_id"), col("dominant_topic"))
-        .agg(sort_array(collect_list(struct(col("topic_id"), col("proportion")))).as("topic_distribution"))
-      val topicMeta = broadcast(
-        topicsDf.select(
-          col("id").as("dominant_topic"),
-          col("representative_words").as("topic_words"),
-          col("x").as("topic_x"),
-          col("y").as("topic_y")))
-      val documents = base
-        .select(col("doc_id"), col("corpus"))
-        .join(distAgg, Seq("doc_id"), "left")
-        .join(topicMeta, Seq("dominant_topic"), "left")
-        .select(
-          col("doc_id"),
-          col("corpus"),
-          coalesce(col("dominant_topic"), lit(Rollup.OutlierLabel)).as("dominant_topic"),
-          coalesce(col("topic_distribution"), array().cast("array<struct<topic_id:int,proportion:double>>"))
-            .as("topic_distribution"),
-          coalesce(col("topic_words"), array().cast("array<string>")).as("representative_words"),
-          coalesce(col("topic_x"), lit(0.0f)).as("x"),
-          coalesce(col("topic_y"), lit(0.0f)).as("y"),
-          lit(nTopics).as("n_topics"),
-          lit(nChunks.toLong).as("n_chunks"))
-      (topicsDf, documents)
+      // 4. reduce + cluster (numeric guard identical to mod.rs:262-301)
+      val (labels, nTopics, topicCoords): (Array[Int], Int, Array[(Float, Float)]) =
+        if (nChunks == 0) (Array.empty, 0, Array.empty)
+        else if (nChunks < Reduce.MinPointsForReduction)
+          (Array.fill(nChunks)(0), 1, Array((0.0f, 0.0f)))
+        else {
+          val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
+          val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
+          val twoD = timed("reduce_coordinates") { Reduce.reduce(matrix, 2, cfg.seed) }
+          val coords = timed("topic_coordinates") {
+            val sums = Array.fill(result.nTopics)((0.0, 0.0, 0))
+            twoD.zip(result.labels).foreach { case (pt, l) =>
+              if (l >= 0) sums(l) = (sums(l)._1 + pt(0), sums(l)._2 + pt(1), sums(l)._3 + 1)
+            }
+            sums.map { case (sx, sy, c) => if (c == 0) (0.0f, 0.0f) else ((sx / c).toFloat, (sy / c).toFloat) }
+          }
+          (result.labels, result.nTopics, coords)
+        }
+
+      // 5. labels re-join the cached chunk frame by (doc_id, chunk_idx) —
+      //    only for c-TF-IDF, which needs the chunk texts; the rollup and
+      //    assembly stages below run off `labelDf` alone (driver triples),
+      //    so no later action re-derives the chunk subtree.
+      val labelRows = collected.zip(labels).map { case ((d, c, _), l) => (d, c, l) }.toSeq
+      val labelDf = labelRows.toDF("doc_id", "chunk_idx", "label")
+      val labeled = chunks.join(labelDf, Seq("doc_id", "chunk_idx"))
+
+      // 6. c-TF-IDF over non-outlier chunks, distributed
+      val termCounts = timed("ctfidf_count_terms") {
+        Ctfidf.countTopicTerms(
+          labeled.filter(col("label") >= 0),
+          "chunk_text",
+          col("label"),
+          cfg.vectorizerModel,
+          cfg.lowercase,
+          cfg.stopwords)
+      }
+      val keywords: Map[Int, Seq[(String, Double)]] = timed("ctfidf_scores") {
+        if (nTopics == 0) Map.empty
+        else
+          Ctfidf
+            .topTerms(termCounts, cfg.topK)
+            .as[(Int, Long, String, Double)]
+            .collect()
+            .groupBy(_._1)
+            .view
+            .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+            .toMap
+      }
+
+      // 7. rollup — distributed, over the label triples (chunk-free plan)
+      val dist = timed("rollup") { Rollup.rollup(labelDf.select(col("doc_id"), col("label"))) }
+
+      val output = timed("assemble_topics") {
+        val chunkCounts = labels.filter(_ >= 0).groupBy(identity).view.mapValues(_.length).toMap
+        val corpusOf = base.select(col("doc_id"), col("corpus"))
+        val sizes = Rollup
+          .corpusTopicSizes(dist, corpusOf)
+          .as[(Int, Int, Double)]
+          .collect()
+        // empty input → max() is null; coalesce to -1 so nCorpora degrades to 1
+        val maxCorpus = corpusOf.agg(coalesce(max(col("corpus")), lit(-1))).as[Int].head()
+        val nCorpora = math.max(1, maxCorpus + 1)
+        val sizeMap = sizes.map { case (corpus, topic, s) => (corpus, topic) -> s.toFloat }.toMap
+
+        val topicRows = (0 until nTopics).map { t =>
+          val kw = keywords.getOrElse(t, Seq.empty)
+          val size = (0 until nCorpora).map(c => sizeMap.getOrElse((c, t), 0.0f))
+          val (x, y) = if (t < topicCoords.length) topicCoords(t) else (0.0f, 0.0f)
+          Row(t, kw.map(_._1), kw.map(_._2.toFloat), size, size.sum, chunkCounts.getOrElse(t, 0), x, y)
+        }
+        val topicSchema = StructType(Seq(
+          StructField("id", IntegerType),
+          StructField("representative_words", ArrayType(StringType)),
+          StructField("representative_scores", ArrayType(FloatType)),
+          StructField("size", ArrayType(FloatType)),
+          StructField("total_size", FloatType),
+          StructField("chunk_count", IntegerType),
+          StructField("x", FloatType),
+          StructField("y", FloatType)))
+        val topicsDf = spark.createDataFrame(spark.sparkContext.parallelize(topicRows, 1), topicSchema)
+
+        val distAgg = dist
+          .groupBy(col("doc_id"), col("dominant_topic"))
+          .agg(sort_array(collect_list(struct(col("topic_id"), col("proportion")))).as("topic_distribution"))
+        val topicMeta = broadcast(
+          topicsDf.select(
+            col("id").as("dominant_topic"),
+            col("representative_words").as("topic_words"),
+            col("x").as("topic_x"),
+            col("y").as("topic_y")))
+        val documents = base
+          .select(col("doc_id"), col("corpus"))
+          .join(distAgg, Seq("doc_id"), "left")
+          .join(topicMeta, Seq("dominant_topic"), "left")
+          .select(
+            col("doc_id"),
+            col("corpus"),
+            coalesce(col("dominant_topic"), lit(Rollup.OutlierLabel)).as("dominant_topic"),
+            coalesce(col("topic_distribution"), array().cast("array<struct<topic_id:int,proportion:double>>"))
+              .as("topic_distribution"),
+            coalesce(col("topic_words"), array().cast("array<string>")).as("representative_words"),
+            coalesce(col("topic_x"), lit(0.0f)).as("x"),
+            coalesce(col("topic_y"), lit(0.0f)).as("y"),
+            lit(nTopics).as("n_topics"),
+            lit(nChunks.toLong).as("n_chunks"))
+        (topicsDf, documents)
+      }
+      timings += "total" -> (System.nanoTime() - totalStart) / 1e6
+
+      // Replicate the run-level timing list onto every output row, exactly
+      // like the reference (`plugin.rs:242-280`): a constant literal — zero
+      // per-row cost, full schema parity.
+      val allTimings = timings.toSeq
+      val documentsWithTimings = output._2.withColumn(
+        "stage_timings_ms",
+        typedLit(allTimings.map { case (s, e) => StageTiming(s, e) }))
+
+      Output(documentsWithTimings, output._1, nChunks.toLong, nTopics, allTimings)
+    } finally {
+      chunks.unpersist()
     }
-    timings += "total" -> (System.nanoTime() - totalStart) / 1e6
-
-    Output(output._2, output._1, nChunks.toLong, nTopics, timings.toSeq)
   }
 }

@@ -67,6 +67,20 @@ class TextCacheSpec extends SparkSpec {
     assert(TypedCaches.tokenizeParamsHash(true, true) != TypedCaches.tokenizeParamsHash(true, false))
   }
 
+  test("miss computation evaluates exactly once per distinct text (r3 double-compute fix)") {
+    val dir = Files.createTempDirectory("graft-cache4").toString + "/cache"
+    val cache = new TextCache(spark, dir)
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+    val evals = spark.sparkContext.longAccumulator("compute-evals")
+    val counting = udf { (t: String) => evals.add(1); t.toUpperCase }
+    cache.withCachedColumn(df, "text", "onceKey", "v") { misses =>
+      misses.select(col("content_hash"), counting(col("text")).as("v"))
+    }.collect()
+    // 2 distinct texts, each computed once — an isEmpty pre-action or a
+    // re-executed write would double this
+    assert(evals.value == 2L, s"compute ran ${evals.value} times for 2 distinct misses")
+  }
+
   test("cache keys are isolated: different key recomputes") {
     val dir = Files.createTempDirectory("graft-cache2").toString + "/cache"
     val cache = new TextCache(spark, dir)

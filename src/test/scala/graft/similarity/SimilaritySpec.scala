@@ -83,6 +83,57 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("local top-k prune is lossless, including boundary ties across partitions") {
+    // duplicate embeddings force exact sim ties; many partitions force the
+    // prune to run per-slice — the pruned result must equal the unpruned
+    // window ranking exactly
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(8)(unit(Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val vecs = (0L until 120L).map(i => (i, base((i % 8).toInt))) // 15 copies of each
+    val df = vecs.toDF("vec_id", "embedding").repartition(10)
+    val queries = df.filter($"vec_id" < 4)
+
+    val pruned = Similarity.bruteForceTopK(queries, df, k = 7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // reference: same ranking without the mapPartitions prune
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec")))
+    val scored = df.select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
+      .crossJoin(q)
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("sim", Similarity.cosine($"q_vec", $"c_vec"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id")
+    val unpruned = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 7)
+      .select($"query_id", $"neighbor_id", $"rank", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    assert(pruned == unpruned)
+  }
+
+  test("ivf sample is unbiased on a cluster-sorted corpus (quantizer sees all cells)") {
+    // storage order == cluster order (the pathological case for a limit()
+    // sample: the first partitions hold only one cluster); queries come
+    // from the LAST cluster, which a prefix sample would never train on
+    val rnd = new scala.util.Random(29)
+    val cs = Array.fill(6, 16)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 600L).map { i =>
+      val c = cs((i / 100).toInt) // sequential blocks, not interleaved
+      (i, unit(c.zip(Array.fill(16)(rnd.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b }))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartitionByRange(6, $"vec_id")
+    val queries = df.filter($"vec_id" >= 590)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity
+      .ivfTopK(queries, df, k = 5, nCells = 12, nProbe = 3, sampleSize = 150)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall — quantizer sample missed the tail clusters")
+  }
+
   test("cosine handles empty and mismatched arrays as null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),

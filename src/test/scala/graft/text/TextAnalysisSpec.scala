@@ -69,4 +69,18 @@ class TextAnalysisSpec extends SparkSpec {
     val fp = Seq("Ab").toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].head()
     assert(fp == 3105L)
   }
+
+  test("fingerprint hashes Unicode CODE POINTS, not UTF-8 bytes (off-ASCII contract)") {
+    def poly(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31 + cp) % 1000000007L)
+      h
+    }
+    // é stays through clean_text (Unicode letter); 𝔘 is a surrogate pair
+    // that must hash as ONE code point (U+1D518)
+    val texts = Seq("héllo wörld", "café", "a𝔘b")
+    val expected = texts.map(t => poly(t.toLowerCase(java.util.Locale.ROOT)))
+    val got = texts.toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
 }

@@ -44,6 +44,36 @@ class WordPieceSpec extends AnyFunSuite {
     assert(dropped.map(_.token) == Vector("token", "fast"))
   }
 
+  test("in-repo vocab fixture: every corpus word decomposes as the oracle's mapping") {
+    // The same hand-derived mapping that q_tokenize_wordpiece's DuckDB
+    // oracle encodes as a CASE — greedy longest-match on the fixture vocab
+    // must reproduce it exactly (token, relStart, relEnd in code points).
+    val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
+    assert(in != null, "fixture missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val fixture = try WordPieceTokenizer.fromVocabText(src.getLines()) finally src.close()
+
+    val decomposed = Map(
+      "column" -> Vector(("col", 0L, 3L), ("##umn", 3L, 6L)),
+      "customer" -> Vector(("custom", 0L, 6L), ("##er", 6L, 8L)),
+      "spark" -> Vector(("sp", 0L, 2L), ("##ark", 2L, 5L)),
+      "stream" -> Vector(("str", 0L, 3L), ("##eam", 3L, 6L)),
+      "vector" -> Vector(("vec", 0L, 3L), ("##tor", 3L, 6L)),
+      "window" -> Vector(("win", 0L, 3L), ("##dow", 3L, 6L)))
+    val whole = Seq("a", "agg", "batch", "big", "data", "dup", "fast", "filter",
+      "group", "hash", "join", "key", "line", "merge", "order", "part", "query",
+      "row", "scan", "slow", "small", "sort", "table", "the", "value")
+
+    whole.foreach { w =>
+      val got = fixture.tokenize(w, lowercase = true, removePunct = true)
+      assert(got.map(t => (t.token, t.start, t.end)) == Vector((w, 0L, w.length.toLong)), s"word $w → $got")
+    }
+    decomposed.foreach { case (w, expect) =>
+      val got = fixture.tokenize(w, lowercase = true, removePunct = true)
+      assert(got.map(t => (t.token, t.start, t.end)) == expect, s"word $w → $got")
+    }
+  }
+
   test("over-long words collapse to UNK") {
     val tiny = new WordPieceTokenizer(vocab, maxInputCharsPerWord = 3)
     assert(tiny.wordPieces("fast") == Vector(("[UNK]", 0L, 4L)))

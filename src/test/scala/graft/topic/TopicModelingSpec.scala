@@ -110,11 +110,32 @@ class TopicModelingSpec extends SparkSpec {
     // soft sizes: 2 corpora, each topic split across both (docs alternate corpus)
     assert(topics.forall(_.getAs[scala.collection.Seq[Float]]("size").length == 2))
 
-    // stage timing keys mirror the reference's names
-    val stages = out.stageTimings.map(_._1)
-    assert(Seq("embedder_load", "chunking", "embedding", "reduce_clustering",
-      "cluster", "reduce_coordinates", "topic_coordinates", "ctfidf_count_terms",
-      "ctfidf_scores", "rollup", "assemble_topics", "total").forall(stages.contains))
+    // the 12 reference stage-timing keys (mod.rs:223-390), in order
+    val referenceKeys = Seq("embedder_load", "chunking", "embedding", "reduce_clustering",
+      "hdbscan", "reduce_coordinates", "topic_coordinates", "ctfidf_count_terms",
+      "ctfidf_scores", "rollup", "assemble_topics", "total")
+    assert(out.stageTimings.map(_._1) == referenceKeys)
+
+    // ...and the same list is replicated onto every output row, like the
+    // reference's stage_timings_ms column (plugin.rs:242-280)
+    documents.foreach { r =>
+      val perRow = r.getAs[scala.collection.Seq[Row]]("stage_timings_ms").map(_.getString(0))
+      assert(perRow == referenceKeys, s"per-row stage keys: $perRow")
+    }
+
+    // plan-shape contract: the returned lazy `documents` plan must not
+    // contain the chunking subtree (posexplode over the chunk UDF) — all
+    // chunk-derived stages were materialized once during run()
+    val planStr = out.documents.queryExecution.optimizedPlan.toString
+    assert(!planStr.toLowerCase.contains("posexplode"), s"chunking subtree leaked into final plan:\n$planStr")
+  }
+
+  test("empty input yields empty output instead of crashing (max-corpus guard)") {
+    val docs = Seq.empty[(Long, Int, String)].toDF("doc_id", "corpus", "text")
+    val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"))
+    assert(out.nChunks == 0L && out.nTopics == 0)
+    assert(out.documents.count() == 0)
+    assert(out.topics.count() == 0)
   }
 
   test("empty and whitespace docs get dominant -1 and empty payload") {
@@ -139,8 +160,9 @@ class TopicModelingSpec extends SparkSpec {
     val cfg = TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4))
     val a = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
     val b = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
-    assert(a.documents.orderBy("doc_id").collect().toSeq ==
-      b.documents.orderBy("doc_id").collect().toSeq)
+    // stage_timings_ms carries wall-clock values — excluded from equality
+    assert(a.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq ==
+      b.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq)
     assert(a.topics.orderBy("id").collect().toSeq == b.topics.orderBy("id").collect().toSeq)
   }
 }

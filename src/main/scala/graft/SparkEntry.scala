@@ -119,6 +119,18 @@ object SparkEntry {
     // §2.4 #12 token_frequency_stats (flagship keyness)
     "q_keyness_en_rest" -> ((s, dir) => keyness(s, dir)),
 
+    // skew path: two-phase salted aggregation over the token stream (the
+    // stopword-heavy-hitter case) — must equal the direct groupBy exactly,
+    // which the plain-GROUP-BY oracle pins
+    "q_salted_token_counts" -> ((s, dir) =>
+      graft.util.Salting
+        .saltedCount(
+          tbl(s, dir, "documents")
+            .select(explode(Tokenize.tokenize(col("text"))).as("t")),
+          col("t.token"))
+        .select(col("key").as("token"), col("count").as("freq"))
+        .orderBy("token")),
+
     // §2.3 #10 concordance (KWIC): explode + unnest, mirroring the
     // reference's `.list.explode().struct.unnest()` consumption pattern
     "q_concordance" -> ((s, dir) =>
@@ -361,6 +373,10 @@ SELECT doc_id, struct_extract(pc, 'p') AS token,
 FROM pieces ORDER BY doc_id, start_cp, token""",
 
     "q_token_freq" ->
+      s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",
+
+    // salted two-phase == direct GROUP BY (algebraic-aggregate identity)
+    "q_salted_token_counts" ->
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",
 
     "q_keyness_en_rest" -> keynessSql,

@@ -131,7 +131,15 @@ object TopicModeling {
         else {
           val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
           val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
-          val twoD = timed("reduce_coordinates") { Reduce.reduce(matrix, 2, cfg.seed) }
+          // PCA components are computed sequentially with deflation from a
+          // per-component RNG stream, so the first two columns of the k-dim
+          // reduction ARE the 2-dim reduction — slice instead of re-running
+          // the power iteration (halves the driver-side PCA cost; bitwise
+          // identical to Reduce.reduce(matrix, 2, seed))
+          val twoD = timed("reduce_coordinates") {
+            if (cfg.reduceDims >= 2) reduced.map(r => Array(r(0), r(1)))
+            else Reduce.reduce(matrix, 2, cfg.seed)
+          }
           val coords = timed("topic_coordinates") {
             val sums = Array.fill(result.nTopics)((0.0, 0.0, 0))
             twoD.zip(result.labels).foreach { case (pt, l) =>

@@ -35,6 +35,17 @@ class ReduceClusterSpec extends AnyFunSuite {
     assert(d > 1.0, s"separation $d")
   }
 
+  test("components are nested: reduce(m,2) equals the first 2 cols of reduce(m,5)") {
+    // guards the orchestrator's coordinate-slice optimization: each
+    // component consumes its own RNG draw + deflation against earlier ones,
+    // so truncation and re-computation must agree bitwise
+    val rnd = new scala.util.Random(19)
+    val pts = Array.fill(30)(Array.fill(12)(rnd.nextGaussian().toFloat))
+    val five = Reduce.reduce(pts, 5, seed = 3L)
+    val two = Reduce.reduce(pts, 2, seed = 3L)
+    assert(five.map(r => Seq(r(0), r(1))).toSeq == two.map(_.toSeq).toSeq)
+  }
+
   test("cluster separates two blobs and marks the lone outlier") {
     val points =
       Array.tabulate(10)(i => Array(i * 0.01f, 0.0f)) ++

@@ -148,6 +148,24 @@ object SparkEntry {
         .select(col("doc_id"), col("content_hash"), col("dup_rank"), col("n_copies"))
         .orderBy("doc_id")),
 
+    // LLM-pipeline: per-doc MinHash signatures (universal hash family over
+    // FNV shingles, mod 2^61-1) — deterministic for the fixed seed, so the
+    // oracle recomputes them from the same (a,b) constants
+    "q_minhash_sig" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .minHashSignatures(tbl(s, dir, "documents"), "text", "doc_id",
+          numHashes = 32, shingleSize = 3, seed = 42L)
+        .select(col("id").as("doc_id"), posexplode(col("signature")).as(Seq("h", "min_hash")))
+        .withColumn("h", col("h").cast("long"))
+        .orderBy("doc_id", "h")),
+
+    // LLM-pipeline: per-doc 64-bit SimHash (FNV token hashes, bit votes)
+    "q_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .simHashes(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")),
+
     // LLM-pipeline: exact token-set Jaccard over bucketed candidate pairs
     // (bucket = lang|source here; an LSH band at scale — never all-pairs)
     "q_jaccard_pairs" -> ((s, dir) =>
@@ -262,6 +280,67 @@ object SparkEntry {
       "regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'), " +
       "s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token " +
       "FROM documents"
+
+  /** FNV-1a 64 over the characters of `expr` as DuckDB HUGEINT arithmetic
+    * with wrap-around mod 2^64. The xor only needs the low 7 bits on an
+    * ASCII corpus (compare_oracle guards that), so it runs on BIGINT. */
+  private def fnvSql(expr: String): String =
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(regexp_split_to_array($expr, ''), ch -> CAST(unicode(ch) AS HUGEINT))), " +
+      "(h, c) -> ((h - (h % 128) + xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT))) " +
+      "* 1099511628211) % 18446744073709551616)"
+
+  /** MinHash oracle: the seeded (a,b) constants are inlined from the same
+    * Scala source as the engine (the lang-id-oracle pattern — config is
+    * shared, computation independently re-derived by DuckDB: shingling,
+    * FNV, and the mod-2^61-1 hash family all recomputed in SQL). */
+  private def minHashSql: String = {
+    val vals = graft.dedup.Dedup.minHashParams(32, 42L)
+      .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH params(h, a, b) AS (VALUES $vals),
+t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' '))
+    END) AS gram
+  FROM t),
+sh AS (SELECT doc_id, ${fnvSql("gram")} AS fnv FROM g),
+m AS (
+  SELECT doc_id AS m_doc, p.h AS m_h,
+    min((CAST(p.a AS HUGEINT) * (fnv % 2305843009213693951) + CAST(p.b AS HUGEINT)) % 2305843009213693951) AS mh
+  FROM sh CROSS JOIN params p GROUP BY 1, 2)
+SELECT d.doc_id, CAST(p.h AS BIGINT) AS h,
+  CAST(coalesce(m.mh, 9223372036854775807) AS BIGINT) AS min_hash
+FROM documents d CROSS JOIN params p
+LEFT JOIN m ON m.m_doc = d.doc_id AND m.m_h = p.h
+ORDER BY doc_id, h"""
+  }
+
+  private def simHashSql: String =
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                        s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token
+  FROM documents),
+th AS (SELECT doc_id, ${fnvSql("token")} AS fnv FROM tok),
+bits AS (
+  SELECT doc_id AS b_doc, b.b AS bit,
+    sum(CASE WHEN (fnv >> CAST(b.b AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY 1, 2),
+fp AS (
+  SELECT b_doc, sum(CASE WHEN acc > 0 THEN (CAST(1 AS HUGEINT) << CAST(bit AS HUGEINT)) ELSE 0 END) AS ufp
+  FROM bits GROUP BY 1)
+SELECT d.doc_id,
+  CAST(CASE WHEN ufp IS NULL THEN 0
+            WHEN ufp >= 9223372036854775808 THEN ufp - 18446744073709551616
+            ELSE ufp END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp ON fp.b_doc = d.doc_id
+ORDER BY doc_id"""
 
   private val keynessSql: String = {
     s"""WITH tok AS ($tokSql),
@@ -412,6 +491,10 @@ FROM ctx ORDER BY doc_id, start_idx""",
   CAST(row_number() OVER (PARTITION BY sha256(coalesce(text, '')) ORDER BY doc_id) AS BIGINT) AS dup_rank,
   CAST(count(*) OVER (PARTITION BY sha256(coalesce(text, ''))) AS BIGINT) AS n_copies
 FROM documents ORDER BY doc_id""",
+
+    "q_minhash_sig" -> minHashSql,
+
+    "q_simhash" -> simHashSql,
 
     "q_jaccard_pairs" ->
       s"""WITH tok AS (

@@ -103,6 +103,13 @@ object Dedup {
       }
     })
 
+  /** The seeded `(a_i, b_i)` pairs of the universal hash family, exposed so
+    * an external checker (the DuckDB oracle) can recompute signatures from
+    * the same constants — the config is shared, the computation is
+    * independently re-derived. */
+  def minHashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] =
+    hashParams(numHashes, seed).toSeq
+
   private[dedup] def minHashSignature(
       text: String,
       numHashes: Int,

@@ -112,16 +112,18 @@ object TopicModeling {
       // 2. embedding — mapPartitions batch engine over the cached chunks
       val embedded = graft.embed.Embedders.embed(chunks, "chunk_text", "emb", cfg.modelId)
 
-      // 3. the global barrier: [n_chunks × dim] to the driver, ordered
+      // 3. the global barrier: [n_chunks × dim] to the driver, ordered.
+      //    The corpus id rides along (4 bytes/chunk) so the assembly stage
+      //    never has to re-scan the input frame for doc→corpus pairs.
       val collected = timed("embedding") {
         embedded
-          .select(col("doc_id"), col("chunk_idx"), col("emb"))
+          .select(col("doc_id"), col("corpus"), col("chunk_idx"), col("emb"))
           .orderBy("doc_id", "chunk_idx")
-          .as[(Long, Int, Seq[Float])]
+          .as[(Long, Int, Int, Seq[Float])]
           .collect()
       }
       val nChunks = collected.length
-      val matrix = collected.map(_._3.toArray)
+      val matrix = collected.map(_._4.toArray)
 
       // 4. reduce + cluster (numeric guard identical to mod.rs:262-301)
       val (labels, nTopics, topicCoords): (Array[Int], Int, Array[(Float, Float)]) =
@@ -154,7 +156,7 @@ object TopicModeling {
       //    only for c-TF-IDF, which needs the chunk texts; the rollup and
       //    assembly stages below run off `labelDf` alone (driver triples),
       //    so no later action re-derives the chunk subtree.
-      val labelRows = collected.zip(labels).map { case ((d, c, _), l) => (d, c, l) }.toSeq
+      val labelRows = collected.zip(labels).map { case ((d, _, c, _), l) => (d, c, l) }.toSeq
       val labelDf = labelRows.toDF("doc_id", "chunk_idx", "label")
       val labeled = chunks.join(labelDf, Seq("doc_id", "chunk_idx"))
 
@@ -186,13 +188,22 @@ object TopicModeling {
 
       val output = timed("assemble_topics") {
         val chunkCounts = labels.filter(_ >= 0).groupBy(identity).view.mapValues(_.length).toMap
-        val corpusOf = base.select(col("doc_id"), col("corpus"))
+        // doc → corpus from the barrier rows (LocalRelation): the soft-size
+        // aggregation only concerns documents WITH chunks, so no action here
+        // re-derives the input frame
+        val corpusOf = collected.map(t => (t._1, t._2)).distinct.toSeq.toDF("doc_id", "corpus")
         val sizes = Rollup
           .corpusTopicSizes(dist, corpusOf)
           .as[(Int, Int, Double)]
           .collect()
-        // empty input → max() is null; coalesce to -1 so nCorpora degrades to 1
-        val maxCorpus = corpusOf.agg(coalesce(max(col("corpus")), lit(-1))).as[Int].head()
+        val maxCorpus = corpusCol match {
+          // no corpus column → corpus is lit(0) for every doc, statically
+          case None => 0
+          // chunkless docs can still carry the max corpus id, so this one
+          // scans the input frame (the only corpus-sized action in assembly)
+          // — empty input → max() null, coalesced to -1 so nCorpora is 1
+          case Some(_) => base.agg(coalesce(max(col("corpus")), lit(-1))).as[Int].head()
+        }
         val nCorpora = math.max(1, maxCorpus + 1)
         val sizeMap = sizes.map { case (corpus, topic, s) => (corpus, topic) -> s.toFloat }.toMap
 

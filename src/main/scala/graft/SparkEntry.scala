@@ -189,6 +189,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // topic §2.6 #15 chunking: on this corpus (one paragraph, no sentence
+    // terminators, 1 token/word) the greedy packer provably degenerates to
+    // exact maxTokens-word blocks with no overlap carry (a full unit never
+    // fits under the cap with anything else), so the word-packing path is
+    // SQL-recomputable; the paragraph/sentence recursion is spec-tested
+    "q_chunking" -> ((s, dir) => {
+      val chunkTexts = udf { text: String =>
+        graft.topic.Chunking
+          .chunkDocument(0L, text, graft.topic.Chunking.Config(maxTokens = 16, overlap = 4))
+          .map(_.text)
+      }
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(chunkTexts(col("text"))).as(Seq("chunk_idx", "chunk_text")))
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // topic §2.6 #19 c-TF-IDF: topics injected as the lang column — the
     // distributed scoring algebra is what's under test
     "q_ctfidf_topk" -> ((s, dir) => {
@@ -530,6 +547,17 @@ ORDER BY id_a, id_b""",
   FROM embeddings q CROSS JOIN embeddings c
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
 WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q_chunking" ->
+      """WITH t AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), s -> s <> '') AS w
+  FROM documents),
+c AS (
+  SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / 16.0) AS INT))) AS chunk_idx
+  FROM t)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_to_string(w[chunk_idx * 16 + 1 : least((chunk_idx + 1) * 16, len(w))], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx""",
 
     "q_ctfidf_topk" ->
       s"""WITH tok AS ($tokSql),

@@ -289,28 +289,37 @@ object Dedup {
   // ------------------------------------------------------------- jaccard
 
   /** Exact token-set Jaccard over candidate pairs restricted to a bucket
-    * key (LSH band at scale; any blocking column for small corpora): the
-    * pair space is generated by a (bucket, token)-keyed self-join, never
-    * all-pairs. Output: `id_a, id_b, jaccard`. */
+    * key (LSH band at scale; any blocking column for small corpora): pairs
+    * are generated within `(bucket, token)` posting lists, never all-pairs.
+    * Output: `id_a, id_b, jaccard`.
+    *
+    * Plan shape: ONE corpus scan + tokenize. A self-join formulation
+    * re-derives the token subtree on both sides (Spark does not reuse the
+    * identical exchanges, measured r4), so instead each `(bucket, token)`
+    * key aggregates its member list (doc id + token-set size, which rides
+    * a pre-agg window) and pairs are exploded *within the row* — no join,
+    * no second scan. Per-row memory is bounded by the posting-list length,
+    * i.e. the bucket size — the same bound the join's matching phase has,
+    * and the documented contract (bucket = LSH band at scale). */
   def jaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       bucket: Column,
       threshold: Double = 0.0): DataFrame = {
-    // Each doc's token-set size rides along as a window over the token
-    // table BEFORE the self-join, so the tokenize subtree is built twice
-    // (the two join sides — inherent to a self-join) instead of three
-    // times (a separate sizes aggregation would re-derive it again).
     val toks = df
       .select(col(idCol).as("id"), bucket.as("bucket"),
         explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
       .select(col("id"), col("bucket"), col("t.token").as("token"))
       .distinct()
       .withColumn("n_tokens", count(lit(1)).over(Window.partitionBy(col("id"))))
-    val a = toks.as("a")
-    val b = toks.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+    val byToken = toks
+      .groupBy(col("bucket"), col("token"))
+      .agg(collect_list(struct(col("id"), col("n_tokens"))).as("members"))
+    byToken
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"), first(col("a.n_tokens")).as("n_a"), first(col("b.n_tokens")).as("n_b"))
       .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))

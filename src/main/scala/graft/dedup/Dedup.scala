@@ -162,8 +162,12 @@ object Dedup {
   }
 
   /** LSH banding: explode each signature into `bands` band-hashes, shuffle
-    * on `(band, band_hash)`, and emit candidate pairs that share a bucket.
-    * The only join is bucket-keyed; no all-pairs comparison ever happens. */
+    * on `(band, band_hash)`, and emit candidate pairs from within each
+    * bucket's member list — one pass over the signatures, no self-join
+    * (Spark does not reuse a self-join's identical exchanges, so the join
+    * formulation would compute the signatures twice). Per-row memory is
+    * bounded by bucket size, the quantity LSH keeps small by design. No
+    * all-pairs comparison ever happens. */
   def lshCandidatePairs(signatures: DataFrame, bands: Int = 32): DataFrame = {
     val bandHash = udf { (sig: Seq[Long], nBands: Int) =>
       val rows = math.max(1, sig.length / nBands)
@@ -175,10 +179,12 @@ object Dedup {
     val buckets = signatures
       .select(col("id"), explode(bandHash(col("signature"), lit(bands))).as("bh"))
       .select(col("id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("members"))
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 
@@ -240,7 +246,9 @@ object Dedup {
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxDistance` (≤ 3 for
     * the 4-block pigeonhole to be exhaustive): candidates share one 16-bit
-    * block (bucket-keyed shuffle), verified by exact popcount. */
+    * block, generated from within each block-bucket's member list (one
+    * pass over the fingerprints — the self-join formulation would compute
+    * the SimHash UDF over the corpus twice), verified by exact popcount. */
   def simHashNearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -253,9 +261,12 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("block"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.block").as("block"), col("bk.key").as("key"))
-    val a = blocks.as("a")
-    val b = blocks.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+    blocks
+      .groupBy(col("block"), col("key"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
@@ -267,9 +278,10 @@ object Dedup {
   // ---------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
-    * bucket tables (never all-pairs), verified by exact cosine ≥
-    * `threshold`. Output: `id_a, id_b, sim`. The embedding column is
-    * `Array[Float]` (e.g. from `graft.embed.Embedders.embed`). */
+    * bucket member lists (one pass over the corpus, never all-pairs),
+    * verified by exact cosine ≥ `threshold`. Output: `id_a, id_b, sim`.
+    * The embedding column is `Array[Float]` (e.g. from
+    * `graft.embed.Embedders.embed`). */
   def embeddingNearDuplicates(
       df: DataFrame,
       vecCol: String,
@@ -279,8 +291,7 @@ object Dedup {
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     val pairs = graft.similarity.Similarity
-      .lshCandidates(df, df, idCol, vecCol, tables, bits, seed)
-      .filter(col("query_id") < col("neighbor_id")) // dedup symmetric pairs
+      .lshSelfCandidates(df, idCol, vecCol, tables, bits, seed)
       .withColumn("sim", graft.similarity.Similarity.cosine(col("q_vec"), col("c_vec")))
       .filter(col("sim") >= threshold)
     pairs.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("sim"))

@@ -165,6 +165,37 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  /** Self-candidate pairs of one corpus from L sign-LSH tables, generated
+    * from within each `(table, bucket)` member list in ONE pass (the
+    * two-sided [[lshCandidates]] with `queries eq corpus` would scan and
+    * re-bucketize the corpus twice — Spark does not reuse a self-join's
+    * identical exchanges). Output matches [[lshCandidates]] with
+    * `query_id < neighbor_id`. Per-row memory is bounded by bucket size ×
+    * vector dim; raise `bits` to shrink buckets at scale. */
+  def lshSelfCandidates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int,
+      bits: Int,
+      seed: Long): DataFrame = {
+    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("tb", explode(bucketize(col("vec"))))
+      .select(col("id"), col("vec"), col("tb._1").as("table"), col("tb._2").as("bucket"))
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("query_id"),
+        col("b.id").as("neighbor_id"),
+        col("a.vec").as("q_vec"),
+        col("b.vec").as("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** Approximate top-k: candidates from L sign-LSH tables (bucket-keyed
     * join), exact cosine re-rank within the candidate set. Same output
     * schema as [[bruteForceTopK]]; recall < 1 by design — raise `tables`

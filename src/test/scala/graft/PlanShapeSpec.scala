@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Regression guards for the plan shapes the 100 TB design depends on —
+  * these pin the *physical* properties (scan counts, join-free shapes,
+  * codegen'd expressions) that bench numbers alone would only catch as
+  * slow drift. Runs against the read-only sf0.001 fixture tables. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.count() // materialize so AQE settles on the final adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def count(plan: String, needle: String): Int =
+    needle.r.findAllIn(plan).length
+
+  test("keyness is one scan, no joins, totals inlined as literals") {
+    val plan = finalPlan(SparkEntry.queries("q_keyness_en_rest")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(!plan.contains("Join"), "keyness must not join — totals are literals")
+  }
+
+  test("jaccard pairs tokenize the corpus exactly once (posting-list shape)") {
+    val plan = finalPlan(SparkEntry.queries("q_jaccard_pairs")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(count(plan, "tokenize_plain_words") == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "pair generation must stay join-free")
+  }
+
+  test("tokenize runs as the native codegen expression, not a ScalaUDF") {
+    val plan = finalPlan(SparkEntry.queries("q_tokenize_tokens")(spark, dir))
+    assert(plan.contains("tokenize_plain_words"), plan)
+    assert(!plan.contains("ScalaUDF"), "plain tokenize must not fall back to a UDF")
+  }
+
+  test("simhash near-dups scan and fingerprint the corpus once") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = graft.dedup.Dedup.simHashNearDuplicates(docs, "text", "doc_id")
+    val plan = finalPlan(pairs)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+  }
+
+  test("filters push down to the parquet scan under derived text columns") {
+    import org.apache.spark.sql.functions._
+    val q = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), graft.text.TextFunctions.cleanText(col("text")).as("cleaned"))
+    val plan = finalPlan(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
+  }
+}

@@ -168,16 +168,21 @@ object Dedup {
     * formulation would compute the signatures twice). Per-row memory is
     * bounded by bucket size, the quantity LSH keeps small by design. No
     * all-pairs comparison ever happens. */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int = 32): DataFrame = {
-    val bandHash = udf { (sig: Seq[Long], nBands: Int) =>
-      val rows = math.max(1, sig.length / nBands)
+  /** `(band, band_hash)` keys for one signature column. */
+  private def bandHashes(sig: Column, bands: Int): Column = {
+    val f = udf { (s: Seq[Long], nBands: Int) =>
+      val rows = math.max(1, s.length / nBands)
       (0 until nBands).map { b =>
-        val slice = sig.slice(b * rows, (b + 1) * rows)
+        val slice = s.slice(b * rows, (b + 1) * rows)
         (b, fnv1a64(slice.mkString(",")))
       }
     }
+    f(sig, lit(bands))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, bands: Int = 32): DataFrame = {
     val buckets = signatures
-      .select(col("id"), explode(bandHash(col("signature"), lit(bands))).as("bh"))
+      .select(col("id"), explode(bandHashes(col("signature"), bands)).as("bh"))
       .select(col("id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
     buckets
       .groupBy(col("band"), col("bucket"))
@@ -190,7 +195,13 @@ object Dedup {
 
   /** Near-duplicate pairs with their estimated Jaccard similarity: LSH
     * candidates verified by signature agreement (fraction of equal MinHash
-    * components — an unbiased Jaccard estimator). */
+    * components — an unbiased Jaccard estimator).
+    *
+    * One pass over the corpus: signatures ride the band-bucket member
+    * lists, so candidate generation AND verification read a single
+    * signature computation (the candidates + two signature joins shape
+    * would run the MinHash UDF three times — identical exchanges are not
+    * reused). Per-row memory is bucket size × numHashes longs. */
   def nearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -201,14 +212,21 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L): DataFrame = {
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
-    val cands = lshCandidatePairs(sigs, bands)
     val est = udf { (x: Seq[Long], y: Seq[Long]) =>
       if (x.isEmpty || y.isEmpty) 0.0
       else x.zip(y).count { case (u, v) => u == v }.toDouble / x.length
     }
-    cands
-      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("signature", "sig_a"), "id_a")
-      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("signature", "sig_b"), "id_b")
+    sigs
+      .select(col("id"), col("signature"), explode(bandHashes(col("signature"), bands)).as("bh"))
+      .select(col("id"), col("signature"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("signature"))).as("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
       .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

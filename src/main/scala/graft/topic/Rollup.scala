@@ -24,31 +24,31 @@ object Rollup {
 
   /** Flattened per-(document, topic) distribution from a chunk frame with
     * columns `(docCol, labelCol)`. Output:
-    * `doc_id, topic_id, proportion, dominant_topic`. */
+    * `doc_id, topic_id, proportion, dominant_topic`.
+    *
+    * Single pass over the aggregated counts: the per-doc total and the
+    * dominant topic are both unordered-window aggregates over the same
+    * `doc_id` partition — `max` of a `(cnt, -topic_id)` struct picks the
+    * most-common non-outlier label with ties to the smaller id, so no
+    * second derivation of the counts subtree (a filter + row_number +
+    * join formulation would re-run the upstream chunk plan) and only one
+    * shuffle after the aggregation. */
   def rollup(chunks: DataFrame, docCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
     val counts = chunks
       .groupBy(col(docCol).as("doc_id"), col(labelCol).cast("int").as("topic_id"))
       .agg(count(lit(1)).as("cnt"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val withTotal = counts.withColumn("total", sum("cnt").over(byDoc))
-
-    // Dominant among non-outlier labels: highest count, tie → smaller id.
-    val domW = Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("topic_id").asc)
-    val dominant = counts
-      .filter(col("topic_id") =!= OutlierLabel)
-      .withColumn("rn", row_number().over(domW))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("topic_id").as("dominant_topic"))
-
-    withTotal
-      .join(dominant, Seq("doc_id"), "left")
+    val domStruct = max(
+      when(col("topic_id") =!= OutlierLabel,
+        struct(col("cnt"), (-col("topic_id")).as("neg_id")))).over(byDoc)
+    counts
+      .withColumn("total", sum("cnt").over(byDoc))
+      .withColumn("dom", domStruct)
       .select(
         col("doc_id"),
         col("topic_id"),
         (col("cnt").cast("double") / col("total")).as("proportion"),
-        coalesce(col("dominant_topic"), lit(OutlierLabel)).as("dominant_topic"))
+        coalesce(-col("dom.neg_id"), lit(OutlierLabel)).as("dominant_topic"))
   }
 
   /** Per-corpus, per-topic "soft sizes": sum of document proportions, with

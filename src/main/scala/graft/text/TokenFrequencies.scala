@@ -89,27 +89,24 @@ object TokenFrequencies {
     * factor BIC, effect size ELL, significance stars, percents, relative
     * risk, log ratio, odds ratio.
     *
-    * The corpus totals are collected (1 row, 2 longs) and inlined as
-    * literals, so the returned plan is a single pass over `counts` with no
-    * joins. The collect evaluates `counts` once eagerly; the caller's final
-    * action evaluates it again — for repeated use over an expensive source,
-    * cache upstream of this call. */
+    * Fully lazy, ONE pass over `counts`: the corpus totals are a global
+    * window aggregate over the counts table, which is vocabulary-sized —
+    * post-aggregation, never corpus-sized — so the single-partition
+    * exchange the empty window implies is bounded by |vocabulary| at any
+    * corpus scale. (The alternative — an eager 1-row collect inlined as
+    * literals — costs a full second evaluation of the counts subtree, a
+    * corpus scan when `counts` comes from [[conditionalTokenFrequencies]].) */
   def tokenFrequencyStatsFromCounts(counts: DataFrame): DataFrame = {
-    val Row(sum0, sum1) = counts
-      .agg(
-        sum("freq_corpus_0").cast("long"),
-        sum("freq_corpus_1").cast("long"))
-      .head()
-    def asLong(v: Any): Long = v match {
-      case null => 0L
-      case l: Long => l
-      case n: Number => n.longValue()
-    }
-    val t0 = lit(asLong(sum0)).cast("long")
-    val t1 = lit(asLong(sum1)).cast("long")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
 
     val f0 = col("freq_corpus_0")
     val f1 = col("freq_corpus_1")
+    // after the first two withColumns, every later use reads the computed
+    // columns so the plan carries ONE Window node, not one per reference
+    val t0 = col("corpus_0_total")
+    val t1 = col("corpus_1_total")
     val grand = col("grand_total")
     val eps = lit(1e-10)
 
@@ -120,8 +117,8 @@ object TokenFrequencies {
     val minExp = col("min_expected")
 
     counts
-      .withColumn("corpus_0_total", t0)
-      .withColumn("corpus_1_total", t1)
+      .withColumn("corpus_0_total", sum(f0).over(all).cast("long"))
+      .withColumn("corpus_1_total", sum(f1).over(all).cast("long"))
       .withColumn("grand_total", t0 + t1)
       .withColumn("total_freq", f0 + f1)
       .withColumn("expected_0", col("total_freq") * t0 / grand)

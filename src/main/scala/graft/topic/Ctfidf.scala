@@ -48,27 +48,26 @@ object Ctfidf {
     * table. Output: `topic, rank, token, score` (score descending,
     * alphabetical tie-break).
     *
-    * Plan shape: the per-topic word totals and corpus-wide term frequency
-    * are '''windows over the counts table''' rather than self-joins — a
+    * Plan shape: the per-topic word totals, corpus-wide term frequency,
+    * AND the `A` average are all '''windows over the counts table''' — a
     * join formulation makes Catalyst recompute the tokenize→explode→agg
-    * subtree once per join branch (3 corpus scans in one plan); windows
-    * reuse the single aggregated stream, so the corpus is tokenized once
-    * in the returned plan (plus once for the 1-row `avgWords` collect). */
+    * subtree once per join branch (3 corpus scans in one plan), and an
+    * eager 1-row collect for `A` would evaluate it a second time. Fully
+    * lazy: the corpus is tokenized exactly once; every window runs on the
+    * vocabulary-sized aggregated stream. */
   def topTerms(termCounts: DataFrame, topK: Int = 10): DataFrame = {
-    val Row(totalWords, nTopics) = termCounts
-      .agg(sum("cnt").cast("double"), countDistinct("topic").cast("double"))
-      .head()
-    val avgWords =
-      if (nTopics == null || nTopics.asInstanceOf[Double] == 0.0) 0.0
-      else totalWords.asInstanceOf[Double] / nTopics.asInstanceOf[Double]
-
+    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val scored = termCounts
+      .withColumn(
+        "avg_words",
+        sum(col("cnt")).over(all).cast("double") /
+          size(collect_set(col("topic")).over(all)).cast("double"))
       .withColumn("topic_words", sum("cnt").over(Window.partitionBy(col("topic"))))
       .withColumn("corpus_freq", sum("cnt").over(Window.partitionBy(col("token"))))
       .withColumn(
         "score",
         (col("cnt").cast("double") / col("topic_words")) *
-          log(lit(1.0) + lit(avgWords) / col("corpus_freq")))
+          log(lit(1.0) + col("avg_words") / col("corpus_freq")))
     val w = Window.partitionBy(col("topic")).orderBy(col("score").desc, col("token").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

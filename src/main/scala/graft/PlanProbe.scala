@@ -1,7 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Diagnostic: final adaptive plan of a named SparkEntry query. */
+/** Diagnostic: executed-plan shape of a named SparkEntry query. Prints the
+  * static counts and, after running the query, the counts from the
+  * adaptive FINAL plan section only (AdaptiveSparkPlan.toString renders
+  * both final and initial sections — counting the whole string double-
+  * counts every node). */
 object PlanProbe {
+  private def finalSection(plan: String): String = {
+    val i = plan.indexOf("== Final Plan ==")
+    val j = plan.indexOf("== Initial Plan ==")
+    if (i >= 0 && j > i) plan.substring(i, j) else plan
+  }
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_jaccard_pairs")
     val spark = SparkSession.builder().master("local[32]")
@@ -9,11 +18,15 @@ object PlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-    df.count()
-    val plan = df.queryExecution.executedPlan.toString
-    println("FINAL_REUSED=" + "ReusedExchange".r.findAllIn(plan).length)
-    println("FINAL_SCANS=" + "FileScan parquet".r.findAllIn(plan).length)
-    println("FINAL_TOKENIZE=" + "tokenize_plain_words".r.findAllIn(plan).length)
+    def report(tag: String, plan: String): Unit = {
+      println(s"${tag}_REUSED=" + "ReusedExchange".r.findAllIn(plan).length)
+      println(s"${tag}_SCANS=" + "FileScan parquet".r.findAllIn(plan).length)
+      println(s"${tag}_TOKENIZE=" + "tokenize_plain_words".r.findAllIn(plan).length)
+      println(s"${tag}_EXCHANGES=" + "Exchange ".r.findAllIn(plan).length)
+    }
+    report("STATIC", df.queryExecution.executedPlan.toString)
+    df.collect()
+    report("FINAL", finalSection(df.queryExecution.executedPlan.toString))
     spark.stop()
   }
 }

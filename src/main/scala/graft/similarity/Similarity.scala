@@ -166,12 +166,12 @@ object Similarity {
   }
 
   /** Self-candidate pairs of one corpus from L sign-LSH tables, generated
-    * from within each `(table, bucket)` member list in ONE pass (the
-    * two-sided [[lshCandidates]] with `queries eq corpus` would scan and
-    * re-bucketize the corpus twice — Spark does not reuse a self-join's
-    * identical exchanges). Output matches [[lshCandidates]] with
-    * `query_id < neighbor_id`. Per-row memory is bounded by bucket size ×
-    * vector dim; raise `bits` to shrink buckets at scale. */
+    * from within each `(table, bucket)` member list in ONE pass — no
+    * self-join, so no join machinery and no reliance on AQE happening to
+    * reuse the two sides' identical shuffle at runtime. Output matches
+    * [[lshCandidates]] with `query_id < neighbor_id`. Per-row memory is
+    * bounded by bucket size × vector dim; raise `bits` to shrink buckets
+    * at scale. */
   def lshSelfCandidates(
       corpus: DataFrame,
       idCol: String,

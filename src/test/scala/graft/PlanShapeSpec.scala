@@ -10,10 +10,12 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def finalPlan(df: DataFrame): String = {
-    df.count() // materialize so AQE settles on the final adaptive plan
+  /** The static physical plan (pre-AQE). Structural shape — subtree
+    * counts, join-freedom, codegen'd expressions — is what these guards
+    * pin; runtime exchange reuse may dedupe further but is AQE's business,
+    * not a property our code should have to lean on. */
+  private def finalPlan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
-  }
 
   private def count(plan: String, needle: String): Int =
     needle.r.findAllIn(plan).length
@@ -36,6 +38,15 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(SparkEntry.queries("q_tokenize_tokens")(spark, dir))
     assert(plan.contains("tokenize_plain_words"), plan)
     assert(!plan.contains("ScalaUDF"), "plain tokenize must not fall back to a UDF")
+  }
+
+  test("c-TF-IDF and rollup tokenize the corpus exactly once (lazy one-pass shapes)") {
+    val ctfidf = finalPlan(SparkEntry.queries("q_ctfidf_topk")(spark, dir))
+    assert(count(ctfidf, "tokenize_plain_words") == 1, ctfidf)
+    assert(count(ctfidf, "FileScan parquet") == 1, ctfidf)
+    val rollup = finalPlan(SparkEntry.queries("q_topic_rollup")(spark, dir))
+    assert(count(rollup, "tokenize_plain_words") == 1, rollup)
+    assert(count(rollup, "FileScan parquet") == 1, rollup)
   }
 
   test("simhash near-dups scan and fingerprint the corpus once") {

@@ -64,6 +64,43 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("cleaned"))
         .orderBy("doc_id")),
 
+    // relational surface over the events table: tumbling 1-hour windows via
+    // Spark's native window() — the same operator Structured Streaming uses,
+    // here batch-checked against the oracle; DECIMAL sums keep the compare
+    // exact (double summation is order-dependent across engines)
+    "q_event_windows" -> ((s, dir) => {
+      // the events table stores TIMESTAMP(NANOS), which Spark only reads
+      // as a long; nanos DIV 1000 → exact micros
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value").cast("string").as("sum_value"),
+          col("n_users"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // semi-structured props: JSON path extraction + per-type aggregation
+    "q_event_props" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // §2.1 #2-4 word/char/sentence counts
     "q_text_counts" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -407,6 +444,22 @@ FROM ll ORDER BY token"""
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
         "'[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_event_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_event_props" ->
+      """SELECT event_type,
+  count(*) AS n,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_text_counts" ->
       ("""SELECT doc_id,

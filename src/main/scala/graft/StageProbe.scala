@@ -7,7 +7,7 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").limit(200)
+    val docs = spark.read.parquet(sys.env.getOrElse("SP_DIR", "/root/testdata/sf0.1") + "/documents.parquet").limit(sys.env.getOrElse("SP_LIMIT", "200").toInt)
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime
       val out = graft.topic.TopicModeling.run(docs, "text", "doc_id", None,

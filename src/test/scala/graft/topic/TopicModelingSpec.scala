@@ -46,6 +46,23 @@ class ReduceClusterSpec extends AnyFunSuite {
     assert(five.map(r => Seq(r(0), r(1))).toSeq == two.map(_.toSeq).toSeq)
   }
 
+  test("kd-tree range and kth-neighbor queries equal the brute-force scan") {
+    val rnd = new scala.util.Random(31)
+    val pts = Array.fill(300)(Array.fill(5)(rnd.nextGaussian().toFloat))
+    val tree = new KdTree(pts)
+    def d(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    (0 until 300 by 7).foreach { i =>
+      val eps = 0.8 + (i % 5) * 0.3
+      val brute = pts.indices.filter(j => d(pts(i), pts(j)) <= eps).toArray
+      assert(tree.rangeQuery(pts(i), eps).toSeq == brute.toSeq, s"range i=$i eps=$eps")
+      val sorted = pts.indices.map(j => d(pts(i), pts(j))).sorted
+      (1 to 9 by 4).foreach { k =>
+        assert(math.abs(tree.kthNeighborDistance(i, k) - sorted(k)) < 1e-6, s"kth i=$i k=$k")
+      }
+    }
+  }
+
   test("cluster separates two blobs and marks the lone outlier") {
     val points =
       Array.tabulate(10)(i => Array(i * 0.01f, 0.0f)) ++

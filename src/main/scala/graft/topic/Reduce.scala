@@ -47,7 +47,13 @@ object Reduce {
       var v = Array.fill(dim)(rnd.nextGaussian())
       normalize(v)
       var iter = 0
-      while (iter < 100) {
+      var converged = false
+      // early exit once successive iterates align to machine precision —
+      // deterministic (a pure function of the input), and each power
+      // iteration is an O(n·dim) pass over the whole matrix, so stopping
+      // at convergence instead of a fixed 100 is the difference between
+      // ~20 and 100 full-matrix sweeps per component at large chunk counts
+      while (iter < 100 && !converged) {
         // w = X^T (X v)
         val xv = new Array[Double](n)
         var i = 0
@@ -64,6 +70,7 @@ object Reduce {
         var p = 0
         while (p < comp) { subtractProjection(w, basis(p)); p += 1 }
         normalize(w)
+        converged = math.abs(dot(w, v)) > 1.0 - 1e-12
         v = w
         iter += 1
       }

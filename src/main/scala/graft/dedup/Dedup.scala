@@ -341,13 +341,18 @@ object Dedup {
       idCol: String,
       bucket: Column,
       threshold: Double = 0.0): DataFrame = {
-    val toks = df
+    // per-doc token sets in ONE aggregation: collect_set subsumes the
+    // separate distinct pass, and the set size IS the token count — no
+    // per-id window, so the corpus-scale shuffles drop from 3 to 2
+    val docTokens = df
       .select(col(idCol).as("id"), bucket.as("bucket"),
         explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
       .select(col("id"), col("bucket"), col("t.token").as("token"))
-      .distinct()
-      .withColumn("n_tokens", count(lit(1)).over(Window.partitionBy(col("id"))))
-    val byToken = toks
+      .groupBy(col("id"), col("bucket"))
+      .agg(collect_set(col("token")).as("toks"))
+      .select(col("id"), col("bucket"), size(col("toks")).as("n_tokens"),
+        explode(col("toks")).as("token"))
+    val byToken = docTokens
       .groupBy(col("bucket"), col("token"))
       .agg(collect_list(struct(col("id"), col("n_tokens"))).as("members"))
     byToken

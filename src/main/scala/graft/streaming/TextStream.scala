@@ -59,6 +59,31 @@ object TextStream {
   def withLangId(stream: DataFrame, textCol: String): DataFrame =
     stream.withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
 
+  /** Event-time sessionization via Spark's native `session_window` (3.2+):
+    * per-key sessions close after `gap` of event-time silence, so a user's
+    * burst of documents rolls up to one row with its doc and word totals.
+    * Declarative — no custom state code; the state store evicts sessions
+    * once the watermark passes their close. */
+  def sessionCounts(
+      stream: DataFrame,
+      keyCol: String,
+      textCol: String,
+      tsCol: String,
+      gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("session"), col(keyCol).as("key"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.wordCount(col(textCol))).as("n_words"))
+      .select(
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("key"),
+        col("n_docs"),
+        col("n_words"))
+
   /** Custom-state example: per-key running document and token totals via
     * `mapGroupsWithState` (the arbitrary-state API the brief's streaming
     * tier calls for — state the built-in aggregations can't express, e.g.

@@ -39,6 +39,40 @@ class TextStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge bursts and split on gaps; late data is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val sessions = TextStream.sessionCounts(
+      input.toDF().toDF("ts", "user", "text"), "user", "text", "ts",
+      gap = "2 minutes", watermark = "3 minutes")
+
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user a: minutes 0,1 (one session); minute 10 (a second session)
+      input.addData(
+        (ts(0), "a", "one two"),
+        (ts(1), "a", "three"),
+        (ts(10), "a", "four five six"))
+      q.processAllAvailable()
+      // late event far behind the watermark (now ~minute 7): dropped
+      input.addData((ts(0), "a", "late late late"))
+      // advance watermark past minute 12 to close the second session
+      input.addData((ts(30), "b", "flush"))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions_out")
+        .select("key", "n_docs", "n_words")
+        .as[(String, Long, Long)].collect().toList.sorted
+      // first a-session: 2 docs, 3 words (late doc dropped — else 3 docs);
+      // second a-session: 1 doc, 3 words
+      assert(rows.filter(_._1 == "a") == List(("a", 1L, 3L), ("a", 2L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]

@@ -64,6 +64,29 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("cleaned"))
         .orderBy("doc_id")),
 
+    // standard relational surface (SURVEY §2.9): TPC-H-Q1-flavor pricing
+    // summary over lineitem — filter pushdown to the scan, exact DECIMAL
+    // aggregation (double sums are order-dependent across engines), final
+    // doubles only after the exact sums
+    "q_lineitem_pricing" -> ((s, dir) => {
+      val one = lit(1).cast("decimal(18,2)")
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val tax = col("l_tax").cast("decimal(18,2)")
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '2024-06-01 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(qty).cast("double"), 6).as("sum_qty"),
+          round(sum(price).cast("double"), 6).as("sum_base_price"),
+          round(sum(price * (one - disc)).cast("double"), 6).as("sum_disc_price"),
+          round(sum(price * (one - disc) * (one + tax)).cast("double"), 6).as("sum_charge"),
+          round(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // relational surface over the events table: tumbling 1-hour windows via
     // Spark's native window() — the same operator Structured Streaming uses,
     // here batch-checked against the oracle; DECIMAL sums keep the compare
@@ -444,6 +467,18 @@ FROM ll ORDER BY token"""
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
         "'[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_event_windows" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

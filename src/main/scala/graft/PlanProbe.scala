@@ -23,6 +23,8 @@ object PlanProbe {
       println(s"${tag}_SCANS=" + "FileScan parquet".r.findAllIn(plan).length)
       println(s"${tag}_TOKENIZE=" + "tokenize_plain_words".r.findAllIn(plan).length)
       println(s"${tag}_EXCHANGES=" + "Exchange ".r.findAllIn(plan).length)
+      println(s"${tag}_BHJ=" + "BroadcastHashJoin".r.findAllIn(plan).length)
+      println(s"${tag}_SMJ=" + "SortMergeJoin".r.findAllIn(plan).length)
     }
     report("STATIC", df.queryExecution.executedPlan.toString)
     df.collect()

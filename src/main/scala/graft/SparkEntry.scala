@@ -87,6 +87,29 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H-Q3-flavor join: the filtered customer dim is explicitly
+    // broadcast (no shuffle for the small side), orders⋈lineitem shuffles
+    // once on the order key; revenue in exact DECIMAL, ranked on the
+    // rounded double with an id tie-break so the top-20 is deterministic
+    "q_top_orders" -> ((s, dir) => {
+      val one = lit(1).cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val cust = broadcast(
+        tbl(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+      tbl(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          round(sum(price * (one - disc)).cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // relational surface over the events table: tumbling 1-hour windows via
     // Spark's native window() — the same operator Structured Streaming uses,
     // here batch-checked against the oracle; DECIMAL sums keep the compare
@@ -467,6 +490,17 @@ FROM ll ORDER BY token"""
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
         "'[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_top_orders" ->
+      """SELECT o_orderkey,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+  count(*) AS n_items
+FROM orders
+JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20""",
 
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

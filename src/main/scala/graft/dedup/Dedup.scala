@@ -182,16 +182,17 @@ object Dedup {
     * between join sides silently doubles the map work.) Per-row memory is
     * bounded by bucket size, the quantity LSH keeps small by design. No
     * all-pairs comparison ever happens. */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int = 32): DataFrame = {
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      bands: Int = 32,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val buckets = signatures
       .select(col("id"), explode(bandHashes(col("signature"), bands)).as("bh"))
       .select(col("id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
-    buckets
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("members"))
-      .select(explode(col("members")).as("id_a"), col("members"))
-      .select(col("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        buckets, Seq(col("band"), col("bucket")), struct(col("id")), maxBucket))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
@@ -204,7 +205,9 @@ object Dedup {
     * signature computation with zero joins (the candidates + two
     * signature-join shape carries three references to the signature
     * subtree and leans on AQE exchange reuse to avoid recomputing it).
-    * Per-row memory is bucket size × numHashes longs. */
+    * Per-row memory is bounded by `maxBucket` × numHashes longs —
+    * oversized buckets (exact-duplicate clusters; run [[exactDedup]]
+    * first) are dropped, see [[graft.util.PostingLists]]. */
   def nearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -213,20 +216,19 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 32,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
     val est = udf { (x: Seq[Long], y: Seq[Long]) =>
       if (x.isEmpty || y.isEmpty) 0.0
       else x.zip(y).count { case (u, v) => u == v }.toDouble / x.length
     }
-    sigs
+    val banded = sigs
       .select(col("id"), col("signature"), explode(bandHashes(col("signature"), bands)).as("bh"))
       .select(col("id"), col("signature"), col("bh._1").as("band"), col("bh._2").as("bucket"))
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("signature"))).as("members"))
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        banded, Seq(col("band"), col("bucket")), struct(col("id"), col("signature")), maxBucket))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
@@ -274,7 +276,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val fps = simHashes(df, textCol, idCol)
     val blocks = fps.select(
       col("id"),
@@ -282,12 +285,9 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("block"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.block").as("block"), col("bk.key").as("key"))
-    blocks
-      .groupBy(col("block"), col("key"))
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        blocks, Seq(col("block"), col("key")), struct(col("id"), col("simhash")), maxBucket))
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
@@ -340,25 +340,25 @@ object Dedup {
       textCol: String,
       idCol: String,
       bucket: Column,
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     // per-doc token sets in ONE aggregation: collect_set subsumes the
     // separate distinct pass, and the set size IS the token count — no
-    // per-id window, so the corpus-scale shuffles drop from 3 to 2
+    // per-id window, so the corpus-scale shuffles drop from 3 to 2.
+    // NULL buckets are excluded, matching the join semantics (NULL = NULL
+    // never matches) this formulation replaced.
     val docTokens = df
       .select(col(idCol).as("id"), bucket.as("bucket"),
         explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
+      .filter(col("bucket").isNotNull)
       .select(col("id"), col("bucket"), col("t.token").as("token"))
       .groupBy(col("id"), col("bucket"))
       .agg(collect_set(col("token")).as("toks"))
       .select(col("id"), col("bucket"), size(col("toks")).as("n_tokens"),
         explode(col("toks")).as("token"))
-    val byToken = docTokens
-      .groupBy(col("bucket"), col("token"))
-      .agg(collect_list(struct(col("id"), col("n_tokens"))).as("members"))
-    byToken
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        docTokens, Seq(col("bucket"), col("token")), struct(col("id"), col("n_tokens")), maxBucket))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"), first(col("a.n_tokens")).as("n_a"), first(col("b.n_tokens")).as("n_b"))
       .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))

@@ -77,6 +77,7 @@ object Similarity {
     * rank as −∞ and survive only when a partition has < k scored rows for
     * that query. */
   private[similarity] def localTopKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    if (k <= 0) return scored.limit(0) // preserve the pre-prune contract: k=0 → empty
     val schema = scored.schema
     val simIdx = schema.fieldIndex("sim")
     val qIdx = schema.fieldIndex("query_id")
@@ -178,16 +179,15 @@ object Similarity {
       vecCol: String,
       tables: Int,
       bits: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("tb", explode(bucketize(col("vec"))))
       .select(col("id"), col("vec"), col("tb._1").as("table"), col("tb._2").as("bucket"))
-      .groupBy(col("table"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("vec"))).as("members"))
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        bucketed, Seq(col("table"), col("bucket")), struct(col("id"), col("vec")), maxBucket))
       .select(
         col("a.id").as("query_id"),
         col("b.id").as("neighbor_id"),
@@ -281,13 +281,16 @@ object Similarity {
     * re-ranks only those lists. The quantizer trains on a driver-side
     * sample (`sampleSize` rows) — the classic IVF-Flat layout.
     *
-    * Sampling: rows are ordered by a seeded 64-bit hash of the vector and
-    * the first `sampleSize` taken. The hash order is uncorrelated with
-    * storage order, so the sample is uniform over the whole corpus even
-    * when the parquet files are sorted/clustered (a plain `limit` would
-    * train the quantizer on one file's corner of the space), deterministic
-    * for a fixed seed, and executes as TakeOrderedAndProject — each
-    * partition keeps a `sampleSize` heap, no full sort, no extra scan. */
+    * Sampling: rows are ordered by a seeded 64-bit hash of the (unique)
+    * id column and the first `sampleSize` taken. The hash order is
+    * uncorrelated with storage order, so the sample is uniform over the
+    * whole corpus even when the parquet files are sorted/clustered (a
+    * plain `limit` would train the quantizer on one file's corner of the
+    * space); hashing the id rather than the vector keeps the sample
+    * row-uniform on duplicate-heavy corpora (identical vectors would
+    * share one hash and enter all-or-nothing). Deterministic for a fixed
+    * seed; executes as TakeOrderedAndProject — each partition keeps a
+    * `sampleSize` heap, no full sort, no extra scan. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -300,9 +303,10 @@ object Similarity {
       sampleSize: Int = 10000): DataFrame = {
     import corpus.sparkSession.implicits._
     val sample = corpus
-      .select(col(vecCol))
-      .orderBy(xxhash64(lit(seed), col(vecCol)))
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(idCol)))
       .limit(sampleSize)
+      .select(col(vecCol))
       .as[Seq[Float]]
       .collect()
       .map(_.toArray)

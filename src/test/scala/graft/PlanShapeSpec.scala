@@ -20,10 +20,10 @@ class PlanShapeSpec extends SparkSpec {
   private def count(plan: String, needle: String): Int =
     needle.r.findAllIn(plan).length
 
-  test("keyness is one scan, no joins, totals inlined as literals") {
+  test("keyness is one scan, no joins — totals ride a window over the counts table") {
     val plan = finalPlan(SparkEntry.queries("q_keyness_en_rest")(spark, dir))
     assert(count(plan, "FileScan parquet") == 1, plan)
-    assert(!plan.contains("Join"), "keyness must not join — totals are literals")
+    assert(!plan.contains("Join"), "keyness must not join — totals are window aggregates")
   }
 
   test("jaccard pairs tokenize the corpus exactly once (posting-list shape)") {

@@ -231,6 +231,14 @@ object SparkEntry {
         .select(col("doc_id"), col("content_hash"), col("dup_rank"), col("n_copies"))
         .orderBy("doc_id")),
 
+    // LLM-pipeline: exact dedup over clean_text-normalized content — the
+    // normalized branch, where trivially-reformatted copies collapse
+    "q_dedup_normalized" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .exactDedup(tbl(s, dir, "documents"), "text", "doc_id", normalized = true)
+        .select(col("doc_id"), col("content_hash"), col("dup_rank"), col("n_copies"))
+        .orderBy("doc_id")),
+
     // LLM-pipeline: per-doc MinHash signatures (universal hash family over
     // FNV shingles, mod 2^61-1) — deterministic for the fixed seed, so the
     // oracle recomputes them from the same (a,b) constants
@@ -630,6 +638,17 @@ FROM ctx ORDER BY doc_id, start_idx""",
   CAST(row_number() OVER (PARTITION BY sha256(coalesce(text, '')) ORDER BY doc_id) AS BIGINT) AS dup_rank,
   CAST(count(*) OVER (PARTITION BY sha256(coalesce(text, ''))) AS BIGINT) AS n_copies
 FROM documents ORDER BY doc_id""",
+
+    "q_dedup_normalized" ->
+      """WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[!-/:-@\[-`{-~0-9]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+  FROM documents)
+SELECT doc_id,
+  sha256(clean) AS content_hash,
+  CAST(row_number() OVER (PARTITION BY sha256(clean) ORDER BY doc_id) AS BIGINT) AS dup_rank,
+  CAST(count(*) OVER (PARTITION BY sha256(clean)) AS BIGINT) AS n_copies
+FROM c ORDER BY doc_id""",
 
     "q_minhash_sig" -> minHashSql,
 

@@ -147,6 +147,62 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // event-time sessionization via Spark's native session_window — the
+    // same operator the streaming surface uses (TextStream.sessionCounts),
+    // batch-checked here against a lag/gap-island oracle; one shuffle
+    // keyed on user_id, merge logic inside the session-window aggregation
+    "q_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .groupBy(session_window(col("ts"), "6 hours").as("session"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          col("sum_value").cast("string").as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // TPC-H-Q5-flavor: revenue by customer region/nation — the dim chain
+    // (customer⋈nation⋈region) is broadcast, so the fact side shuffles
+    // exactly once, on the order key
+    "q_region_revenue" -> ((s, dir) => {
+      val one = lit(1).cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      val geo = broadcast(
+        tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("n_name"), col("r_name")))
+      tbl(s, dir, "orders")
+        .join(geo, col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(price * (one - disc)).cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // window functions over a fact table: top-3 orders per customer —
+    // partitioned rank, no global sort except the oracle-determinism tail
+    "q_top_orders_per_cust" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rank")
+    }),
+
     // §2.1 #2-4 word/char/sentence counts
     "q_text_counts" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -242,6 +298,48 @@ object SparkEntry {
     // LLM-pipeline: per-doc MinHash signatures (universal hash family over
     // FNV shingles, mod 2^61-1) — deterministic for the fixed seed, so the
     // oracle recomputes them from the same (a,b) constants
+    // LLM-pipeline: SimHash near-dup PAIRS — the pigeonhole candidate
+    // generator is EXHAUSTIVE for Hamming ≤ 3 (any pair differing in ≤ 3
+    // of 64 bits shares one of the four 16-bit blocks), so the bucketed
+    // engine output equals the all-pairs answer and an all-pairs DuckDB
+    // self-join can check it exactly — an approximate-family operator
+    // under the exact oracle
+    "q_simhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .simHashNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id")
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")),
+
+    // LLM-pipeline: MinHash-LSH near-dup pairs, high-recall banding
+    // config (r=1, b=32: collision prob 1-(1-s)^32). Candidates and the
+    // signature-agreement estimate are fully deterministic for the fixed
+    // seed, so the DuckDB oracle re-derives bands and estimates from the
+    // same (a,b) constants
+    "q_minhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .nearDuplicates(tbl(s, dir, "documents"), "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32, threshold = 0.125, seed = 42L)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // §2.7 caches: the content-addressed parquet cache on the tokenize
+    // path, under the SAME oracle as the uncached query — the reference's
+    // cached==uncached contract (tests/test_tokenize_cache.py:22-34)
+    // checked by DuckDB instead of ScalaTest
+    "q_tokenize_cached" -> ((s, dir) => {
+      val cacheDir = java.nio.file.Files
+        .createTempDirectory("graft-tokcache-").toString
+      val cache = new graft.cache.TextCache(s, cacheDir)
+      val out = cache.withCachedColumn(
+        tbl(s, dir, "documents"), "text", "tokenize_plain", "tokens") { misses =>
+        misses.select(col("content_hash"), Tokenize.tokenize(col("text")).as("tokens"))
+      }
+      out
+        .select(col("doc_id"), explode(col("tokens")).as("t"))
+        .select(col("doc_id"), col("t.token").as("token"))
+        .orderBy("doc_id", "token")
+    }),
+
     "q_minhash_sig" -> ((s, dir) =>
       graft.dedup.Dedup
         .minHashSignatures(tbl(s, dir, "documents"), "text", "doc_id",
@@ -345,6 +443,30 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // multimodal tier: binary payload + typed metadata through the
+    // batched mapPartitions decode — the deterministic stub decoder
+    // derives every field from an FNV-1a of the payload bytes, so the
+    // DuckDB oracle recomputes the full decode (UTF-8 payloads of an
+    // ASCII corpus make bytes == code points); the Spark-side plumbing
+    // (schema, batching, null handling) is what's under test
+    "q_media_meta" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          concat(lit("media/"), col("source")).as("mime"))
+      graft.multimodal.Multimodal
+        .extractMetadata(media, "payload", "mime")
+        .select(
+          col("doc_id"),
+          col("media_meta.mime").as("mime"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6 full topic-modeling pipeline (pseudo-embedder + PCA/DBSCAN
     // stand-ins; stochastic-stage parity is structural → rows-only check)
     "q_topic_model" -> ((s, dir) => {
@@ -402,10 +524,14 @@ object SparkEntry {
     * Scala source as the engine (the lang-id-oracle pattern — config is
     * shared, computation independently re-derived by DuckDB: shingling,
     * FNV, and the mod-2^61-1 hash family all recomputed in SQL). */
-  private def minHashSql: String = {
-    val vals = graft.dedup.Dedup.minHashParams(32, 42L)
+  /** CTE chain re-deriving the full MinHash signature matrix as
+    * `sig(doc_id, h, mh)` (missing shingle sets → Long.MaxValue fill,
+    * matching the engine) — shared by the signature dump and the LSH
+    * pairs oracle. */
+  private def minHashSigCtes(numHashes: Int, seed: Long): String = {
+    val vals = graft.dedup.Dedup.minHashParams(numHashes, seed)
       .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH params(h, a, b) AS (VALUES $vals),
+    s"""params(h, a, b) AS (VALUES $vals),
 t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
                  s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
@@ -421,16 +547,43 @@ sh AS (SELECT doc_id, ${fnvSql("gram")} AS fnv FROM g),
 m AS (
   SELECT doc_id AS m_doc, p.h AS m_h,
     min((CAST(p.a AS HUGEINT) * (fnv % 2305843009213693951) + CAST(p.b AS HUGEINT)) % 2305843009213693951) AS mh
-  FROM sh CROSS JOIN params p GROUP BY 1, 2)
-SELECT d.doc_id, CAST(p.h AS BIGINT) AS h,
-  CAST(coalesce(m.mh, 9223372036854775807) AS BIGINT) AS min_hash
-FROM documents d CROSS JOIN params p
-LEFT JOIN m ON m.m_doc = d.doc_id AND m.m_h = p.h
-ORDER BY doc_id, h"""
+  FROM sh CROSS JOIN params p GROUP BY 1, 2),
+sig AS (
+  SELECT d.doc_id, p.h, CAST(coalesce(m.mh, 9223372036854775807) AS BIGINT) AS mh
+  FROM documents d CROSS JOIN params p
+  LEFT JOIN m ON m.m_doc = d.doc_id AND m.m_h = p.h)"""
   }
 
-  private def simHashSql: String =
-    s"""WITH tok AS (
+  private def minHashSql: String =
+    s"""WITH ${minHashSigCtes(32, 42L)}
+SELECT doc_id, CAST(h AS BIGINT) AS h, mh AS min_hash
+FROM sig ORDER BY doc_id, h"""
+
+  /** LSH banding with r=1, b=32 re-derived in SQL: band key = FNV of the
+    * decimal string of the single signature component (exactly the
+    * engine's `slice.mkString(",")` for one-row bands), estimate = the
+    * component-agreement fraction. */
+  private def minHashPairsSql: String =
+    s"""WITH ${minHashSigCtes(32, 42L)},
+bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+eq AS (
+  SELECT c.id_a, c.id_b,
+    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM eq
+WHERE est >= 0.125 ORDER BY id_a, id_b"""
+
+  /** CTE chain computing each document's signed 64-bit SimHash as
+    * `fp(doc_id, simhash)` — shared by the per-doc dump and the pairs
+    * oracle. */
+  private def simHashFpCtes: String =
+    s"""tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
                         s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token
   FROM documents),
@@ -440,15 +593,29 @@ bits AS (
     sum(CASE WHEN (fnv >> CAST(b.b AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
   FROM th, (SELECT unnest(range(0, 64)) AS b) b
   GROUP BY 1, 2),
-fp AS (
+fpagg AS (
   SELECT b_doc, sum(CASE WHEN acc > 0 THEN (CAST(1 AS HUGEINT) << CAST(bit AS HUGEINT)) ELSE 0 END) AS ufp
-  FROM bits GROUP BY 1)
-SELECT d.doc_id,
-  CAST(CASE WHEN ufp IS NULL THEN 0
-            WHEN ufp >= 9223372036854775808 THEN ufp - 18446744073709551616
-            ELSE ufp END AS BIGINT) AS simhash
-FROM documents d LEFT JOIN fp ON fp.b_doc = d.doc_id
-ORDER BY doc_id"""
+  FROM bits GROUP BY 1),
+fp AS (
+  SELECT d.doc_id,
+    CAST(CASE WHEN ufp IS NULL THEN 0
+              WHEN ufp >= 9223372036854775808 THEN ufp - 18446744073709551616
+              ELSE ufp END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN fpagg ON fpagg.b_doc = d.doc_id)"""
+
+  private def simHashSql: String =
+    s"""WITH $simHashFpCtes
+SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
+
+  /** All-pairs Hamming ≤ 3 — exhaustively equal to the engine's
+    * block-bucketed candidates by the pigeonhole argument. */
+  private def simHashPairsSql: String =
+    s"""WITH $simHashFpCtes
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b"""
 
   private val keynessSql: String = {
     s"""WITH tok AS ($tokSql),
@@ -652,7 +819,53 @@ FROM c ORDER BY doc_id""",
 
     "q_minhash_sig" -> minHashSql,
 
+    "q_minhash_pairs" -> minHashPairsSql,
+
     "q_simhash" -> simHashSql,
+
+    "q_simhash_pairs" -> simHashPairsSql,
+
+    // cached == uncached: the cache-path query answers the SAME oracle as
+    // the plain tokenize query
+    "q_tokenize_cached" ->
+      s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
+
+    "q_sessions" ->
+      """WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q_region_revenue" ->
+      """SELECT r_name, n_name,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+  count(*) AS n_items
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+  FROM orders)
+WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+    "q_media_meta" -> mediaMetaSql,
 
     "q_jaccard_pairs" ->
       s"""WITH tok AS (
@@ -751,6 +964,26 @@ SELECT doc_id,
       (acc, x) -> (acc * 31 + x) % 1000000007)
   END AS BIGINT) AS fingerprint
 FROM c ORDER BY doc_id""")
+
+  /** Full re-derivation of the stub media decode: FNV-1a over the UTF-8
+    * payload bytes (== code points on this ASCII corpus), then the same
+    * floorMod/shift arithmetic as `FakeDecoder.decode`, with unsigned
+    * shifts as HUGEINT division and Java `floorMod` as `((x%m)+m)%m` on
+    * the signed value. */
+  private def mediaMetaSql: String =
+    s"""WITH h AS (
+  SELECT doc_id, source, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
+s AS (
+  SELECT doc_id, source, u,
+    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sh
+  FROM h)
+SELECT doc_id,
+  'media/' || source AS mime,
+  CAST(64 + ((sh % 1920) + 1920) % 1920 AS INT) AS width,
+  CAST(64 + (u // 65536) % 1080 AS INT) AS height,
+  CAST(1 + (u // 4294967296) % 32 AS INT) AS n_frames,
+  CAST((u // 16777216) % 60000 AS BIGINT) AS duration_ms
+FROM s ORDER BY doc_id"""
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

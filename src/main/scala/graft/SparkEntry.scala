@@ -168,6 +168,28 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // as-of join (beyond-reference time-series operator): each click
+    // joined to the user's latest purchase at or before it — single
+    // shuffle union+window plan, never a range join; checked against
+    // DuckDB's native ASOF LEFT JOIN
+    "q_asof_purchase" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // TPC-H-Q5-flavor: revenue by customer region/nation — the dim chain
     // (customer⋈nation⋈region) is broadcast, so the fact side shuffles
     // exactly once, on the order key
@@ -465,6 +487,24 @@ object SparkEntry {
           col("media_meta.n_frames").as("n_frames"),
           col("media_meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // multimodal tier: frame sampling — the stub slices the payload into
+    // even byte ranges, so frame counts and sizes are SQL-recomputable
+    // while the explode/partitioning plumbing is what's under test
+    "q_media_frames" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("media/frames").as("mime"))
+      graft.multimodal.Multimodal
+        .sampleFrames(media, "payload", "mime", maxFrames = 8)
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // §2.6 full topic-modeling pipeline (pseudo-embedder + PCA/DBSCAN
@@ -866,6 +906,21 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 WHERE rank <= 3 ORDER BY o_custkey, rank""",
 
     "q_media_meta" -> mediaMetaSql,
+
+    "q_media_frames" ->
+      """WITH t AS (SELECT doc_id, length(coalesce(text, '')) AS len FROM documents),
+n AS (SELECT doc_id, len, least(8, greatest(1, len // 8)) AS nf FROM t WHERE len > 0),
+f AS (SELECT doc_id, len, nf, unnest(range(0, CAST(nf AS INT))) AS frame_idx FROM n)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(((frame_idx + 1) * len) // nf - (frame_idx * len) // nf AS BIGINT) AS frame_bytes
+FROM f ORDER BY doc_id, frame_idx""",
+
+    "q_asof_purchase" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS purchase_id, r.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
 
     "q_jaccard_pairs" ->
       s"""WITH tok AS (

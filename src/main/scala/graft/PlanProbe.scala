@@ -13,6 +13,7 @@ object PlanProbe {
   }
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_jaccard_pairs")
+    val dump = args.contains("--dump")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -22,11 +23,13 @@ object PlanProbe {
       println(s"${tag}_REUSED=" + "ReusedExchange".r.findAllIn(plan).length)
       println(s"${tag}_SCANS=" + "FileScan parquet".r.findAllIn(plan).length)
       println(s"${tag}_TOKENIZE=" + "tokenize_plain_words".r.findAllIn(plan).length)
+      println(s"${tag}_UDF=" + "ScalaUDF|UDF\\(".r.findAllIn(plan).length)
       println(s"${tag}_EXCHANGES=" + "Exchange ".r.findAllIn(plan).length)
       println(s"${tag}_BHJ=" + "BroadcastHashJoin".r.findAllIn(plan).length)
       println(s"${tag}_SMJ=" + "SortMergeJoin".r.findAllIn(plan).length)
     }
     report("STATIC", df.queryExecution.executedPlan.toString)
+    if (dump) println(df.queryExecution.executedPlan.toString)
     df.collect()
     report("FINAL", finalSection(df.queryExecution.executedPlan.toString))
     spark.stop()

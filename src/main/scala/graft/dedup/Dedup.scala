@@ -226,15 +226,18 @@ object Dedup {
     val banded = sigs
       .select(col("id"), col("signature"), explode(bandHashes(col("signature"), bands)).as("bh"))
       .select(col("id"), col("signature"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+    // Estimate and threshold BEFORE the dedup shuffle: every collision of
+    // a pair computes the same estimate, so filtering map-side shrinks the
+    // exchange to the qualifying (id_a, id_b, est) triples — the signature
+    // arrays never shuffle, and the multi-band dedup becomes a cheap hash
+    // aggregate over doubles instead of a sort aggregate over arrays.
     graft.util.PostingLists
       .pairs(graft.util.PostingLists.members(
         banded, Seq(col("band"), col("bucket")), struct(col("id"), col("signature")), maxBucket))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.signature").as("sig_a"), col("b.signature").as("sig_b"))
-      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
-      .withColumn("est_jaccard", est(col("sig_a"), col("sig_b")))
+        est(col("a.signature"), col("b.signature")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
   }
 
   // ------------------------------------------------------------- simhash
@@ -285,6 +288,9 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("block"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.block").as("block"), col("bk.key").as("key"))
+    // Verify before the dedup shuffle: the popcount is identical for every
+    // block collision of a pair, so the distance filter runs map-side and
+    // only qualifying pairs reach the distinct's exchange.
     graft.util.PostingLists
       .pairs(graft.util.PostingLists.members(
         blocks, Seq(col("block"), col("key")), struct(col("id"), col("simhash")), maxBucket))
@@ -292,8 +298,8 @@ object Dedup {
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDistance)
+      .distinct()
   }
 
   // ---------------------------------------------------- embedding cosine

@@ -56,6 +56,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "FileScan parquet") == 1, plan)
   }
 
+  test("minhash LSH pairs scan and sign the corpus once, join-free") {
+    val plan = finalPlan(SparkEntry.queries("q_minhash_pairs")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "LSH pair generation must stay join-free")
+    // map-side verify: the dedup aggregate carries the score, not arrays
+    assert(!plan.contains("SortAggregate"),
+      "pair dedup must be a hash aggregate (no array buffers)")
+  }
+
+  test("region revenue joins the dim chain by broadcast only") {
+    val plan = finalPlan(SparkEntry.queries("q_region_revenue")(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension chain must broadcast; only the fact join may shuffle")
+    assert(count(plan, "BroadcastHashJoin") >= 3, plan)
+  }
+
   test("filters push down to the parquet scan under derived text columns") {
     import org.apache.spark.sql.functions._
     val q = spark.read.parquet(s"$dir/documents.parquet")

@@ -225,6 +225,42 @@ object SparkEntry {
         .orderBy("o_custkey", "rank")
     }),
 
+    // multi-level aggregation: ROLLUP over order status × priority —
+    // Catalyst expands grouping sets in one pass; rolled-up levels are
+    // disambiguated with a sentinel so the oracle compare is total-order
+    // stable across engines
+    "q_orders_rollup" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"),
+          col("total_price"))
+        .orderBy("status", "priority")),
+
+    // LLM-pipeline composition: the full cleaning pass as ONE lazy plan —
+    // quality gate → exact-dedup first-copy → language routing; the shape
+    // a 100 TB ingest job actually runs (scan once, shuffle once on the
+    // digest, everything else map-side)
+    "q_clean_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val quality = TextAnalysis.qualityMetrics(col("text")).toMap
+      val kept = docs.filter(quality("keep"))
+      graft.dedup.Dedup
+        .exactDedup(kept, "text", "doc_id")
+        .filter(col("dup_rank") === 1)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     // §2.1 #2-4 word/char/sentence counts
     "q_text_counts" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -1005,6 +1041,15 @@ ORDER BY c.doc_id, c.topic_id""",
 
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+    "q_clean_pipeline" -> cleanPipelineSql,
+
+    "q_orders_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority""",
 
     "q_fingerprint" ->
       """WITH c AS (
@@ -1043,9 +1088,10 @@ FROM s ORDER BY doc_id"""
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Lang-id oracle generated from the same marker constants as the engine
-    * so the two can never drift. */
-  private def langIdSql: String = {
+  /** Lang-id prediction re-derived in SQL from the same marker constants
+    * as the engine so the two can never drift. `sourceCte` must expose
+    * `doc_id, lang, tx, toks` plus any `extra` passthrough columns. */
+  private def langIdPredSql(sourceCte: String, extra: Seq[String]): String = {
     val hitCols = TextAnalysis.MarkerLangs.map { l =>
       s"len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.Markers(l))}, x))) AS h_$l"
     }.mkString(",\n    ")
@@ -1054,25 +1100,49 @@ FROM s ORDER BY doc_id"""
         .map(o => s"h_$l >= h_$o").mkString(" AND ")
       s"WHEN h_$l > 0 AND $geOthers THEN '$l'"
     }.mkString("\n    ")
-    s"""WITH t AS (
-  SELECT doc_id, lang, coalesce(text, '') AS tx,
-    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks
-  FROM documents),
-h AS (
-  SELECT doc_id, lang, length(tx) AS n,
-    length(tx) - length(regexp_replace(tx, '[\\x{3040}-\\x{30FF}]', '', 'g')) AS kana,
-    length(tx) - length(regexp_replace(tx, '[\\x{AC00}-\\x{D7AF}]', '', 'g')) AS hangul,
-    length(tx) - length(regexp_replace(tx, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS han,
-    $hitCols
-  FROM t)
-SELECT doc_id, lang,
+    val extras = extra.map(c => s", $c").mkString
+    s"""SELECT doc_id, lang$extras,
   CASE WHEN kana > 0 THEN 'ja'
        WHEN hangul > 0 THEN 'ko'
        WHEN han > 0 AND han * 10 >= n * 3 THEN 'zh'
     $markerCases
     ELSE 'und' END AS pred_lang
-FROM h ORDER BY doc_id"""
+FROM (
+  SELECT doc_id, lang$extras, length(tx) AS n,
+    length(tx) - length(regexp_replace(tx, '[\\x{3040}-\\x{30FF}]', '', 'g')) AS kana,
+    length(tx) - length(regexp_replace(tx, '[\\x{AC00}-\\x{D7AF}]', '', 'g')) AS hangul,
+    length(tx) - length(regexp_replace(tx, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS han,
+    $hitCols
+  FROM $sourceCte)"""
   }
+
+  private def langIdSql: String =
+    s"""WITH t AS (
+  SELECT doc_id, lang, coalesce(text, '') AS tx,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks
+  FROM documents)
+${langIdPredSql("t", Nil)}
+ORDER BY doc_id"""
+
+  /** The cleaning-pipeline oracle: quality keep-gate → first-copy exact
+    * dedup → lang-id, the same three stages the engine composes lazily. */
+  private def cleanPipelineSql: String =
+    s"""WITH t AS (
+  SELECT doc_id, lang, coalesce(text, '') AS tx,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks
+  FROM documents),
+q AS (
+  SELECT * FROM t
+  WHERE CAST(len(toks) AS BIGINT) >= 10
+    AND len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, x))) >= 1),
+d AS (
+  SELECT doc_id, lang, tx, toks,
+    row_number() OVER (PARTITION BY sha256(tx) ORDER BY doc_id) AS dup_rank,
+    CAST(count(*) OVER (PARTITION BY sha256(tx)) AS BIGINT) AS n_copies
+  FROM q),
+k AS (SELECT doc_id, lang, tx, toks, n_copies FROM d WHERE dup_rank = 1)
+${langIdPredSql("k", Seq("n_copies"))}
+ORDER BY doc_id"""
 
   private def qualitySql: String =
     s"""WITH t AS (

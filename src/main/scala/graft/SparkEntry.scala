@@ -436,6 +436,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // LLM-pipeline: embedding-cosine near-dup — sign-LSH bucket posting
+    // lists → exact cosine verify. The seeded hyperplanes are exported
+    // (Similarity.lshPlanes) and inlined into the oracle, which re-derives
+    // buckets, candidates, and similarities entirely in SQL — the whole
+    // approximate pipeline under the exact oracle
+    "q_embed_neardup" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .embeddingNearDuplicates(tbl(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.3, tables = 4, bits = 8, seed = 42L)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // LLM-pipeline: IVF-Flat ANN, the similarity-search scale path —
+    // deterministic for the fixed seed but the k-means quantizer is not
+    // SQL-recomputable, so the driver records the rows-only check; recall
+    // vs brute force is spec-tested (SimilaritySpec)
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.Similarity
+        .ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, nCells = 8, nProbe = 3)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // topic §2.6 #15 chunking: on this corpus (one paragraph, no sentence
     // terminators, 1 token/word) the greedy packer provably degenerates to
     // exact maxTokens-word blocks with no overlap carry (a full unit never
@@ -693,6 +717,31 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b"""
 
+  /** Sign-LSH + cosine verify fully re-derived in SQL: hyperplanes inlined
+    * as literals from the same seeded generator as the engine, buckets as
+    * sign-bit sums, candidates from bucket equality, verification via
+    * `list_cosine_similarity` in double precision (same left-to-right
+    * folding as the engine's `aggregate`, per the q_knn_cosine contract). */
+  private def embedNearDupSql: String = {
+    val planes = graft.similarity.Similarity.lshPlanes(4, 8, 64, 42L)
+      .map { case (t, b, p) => s"($t, $b, [${p.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n  ")
+    s"""WITH planes(t, b, p) AS (VALUES
+  $planes),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings WHERE len(embedding) > 0),
+sb AS (
+  SELECT vec_id, t,
+    sum(CASE WHEN list_inner_product(vec, p) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sb a JOIN sb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+s AS (
+  SELECT c.id_a, c.id_b, list_cosine_similarity(va.vec, vb.vec) AS sim
+  FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b"""
+  }
+
   private val keynessSql: String = {
     s"""WITH tok AS ($tokSql),
 f0 AS (SELECT token, count(*) AS freq_corpus_0 FROM tok WHERE lang = 'en' GROUP BY 1),
@@ -900,6 +949,8 @@ FROM c ORDER BY doc_id""",
     "q_simhash" -> simHashSql,
 
     "q_simhash_pairs" -> simHashPairsSql,
+
+    "q_embed_neardup" -> embedNearDupSql,
 
     // cached == uncached: the cache-path query answers the SAME oracle as
     // the plain tokenize query

@@ -306,9 +306,11 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
     * bucket member lists (one pass over the corpus, never all-pairs),
-    * verified by exact cosine ≥ `threshold`. Output: `id_a, id_b, sim`.
-    * The embedding column is `Array[Float]` (e.g. from
-    * `graft.embed.Embedders.embed`). */
+    * verified by exact cosine ≥ `threshold` '''map-side, before''' the
+    * pair-dedup exchange — only qualifying `(id_a, id_b, sim)` triples
+    * shuffle; the vectors never leave the map stage. Output:
+    * `id_a, id_b, sim`. The embedding column is `Array[Float]` (e.g.
+    * from `graft.embed.Embedders.embed`). */
   def embeddingNearDuplicates(
       df: DataFrame,
       vecCol: String,
@@ -316,13 +318,12 @@ object Dedup {
       threshold: Double = 0.95,
       tables: Int = 8,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val pairs = graft.similarity.Similarity
-      .lshSelfCandidates(df, idCol, vecCol, tables, bits, seed)
-      .withColumn("sim", graft.similarity.Similarity.cosine(col("q_vec"), col("c_vec")))
+      seed: Long = 42L): DataFrame =
+    graft.similarity.Similarity
+      .lshSelfScored(df, idCol, vecCol, tables, bits, seed)
       .filter(col("sim") >= threshold)
-    pairs.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("sim"))
-  }
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("sim"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
 
   // ------------------------------------------------------------- jaccard
 

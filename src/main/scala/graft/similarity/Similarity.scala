@@ -118,6 +118,14 @@ object Similarity {
     u1 + u2 - 1.0
   }
 
+  /** The seeded hyperplane vectors of the sign-LSH family, exposed so an
+    * external checker (the DuckDB oracle) can recompute buckets from the
+    * same constants — the shared-config/independent-recompute pattern of
+    * `Dedup.minHashParams`. */
+  def lshPlanes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[(Int, Int, Seq[Double])] =
+    for (t <- 0 until tables; b <- 0 until bits)
+      yield (t, b, (0 until dim).map(d => planeComponent(seed, t, b, d)))
+
   /** `(table, bucket)` keys for one vector: per table, the sign bits of
     * `bits` random hyperplane projections. */
   private[similarity] def lshBuckets(
@@ -194,6 +202,32 @@ object Similarity {
         col("a.vec").as("q_vec"),
         col("b.vec").as("c_vec"))
       .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** Self-candidate pairs scored map-side: like [[lshSelfCandidates]] but
+    * the exact cosine is computed inside the pair-explode projection, so
+    * downstream thresholding can run BEFORE the pair-dedup exchange and
+    * the vectors never shuffle (the near-duplicate verify pattern —
+    * see `Dedup.embeddingNearDuplicates`). */
+  def lshSelfScored(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int,
+      bits: Int,
+      seed: Long,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
+    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("tb", explode(bucketize(col("vec"))))
+      .select(col("id"), col("vec"), col("tb._1").as("table"), col("tb._2").as("bucket"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        bucketed, Seq(col("table"), col("bucket")), struct(col("id"), col("vec")), maxBucket))
+      .select(
+        col("a.id").as("query_id"),
+        col("b.id").as("neighbor_id"),
+        cosine(col("a.vec"), col("b.vec")).as("sim"))
   }
 
   /** Approximate top-k: candidates from L sign-LSH tables (bucket-keyed

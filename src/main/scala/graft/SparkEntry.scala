@@ -190,6 +190,42 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // range join (beyond-reference): clicks inside ±30-minute incident
+    // windows around each error, per user — granule-bucketed join on
+    // (user, granule) + exact BETWEEN, never the per-key cross product;
+    // checked against a plain BETWEEN join in DuckDB
+    "q_range_incidents" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(
+          col("user_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"),
+          col("event_id").as("incident_id"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, incidents, Seq("user_id"), "ts", "w_start", "w_end",
+          granuleSeconds = 1800L)
+        .select(col("event_id"), col("user_id"), col("incident_id"))
+        .orderBy("event_id", "incident_id")
+    }),
+
+    // exact distribution statistics: per-corpus word-count quantiles
+    // (linear interpolation, the percentile/quantile_cont contract both
+    // engines share)
+    "q_word_quantiles" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), TextFunctions.wordCount(col("text")).as("word_cnt"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("percentile(word_cnt, 0.5)"), 6).as("p50_words"),
+          round(expr("percentile(word_cnt, 0.9)"), 6).as("p90_words"))
+        .orderBy("lang")),
+
     // TPC-H-Q5-flavor: revenue by customer region/nation — the dim chain
     // (customer⋈nation⋈region) is broadcast, so the fact side shuffles
     // exactly once, on the order key
@@ -1008,6 +1044,27 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id""",
+
+    "q_range_incidents" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS incident_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND l.ts BETWEEN r.ts - INTERVAL 30 MINUTE AND r.ts + INTERVAL 30 MINUTE
+ORDER BY l.event_id, r.event_id""",
+
+    "q_word_quantiles" ->
+      """WITH c AS (
+SELECT lang,
+CAST(CASE WHEN t = '' THEN 0
+     WHEN regexp_matches(t, '\s') THEN len(regexp_split_to_array(t, '\s+'))
+     WHEN regexp_matches(t, '^[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{20000}-\x{2A6DF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{AC00}-\x{D7AF}]+$') THEN length(t)
+     ELSE 1 END AS BIGINT) AS word_cnt
+FROM (SELECT lang, regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS t FROM documents))
+SELECT lang, count(*) AS n_docs,
+  round(quantile_cont(word_cnt, 0.5), 6) AS p50_words,
+  round(quantile_cont(word_cnt, 0.9), 6) AS p90_words
+FROM c GROUP BY lang ORDER BY lang""",
 
     "q_jaccard_pairs" ->
       s"""WITH tok AS (

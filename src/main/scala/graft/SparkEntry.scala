@@ -364,6 +364,36 @@ object SparkEntry {
         .select(col("key").as("token"), col("count").as("freq"))
         .orderBy("token")),
 
+    // collocations (beyond-reference text analytics): bigram PMI over the
+    // token stream — adjacency via a lead window on (doc, pos), margins
+    // and totals as vocab-scale windows over ONE corpus-scale aggregation
+    // (single tokenize pass, no self-join, no recompute)
+    "q_bigram_pmi" -> ((s, dir) => {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val pc = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Tokenize.tokenize(col("text"))).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("pos"), col("t.token").as("token"))
+        .withColumn("next", lead(col("token"), 1).over(byDoc))
+        .filter(col("next").isNotNull)
+        .groupBy(col("token").as("w1"), col("next").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      // no orderBy → frame = whole (single) partition = global total
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+      val byW2 = org.apache.spark.sql.expressions.Window.partitionBy("w2")
+      pc
+        .withColumn("n_a", sum(col("n_ab")).over(byW1))
+        .withColumn("n_b", sum(col("n_ab")).over(byW2))
+        .withColumn("n_total", sum(col("n_ab")).over(wAll))
+        .select(
+          col("w1"), col("w2"), col("n_ab"),
+          round(
+            log((col("n_ab").cast("double") * col("n_total")) /
+              (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
     // §2.3 #10 concordance (KWIC): explode + unnest, mirroring the
     // reference's `.list.explode().struct.unnest()` consumption pattern
     "q_concordance" -> ((s, dir) =>
@@ -934,6 +964,30 @@ FROM pieces ORDER BY doc_id, start_cp, token""",
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",
 
     "q_keyness_en_rest" -> keynessSql,
+
+    "q_bigram_pmi" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
+  FROM t),
+adj AS (
+  SELECT doc_id, token, lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+  FROM tok),
+pc AS (
+  SELECT token AS w1, next AS w2, count(*) AS n_ab
+  FROM adj WHERE next IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT w1, w2, n_ab,
+    sum(n_ab) OVER (PARTITION BY w1) AS n_a,
+    sum(n_ab) OVER (PARTITION BY w2) AS n_b,
+    sum(n_ab) OVER () AS n_total
+  FROM pc)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+  round(ln((CAST(n_ab AS DOUBLE) * n_total) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
+FROM m ORDER BY w1, w2""",
 
     // Contexts are recomputable in SQL because this corpus is single-space
     // separated ASCII words with no punctuation (guarded by the non-ASCII

@@ -219,10 +219,16 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
-    val est = udf { (x: Seq[Long], y: Seq[Long]) =>
-      if (x.isEmpty || y.isEmpty) 0.0
-      else x.zip(y).count { case (u, v) => u == v }.toDouble / x.length
-    }
+    // component-agreement fraction as pure Column algebra (zip_with +
+    // aggregate): stays inside whole-stage codegen on the hot
+    // per-candidate path — no UDF round-trip per pair
+    def est(x: Column, y: Column): Column =
+      when(size(x) > 0 && size(y) > 0,
+        aggregate(
+          zip_with(x, y, (u, v) => when(u === v, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / size(x))
+        .otherwise(lit(0.0))
     val banded = sigs
       .select(col("id"), col("signature"), explode(bandHashes(col("signature"), bands)).as("bh"))
       .select(col("id"), col("signature"), col("bh._1").as("band"), col("bh._2").as("bucket"))

@@ -50,6 +50,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.contains(("edge", "i2")))
   }
 
+  test("plan is an equi-join on (key, granule) — no cross product") {
+    val plan = RangeJoin
+      .pointInInterval(points, intervals, Seq("k"), "ts", "start", "end")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("null and inverted intervals are dropped; null points match nothing") {
     val p = Seq(("a", Option.empty[Timestamp], "pn")).toDF("k", "ts", "pv")
     val iv = Seq(

@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.StructType
   *   - left rows before any right row keep null payloads (left join);
   *   - right rows with null timestamps are dropped; left rows with null
   *     timestamps match nothing;
+  *   - null join keys never match (SQL equi-join semantics — null-keyed
+  *     right rows are dropped, null-keyed left rows keep null payloads);
   *   - equal `(key, rightTs)` right rows are resolved arbitrarily —
   *     deduplicate the right side first if that matters (DuckDB's ASOF
   *     has the same contract).
@@ -61,8 +63,12 @@ object AsofJoin {
     val payloadType = StructType(payloadCols.map(c => right.schema(c)))
     val leftType = StructType(left.schema.fields)
 
+    // Equi-join semantics for nulls: a SQL join never matches on null
+    // keys, but a window's partitionBy groups nulls together — drop
+    // null-keyed right rows so null-keyed left rows fall through with
+    // null payloads instead of matching each other.
     val rightTagged = right
-      .filter(col(rightTsCol).isNotNull)
+      .filter(on.map(col(_).isNotNull).reduce(_ && _) && col(rightTsCol).isNotNull)
       .select(
         on.map(col) ++ Seq(
           col(rightTsCol).as(ts),

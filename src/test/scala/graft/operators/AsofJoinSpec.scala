@@ -68,6 +68,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("ln") == None)
   }
 
+  test("null join keys never match (SQL equi-join semantics, not window-partition semantics)") {
+    val l = Seq((Option.empty[String], 10L, "lnk"), (Option("a"), 10L, "lok")).toDF("k", "ts", "lv")
+    val r = Seq((Option.empty[String], 1L, "rnk"), (Option("a"), 1L, "rok")).toDF("k", "r_ts", "rv")
+    val out = AsofJoin
+      .asofJoin(l, r, Seq("k"), "ts", "r_ts")
+      .collect()
+      .map(x => x.getString(2) -> Option(x.getString(4)))
+      .toMap
+    assert(out("lnk") == None) // null key must NOT match the null-keyed right row
+    assert(out("lok") == Some("rok"))
+  }
+
   test("rejects clashing payload names") {
     val r = right.withColumnRenamed("rv", "lv")
     assertThrows[IllegalArgumentException] {

@@ -43,10 +43,19 @@ object PostingLists {
   }
 
   /** Distinct unordered pairs within each members list: rows `(a, b)` with
-    * `a.id < b.id`. Row blowup is bounded by `maxBucket`². */
-  def pairs(members: DataFrame): DataFrame =
+    * `a.id < b.id`. Row blowup is bounded by `maxBucket`²/2: the second
+    * explode walks only the list suffix after the first element's position
+    * (`slice`), generating each unordered pair exactly once instead of
+    * producing both orderings and filtering half away; the id comparison
+    * then only canonicalizes direction (list order is nondeterministic). */
+  def pairs(members: DataFrame): DataFrame = {
+    val x = col("__x")
+    val y = col("__y")
     members
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+      .select(posexplode(col("members")).as(Seq("__i", "__x")), col("members"))
+      .select(x, explode(slice(col("members"), col("__i") + lit(2), size(col("members")))).as("__y"))
+      .select(
+        when(x.getField("id") < y.getField("id"), x).otherwise(y).as("a"),
+        when(x.getField("id") < y.getField("id"), y).otherwise(x).as("b"))
+  }
 }

@@ -621,6 +621,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal tier: resize — the stub re-encode keeps a prefix scaled
+    // by the pixel ratio, so output sizes are SQL-recomputable from the
+    // same FNV-derived source dimensions as q_media_meta
+    "q_media_resize" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          concat(lit("media/"), col("source")).as("mime"))
+      graft.multimodal.Multimodal
+        .resizeMedia(media, "payload", "mime", width = 256, height = 256)
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("orig_bytes"),
+          length(col("resized")).cast("long").as("resized_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal tier: frame sampling — the stub slices the payload into
     // even byte ranges, so frame counts and sizes are SQL-recomputable
     // while the explode/partitioning plumbing is what's under test
@@ -1089,6 +1107,26 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 WHERE rank <= 3 ORDER BY o_custkey, rank""",
 
     "q_media_meta" -> mediaMetaSql,
+
+    // resized length = floor(len * (256*256 / (w*h))) clamped to [1, len],
+    // with w/h re-derived exactly as in q_media_meta
+    "q_media_resize" ->
+      s"""WITH h AS (
+  SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u, length(coalesce(text, '')) AS len FROM documents),
+s AS (
+  SELECT doc_id, u, len,
+    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sh
+  FROM h),
+d AS (
+  SELECT doc_id, len,
+    CAST(64 + ((sh % 1920) + 1920) % 1920 AS BIGINT) AS w,
+    CAST(64 + (u // 65536) % 1080 AS BIGINT) AS hh
+  FROM s)
+SELECT doc_id, CAST(len AS BIGINT) AS orig_bytes,
+  CASE WHEN len = 0 THEN CAST(0 AS BIGINT)
+       ELSE greatest(1, least(len, CAST(floor(len * (CAST(256 * 256 AS DOUBLE) / (w * hh))) AS BIGINT)))
+  END AS resized_bytes
+FROM d ORDER BY doc_id""",
 
     "q_media_frames" ->
       """WITH t AS (SELECT doc_id, length(coalesce(text, '')) AS len FROM documents),

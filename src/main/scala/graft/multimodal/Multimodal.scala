@@ -25,6 +25,8 @@ trait MediaDecoder extends Serializable {
   def features(bytes: Array[Byte], mime: String, dim: Int): Array[Float]
   /** Sample up to `maxFrames` frames (video/audio segmentation). */
   def sampleFrames(bytes: Array[Byte], mime: String, maxFrames: Int): Seq[Array[Byte]]
+  /** Re-encode the payload at `width`×`height`. */
+  def resize(bytes: Array[Byte], mime: String, width: Int, height: Int): Array[Byte]
 }
 
 final case class MediaMeta(
@@ -70,6 +72,17 @@ object FakeDecoder extends MediaDecoder {
       d += 1
     }
     out
+  }
+
+  override def resize(bytes: Array[Byte], mime: String, width: Int, height: Int): Array[Byte] = {
+    // STUB: a real implementation decodes, scales, re-encodes. The fake
+    // keeps a deterministic prefix whose length scales with the pixel
+    // ratio — enough to pin the payload-size and plumbing contracts.
+    if (bytes.isEmpty) return bytes
+    val meta = decode(bytes, mime)
+    val ratio = (width.toLong * height).toDouble / (meta.width.toLong * meta.height)
+    val newLen = math.max(1L, math.min(bytes.length.toLong, (bytes.length * ratio).toLong)).toInt
+    java.util.Arrays.copyOfRange(bytes, 0, newLen)
   }
 
   override def sampleFrames(bytes: Array[Byte], mime: String, maxFrames: Int): Seq[Array[Byte]] = {
@@ -145,6 +158,28 @@ object Multimodal {
       batch.map { r =>
         if (r.isNullAt(binIdx)) Seq.empty[Float]
         else decoder.features(r.getAs[Array[Byte]](binIdx), r.getString(mimeIdx), dim).toSeq
+      }
+    }
+  }
+
+  /** Replace the binary column with a payload re-encoded at
+    * `width`×`height` (batched, partition-preserving). Null payloads stay
+    * null. */
+  def resizeMedia(
+      df: DataFrame,
+      binCol: String,
+      mimeCol: String,
+      width: Int,
+      height: Int,
+      outCol: String = "resized",
+      decoder: MediaDecoder = FakeDecoder,
+      batchSize: Int = 32): DataFrame = {
+    val binIdx = df.schema.fieldIndex(binCol)
+    val mimeIdx = df.schema.fieldIndex(mimeCol)
+    mapBatched(df, StructField(outCol, BinaryType), batchSize) { (batch, _) =>
+      batch.map { r =>
+        if (r.isNullAt(binIdx)) null
+        else decoder.resize(r.getAs[Array[Byte]](binIdx), r.getString(mimeIdx), width, height)
       }
     }
   }

@@ -63,6 +63,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeMedia: length scales with pixel ratio, clamped, null-safe, deterministic") {
+    val rows = media(10)
+    val df = (rows :+ ((99L, null.asInstanceOf[Array[Byte]], "image/png")))
+      .toDF("id", "payload", "mime")
+    val out = Multimodal.resizeMedia(df, "payload", "mime", 256, 256).orderBy("id").collect()
+    assert(out.length == 11)
+    rows.sortBy(_._1).zip(out.dropRight(1)).foreach { case ((_, bytes, mime), r) =>
+      val resized = r.getAs[Array[Byte]]("resized")
+      val meta = FakeDecoder.decode(bytes, mime)
+      val expect = math.max(1L, math.min(bytes.length.toLong,
+        (bytes.length * ((256L * 256).toDouble / (meta.width.toLong * meta.height))).toLong)).toInt
+      assert(resized.length == expect)
+      assert(resized.sameElements(bytes.take(expect))) // deterministic prefix
+    }
+    assert(out.last.isNullAt(out.last.fieldIndex("resized")))
+  }
+
   test("mapPartitions plumbing preserves partitioning (no shuffle)") {
     val df = media(32).toDF("id", "payload", "mime").repartition(4)
     val out = Multimodal.mediaFeatures(df, "payload", "mime", dim = 8)

@@ -66,6 +66,14 @@ class PlanShapeSpec extends SparkSpec {
       "pair dedup must be a hash aggregate (no array buffers)")
   }
 
+  test("bigram PMI tokenizes the corpus once; margins are windows, not joins") {
+    val plan = finalPlan(SparkEntry.queries("q_bigram_pmi")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(count(plan, "tokenize_plain_words") == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "margins and totals must ride windows over the one aggregation")
+  }
+
   test("region revenue joins the dim chain by broadcast only") {
     val plan = finalPlan(SparkEntry.queries("q_region_revenue")(spark, dir))
     assert(!plan.contains("SortMergeJoin"),

@@ -409,6 +409,23 @@ object SparkEntry {
         .select(col("doc_id"), col("c.*"))
         .orderBy("doc_id", "start_idx")),
 
+    // LLM-pipeline curation: deterministic stratified sampling — up to K
+    // docs per corpus chosen by content-hash order. Hash order is uniform
+    // over each stratum and uncorrelated with storage order (no
+    // first-file bias), reproducible across runs/engines, one shuffle on
+    // the stratum key; the window prunes to K per group map-side
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("pick_hash"), col("doc_id"))
+      tbl(s, dir, "documents")
+        .withColumn("pick_hash", sha2(coalesce(col("text"), lit("")), 256))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= 25)
+        .select(col("lang"), col("pick_rank"), col("doc_id"))
+        .orderBy("lang", "pick_rank")
+    }),
+
     // LLM-pipeline: exact dedup — hash-partitioned window over sha256
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup
@@ -1037,6 +1054,14 @@ SELECT doc_id,
   coalesce(ltoks[len(ltoks)], '') AS l1,
   coalesce(rtoks[1], '') AS r1
 FROM ctx ORDER BY doc_id, start_idx""",
+
+    "q_stratified_sample" ->
+      """SELECT lang, pick_rank, doc_id FROM (
+  SELECT lang, doc_id,
+    CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY sha256(coalesce(text, '')), doc_id) AS BIGINT) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= 25 ORDER BY lang, pick_rank""",
 
     "q_dedup_exact" ->
       """SELECT doc_id,

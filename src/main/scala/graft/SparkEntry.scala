@@ -638,6 +638,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal tier: feature extraction — the stub's per-dimension
+    // splitmix values are recomputed in SQL (wrap-around multiplies as
+    // HUGEINT mod 2^64, unsigned shifts as division, xor on the signed
+    // bit pattern), so even the pseudo-embedding is oracle-checked; the
+    // first 4 of 64 dims keep the SQL bounded
+    "q_media_features" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          concat(lit("media/"), col("source")).as("mime"))
+      graft.multimodal.Multimodal
+        .mediaFeatures(media, "payload", "mime", dim = 64)
+        .select(col("doc_id"), posexplode(slice(col("media_features"), 1, 4)).as(Seq("d", "val")))
+        .select(
+          col("doc_id"),
+          col("d").cast("long").as("d"),
+          round(col("val").cast("double"), 6).as("val"))
+        .orderBy("doc_id", "d")
+    }),
+
     // multimodal tier: resize — the stub re-encode keeps a prefix scaled
     // by the pixel ratio, so output sizes are SQL-recomputable from the
     // same FNV-derived source dimensions as q_media_meta
@@ -848,6 +869,36 @@ s AS (
   FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
 SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b"""
   }
+
+  // --- unsigned-64 helpers for the splitmix feature oracle -------------
+  private val U64 = "18446744073709551616" // 2^64
+  private def toSigned64(e: String): String =
+    s"CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $U64 ELSE ($e) END AS BIGINT)"
+  private def toUnsigned64(e: String): String =
+    s"(CASE WHEN ($e) < 0 THEN CAST(($e) AS HUGEINT) + $U64 ELSE CAST(($e) AS HUGEINT) END)"
+  /** `a ^ b` on the 64-bit pattern of two unsigned HUGEINTs. */
+  private def xorU64(a: String, b: String): String =
+    toUnsigned64(s"xor(${toSigned64(a)}, ${toSigned64(b)})")
+
+  /** Per-dimension splitmix of the stub feature extractor
+    * (`FakeDecoder.features`) re-derived in SQL: wrap-around multiply by
+    * the 64-bit constant is split into 32-bit halves so the HUGEINT
+    * intermediate stays under 2^128; unsigned shifts are divisions; xor
+    * runs on the signed bit pattern. Float semantics match the engine:
+    * the double quotient is narrowed to FLOAT before subtracting 0.5f. */
+  private def mediaFeaturesSql: String =
+    s"""WITH h AS (
+  SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
+dd AS (SELECT doc_id, u, unnest([0, 1, 2, 3]) AS d FROM h),
+s0 AS (SELECT doc_id, u, d,
+  ${xorU64("u", s"(d * CAST(11400714819323198485 AS HUGEINT)) % $U64")} AS v0 FROM dd),
+s1 AS (SELECT doc_id, d, ${xorU64("v0", "v0 // 1073741824")} AS v1 FROM s0),
+s2 AS (SELECT doc_id, d,
+  (v1 * 484763065 + ((v1 * 3210233709) % 4294967296) * 4294967296) % $U64 AS v2 FROM s1),
+s3 AS (SELECT doc_id, d, ${xorU64("v2", "v2 // 134217728")} AS v3 FROM s2)
+SELECT doc_id, CAST(d AS BIGINT) AS d,
+  round(CAST(CAST((v3 // 2048) / 9007199254740992.0 AS FLOAT) - CAST(0.5 AS FLOAT) AS DOUBLE), 6) AS val
+FROM s3 ORDER BY doc_id, d"""
 
   private val keynessSql: String = {
     s"""WITH tok AS ($tokSql),
@@ -1132,6 +1183,8 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 WHERE rank <= 3 ORDER BY o_custkey, rank""",
 
     "q_media_meta" -> mediaMetaSql,
+
+    "q_media_features" -> mediaFeaturesSql,
 
     // resized length = floor(len * (256*256 / (w*h))) clamped to [1, len],
     // with w/h re-derived exactly as in q_media_meta

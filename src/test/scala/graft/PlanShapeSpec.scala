@@ -81,6 +81,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "BroadcastHashJoin") >= 3, plan)
   }
 
+  test("cleaning pipeline is one scan and one content-digest shuffle") {
+    val plan = finalPlan(SparkEntry.queries("q_clean_pipeline")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    // one hash exchange (the dedup window on the digest) + the
+    // deterministic-output range exchange for the final sort
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+    assert(!plan.contains("Join"), "quality gate and lang-id must stay map-side")
+  }
+
   test("filters push down to the parquet scan under derived text columns") {
     import org.apache.spark.sql.functions._
     val q = spark.read.parquet(s"$dir/documents.parquet")

@@ -370,34 +370,15 @@ object SparkEntry {
         .orderBy("token")),
 
     // collocations (beyond-reference text analytics): bigram PMI over the
-    // token stream — adjacency via a lead window on (doc, pos), margins
-    // and totals as vocab-scale windows over ONE corpus-scale aggregation
-    // (single tokenize pass, no self-join, no recompute)
-    "q_bigram_pmi" -> ((s, dir) => {
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val pc = tbl(s, dir, "documents")
-        .select(col("doc_id"), posexplode(Tokenize.tokenize(col("text"))).as(Seq("pos", "t")))
-        .select(col("doc_id"), col("pos"), col("t.token").as("token"))
-        .withColumn("next", lead(col("token"), 1).over(byDoc))
-        .filter(col("next").isNotNull)
-        .groupBy(col("token").as("w1"), col("next").as("w2"))
-        .agg(count(lit(1)).as("n_ab"))
-      // no orderBy → frame = whole (single) partition = global total
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-      val byW2 = org.apache.spark.sql.expressions.Window.partitionBy("w2")
-      pc
-        .withColumn("n_a", sum(col("n_ab")).over(byW1))
-        .withColumn("n_b", sum(col("n_ab")).over(byW2))
-        .withColumn("n_total", sum(col("n_ab")).over(wAll))
-        .select(
-          col("w1"), col("w2"), col("n_ab"),
-          round(
-            log((col("n_ab").cast("double") * col("n_total")) /
-              (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
-        .orderBy("w1", "w2")
-    }),
+    // token stream — adjacency via a lead window on (doc, pos), margins as
+    // partitioned windows over ONE persisted corpus-scale aggregation, the
+    // grand total a 1-row aggregate inlined as a literal (bigram type
+    // counts are unbounded at scale — no global window anywhere)
+    "q_bigram_pmi" -> ((s, dir) =>
+      graft.text.Collocations
+        .bigramPmi(tbl(s, dir, "documents"), "text", "doc_id")
+        .withColumn("pmi", round(col("pmi"), 6))
+        .orderBy("w1", "w2")),
 
     // §2.3 #10 concordance (KWIC): explode + unnest, mirroring the
     // reference's `.list.explode().struct.unnest()` consumption pattern
@@ -698,8 +679,12 @@ object SparkEntry {
     // §2.6 full topic-modeling pipeline (pseudo-embedder + PCA/DBSCAN
     // stand-ins; stochastic-stage parity is structural → rows-only check)
     "q_topic_model" -> ((s, dir) => {
+      // sort-before-limit: TopicModeling.run requires a deterministic input
+      // frame (labels re-join the persisted chunks, and persist does not
+      // survive executor loss) — a bare limit(200) takes whatever
+      // partitions answer first
       val out = graft.topic.TopicModeling.run(
-        tbl(s, dir, "documents").limit(200),
+        tbl(s, dir, "documents").orderBy("doc_id").limit(200),
         "text",
         "doc_id",
         corpusCol = None,

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Collocation statistics over the token stream (beyond-reference text
+  * analytics; the adjacency/PMI definitions follow Church & Hanks 1990,
+  * "Word Association Norms, Mutual Information, and Lexicography").
+  *
+  * Scale design (100 TB): ONE tokenize pass feeds one `(w1, w2)` hash
+  * aggregation; the per-word margins ride '''partitioned''' windows over
+  * that vocabulary-scale counts table. The grand total is the one value a
+  * window cannot provide safely — bigram type counts are NOT bounded the
+  * way unigram vocabularies are (tens of billions on a web corpus), so an
+  * unpartitioned window would funnel the whole counts table through a
+  * single partition. Instead the counts frame is persisted and the total
+  * is a 1-row aggregate (map-side partial sums, 16 bytes to the driver)
+  * inlined as a literal — the persist makes the second traversal a cache
+  * read, never a second corpus scan.
+  */
+object Collocations {
+
+  /** Adjacent-bigram counts `(w1, w2, n_ab)` from one tokenize pass:
+    * adjacency via a `lead` window on `(doc, pos)`, then a hash aggregate
+    * on the pair. Never crosses document boundaries. */
+  def bigramCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    val byDoc = Window.partitionBy("__doc").orderBy("__pos")
+    df.select(
+        col(idCol).as("__doc"),
+        posexplode(Tokenize.tokenize(col(textCol), model)).as(Seq("__pos", "t")))
+      .select(col("__doc"), col("__pos"), col("t.token").as("token"))
+      .withColumn("next", lead(col("token"), 1).over(byDoc))
+      .filter(col("next").isNotNull)
+      .groupBy(col("token").as("w1"), col("next").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+  }
+
+  /** Pointwise mutual information per adjacent bigram:
+    * `pmi = ln(n_ab * N / (n_a * n_b))` with margins `n_a = Σ_b n_ab`,
+    * `n_b = Σ_a n_ab` and `N = Σ n_ab`.
+    *
+    * The returned frame reads a persisted copy of the bigram counts (the
+    * grand total is collected from it as a 1-row aggregate and inlined as
+    * a literal — see the object scaladoc for why a global window is not an
+    * option at bigram cardinalities). The cache is vocabulary-scale, is
+    * shared by the margins and the total, and is released by Spark's
+    * ContextCleaner once the returned frame is unreferenced; callers
+    * holding the result across a long job can drop it earlier via
+    * `df.sparkSession.sharedState.cacheManager` or by re-deriving from
+    * [[bigramCounts]] with their own lifecycle. */
+  def bigramPmi(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    val pc = bigramCounts(df, textCol, idCol, model)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTotal = pc.agg(coalesce(sum("n_ab"), lit(0L))).head.getLong(0)
+    val byW1 = Window.partitionBy("w1")
+    val byW2 = Window.partitionBy("w2")
+    pc
+      .withColumn("n_a", sum(col("n_ab")).over(byW1))
+      .withColumn("n_b", sum(col("n_ab")).over(byW2))
+      .select(
+        col("w1"), col("w2"), col("n_ab"),
+        log((col("n_ab").cast("double") * lit(nTotal)) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("pmi"))
+  }
+}

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): the two-corpus comparison is ONE scan and ONE
   * shuffle — a single conditional aggregation
   * (`groupBy(token).agg(sum(when(corpus0,1)), sum(when(!corpus0,1)))`)
-  * replaces two filtered passes plus a full-outer join. The corpus totals are
-  * a 1-row aggregate collected to the driver and injected as literals
-  * (16 bytes at any scale) instead of a crossJoin(broadcast) — this is the
-  * only eager step, and it avoids both a persist of the vocabulary table and
-  * a second join.
+  * replaces two filtered passes plus a full-outer join. The corpus totals
+  * are a 1-row aggregate over a persisted copy of the counts table, collected
+  * to the driver and injected as literals (16 bytes at any scale) — never an
+  * unpartitioned window (which would single-partition the counts table) and
+  * never a second corpus scan (the persist makes the totals traversal a
+  * cache read).
   */
 object TokenFrequencies {
 
@@ -89,22 +90,23 @@ object TokenFrequencies {
     * factor BIC, effect size ELL, significance stars, percents, relative
     * risk, log ratio, odds ratio.
     *
-    * Fully lazy, ONE pass over `counts`: the corpus totals are a global
-    * window aggregate over the counts table, which is vocabulary-sized —
-    * post-aggregation, never corpus-sized — so the single-partition
-    * exchange the empty window implies is bounded by |vocabulary| at any
-    * corpus scale. (The alternative — an eager 1-row collect inlined as
-    * literals — costs a full second evaluation of the counts subtree, a
-    * corpus scan when `counts` comes from [[conditionalTokenFrequencies]].) */
+    * ONE traversal of the `counts` subtree: the frame is persisted, the
+    * corpus totals are a 1-row aggregate on the persisted copy (map-side
+    * partial sums, 16 bytes to the driver) inlined as literals, and the
+    * returned plan reads the same cache. No window runs unpartitioned —
+    * natural-language vocabularies are plausibly bounded, but this
+    * function is also reached with open token spaces (ids, n-grams) where
+    * a global window would single-partition the whole table. The cache is
+    * vocabulary-sized and is reclaimed by Spark's ContextCleaner once the
+    * returned frame is unreferenced. */
   def tokenFrequencyStatsFromCounts(counts: DataFrame): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy()
-      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val persisted = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = persisted.agg(
+      coalesce(sum("freq_corpus_0"), lit(0L)).as("t0"),
+      coalesce(sum("freq_corpus_1"), lit(0L)).as("t1")).head()
 
     val f0 = col("freq_corpus_0")
     val f1 = col("freq_corpus_1")
-    // after the first two withColumns, every later use reads the computed
-    // columns so the plan carries ONE Window node, not one per reference
     val t0 = col("corpus_0_total")
     val t1 = col("corpus_1_total")
     val grand = col("grand_total")
@@ -116,9 +118,9 @@ object TokenFrequencies {
     val llv = col("log_likelihood_llv")
     val minExp = col("min_expected")
 
-    counts
-      .withColumn("corpus_0_total", sum(f0).over(all).cast("long"))
-      .withColumn("corpus_1_total", sum(f1).over(all).cast("long"))
+    persisted
+      .withColumn("corpus_0_total", lit(totals.getLong(0)))
+      .withColumn("corpus_1_total", lit(totals.getLong(1)))
       .withColumn("grand_total", t0 + t1)
       .withColumn("total_freq", f0 + f1)
       .withColumn("expected_0", col("total_freq") * t0 / grand)

@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   * Ties break alphabetically so identical counts always rank identically.
   *
   * Scale: term counting is one explode + hash aggregate; the per-topic word
-  * totals are a broadcast-sized join (one row per topic); the corpus term
-  * frequency is a token-keyed join (vocabulary-sized); `A` is a 2-value
-  * driver scalar inlined as a literal. The final top-k is a window
-  * partitioned by topic — no global sort, no driver materialization of
-  * anything corpus-sized.
+  * totals and the corpus term frequency are partitioned windows over the
+  * persisted counts table; `A` is a 2-value driver scalar inlined as a
+  * literal. The final top-k is a window partitioned by topic — no global
+  * sort, no unpartitioned window, no driver materialization of anything
+  * corpus-sized.
   */
 object Ctfidf {
 
@@ -48,26 +48,29 @@ object Ctfidf {
     * table. Output: `topic, rank, token, score` (score descending,
     * alphabetical tie-break).
     *
-    * Plan shape: the per-topic word totals, corpus-wide term frequency,
-    * AND the `A` average are all '''windows over the counts table''' — a
-    * join formulation makes Catalyst recompute the tokenize→explode→agg
-    * subtree once per join branch (3 corpus scans in one plan), and an
-    * eager 1-row collect for `A` would evaluate it a second time. Fully
-    * lazy: the corpus is tokenized exactly once; every window runs on the
-    * vocabulary-sized aggregated stream. */
+    * Plan shape: the counts table is persisted and traversed once by the
+    * returned plan — the per-topic word totals and corpus-wide term
+    * frequency are '''partitioned windows''' over it (a join formulation
+    * would make Catalyst recompute the tokenize→explode→agg subtree once
+    * per join branch: 3 corpus scans in one plan), while the global `A`
+    * average is a 1-row aggregate on the persisted copy inlined as a
+    * literal — never an unpartitioned window, which would funnel the
+    * (topic × token)-cardinality table through one partition. The cache
+    * is reclaimed by ContextCleaner once the result is unreferenced. */
   def topTerms(termCounts: DataFrame, topK: Int = 10): DataFrame = {
-    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val scored = termCounts
-      .withColumn(
-        "avg_words",
-        sum(col("cnt")).over(all).cast("double") /
-          size(collect_set(col("topic")).over(all)).cast("double"))
+    val persisted = termCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = persisted.agg(
+      coalesce(sum("cnt"), lit(0L)).as("words"),
+      countDistinct("topic").as("topics")).head()
+    val avgWords =
+      if (tot.getLong(1) == 0L) 0.0 else tot.getLong(0).toDouble / tot.getLong(1).toDouble
+    val scored = persisted
       .withColumn("topic_words", sum("cnt").over(Window.partitionBy(col("topic"))))
       .withColumn("corpus_freq", sum("cnt").over(Window.partitionBy(col("token"))))
       .withColumn(
         "score",
         (col("cnt").cast("double") / col("topic_words")) *
-          log(lit(1.0) + col("avg_words") / col("corpus_freq")))
+          log(lit(1.0) + lit(avgWords) / col("corpus_freq")))
     val w = Window.partitionBy(col("topic")).orderBy(col("score").desc, col("token").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -67,6 +67,16 @@ object TopicModeling {
       nTopics: Int,
       stageTimings: Seq[(String, Double)])
 
+  /** Run the pipeline. '''`docs` must be a deterministic frame''': cluster
+    * labels are collected from one evaluation of the chunk subtree and
+    * re-joined to the persisted chunk frame by `(doc_id, chunk_idx)`, and
+    * a persist does not survive executor loss — evicted partitions
+    * recompute from the input plan, so a nondeterministic source (a bare
+    * `.limit(n)` over more than `n` rows, an unseeded `sample`, a
+    * `first`/`any_value` aggregate) could select different rows on
+    * recomputation and silently misalign or drop chunk labels. Sort before
+    * limiting (`orderBy(id).limit(n)`), seed samples, or `localCheckpoint()`
+    * the input if its plan is not deterministic. */
   def run(
       docs: DataFrame,
       textCol: String,
@@ -173,7 +183,7 @@ object TopicModeling {
       val keywords: Map[Int, Seq[(String, Double)]] = timed("ctfidf_scores") {
         if (nTopics == 0) Map.empty
         else
-          Ctfidf
+          try Ctfidf
             .topTerms(termCounts, cfg.topK)
             .as[(Int, Long, String, Double)]
             .collect()
@@ -181,6 +191,10 @@ object TopicModeling {
             .view
             .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
             .toMap
+          // topTerms persists its counts input; the collect above is its
+          // only consumer here, so release the cache immediately instead
+          // of waiting for the ContextCleaner
+          finally termCounts.unpersist()
       }
 
       // 7. rollup — distributed, over the label triples (chunk-free plan)

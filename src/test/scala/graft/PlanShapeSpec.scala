@@ -20,10 +20,39 @@ class PlanShapeSpec extends SparkSpec {
   private def count(plan: String, needle: String): Int =
     needle.r.findAllIn(plan).length
 
-  test("keyness is one scan, no joins — totals ride a window over the counts table") {
-    val plan = finalPlan(SparkEntry.queries("q_keyness_en_rest")(spark, dir))
-    assert(count(plan, "FileScan parquet") == 1, plan)
-    assert(!plan.contains("Join"), "keyness must not join — totals are window aggregates")
+  /** No Window with an empty partition spec anywhere in the optimized
+    * logical plan: an unpartitioned window moves EVERY row through one
+    * partition — the one plan shape that is guaranteed not to survive a
+    * 100× scale-up, whatever the operator. */
+  private def assertNoGlobalWindow(df: DataFrame, name: String = ""): Unit = {
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"$name: unpartitioned Window (single-partition exchange at scale):\n${bad.mkString("\n")}")
+  }
+
+  test("no query anywhere carries an unpartitioned Window") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assertNoGlobalWindow(fn(spark, dir), name)
+    }
+  }
+
+  test("keyness: totals are driver literals over one persisted counts pass — no joins") {
+    val df = SparkEntry.queries("q_keyness_en_rest")(spark, dir)
+    assertNoGlobalWindow(df)
+    val plan = finalPlan(df)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("Join"), "keyness must not join — totals are inlined literals")
+    // the cached counts subtree itself is the single corpus scan (drop the
+    // session cache first or the identical persisted plan gets substituted
+    // into this probe frame)
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.col
+    val counts = graft.text.TokenFrequencies.conditionalTokenFrequencies(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", col("lang") === "en")
+    assert(count(finalPlan(counts), "FileScan parquet") == 1)
+    assert(count(finalPlan(counts), "tokenize_plain_words") == 1)
   }
 
   test("jaccard pairs tokenize the corpus exactly once (posting-list shape)") {
@@ -40,10 +69,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), "plain tokenize must not fall back to a UDF")
   }
 
-  test("c-TF-IDF and rollup tokenize the corpus exactly once (lazy one-pass shapes)") {
-    val ctfidf = finalPlan(SparkEntry.queries("q_ctfidf_topk")(spark, dir))
-    assert(count(ctfidf, "tokenize_plain_words") == 1, ctfidf)
-    assert(count(ctfidf, "FileScan parquet") == 1, ctfidf)
+  test("c-TF-IDF and rollup tokenize the corpus exactly once (one-pass shapes)") {
+    // the scoring plan reads the persisted counts; the counts subtree is
+    // the single tokenize pass
+    val df = SparkEntry.queries("q_ctfidf_topk")(spark, dir)
+    assertNoGlobalWindow(df)
+    val ctfidf = finalPlan(df)
+    assert(ctfidf.contains("InMemoryTableScan"), ctfidf)
+    spark.catalog.clearCache() // see keyness test: avoid cache substitution
+    import org.apache.spark.sql.functions.col
+    val counts = graft.topic.Ctfidf.countTopicTerms(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", col("lang"))
+    assert(count(finalPlan(counts), "tokenize_plain_words") == 1)
+    assert(count(finalPlan(counts), "FileScan parquet") == 1)
     val rollup = finalPlan(SparkEntry.queries("q_topic_rollup")(spark, dir))
     assert(count(rollup, "tokenize_plain_words") == 1, rollup)
     assert(count(rollup, "FileScan parquet") == 1, rollup)
@@ -66,12 +104,22 @@ class PlanShapeSpec extends SparkSpec {
       "pair dedup must be a hash aggregate (no array buffers)")
   }
 
-  test("bigram PMI tokenizes the corpus once; margins are windows, not joins") {
-    val plan = finalPlan(SparkEntry.queries("q_bigram_pmi")(spark, dir))
-    assert(count(plan, "FileScan parquet") == 1, plan)
-    assert(count(plan, "tokenize_plain_words") == 1, plan)
+  test("bigram PMI: partitioned margin windows over one persisted counts pass; total is a literal") {
+    val df = SparkEntry.queries("q_bigram_pmi")(spark, dir)
+    // the r5 scale-killer: an unpartitioned n_total window single-partitions
+    // the bigram-counts table, which (unlike a unigram vocabulary) is
+    // unbounded at corpus scale
+    assertNoGlobalWindow(df)
+    val plan = finalPlan(df)
+    assert(plan.contains("InMemoryTableScan"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      "margins and totals must ride windows over the one aggregation")
+      "margins must ride partitioned windows over the one aggregation")
+    // the cached counts subtree is one scan + one tokenize pass
+    spark.catalog.clearCache() // see keyness test: avoid cache substitution
+    val counts = graft.text.Collocations.bigramCounts(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    assert(count(finalPlan(counts), "FileScan parquet") == 1)
+    assert(count(finalPlan(counts), "tokenize_plain_words") == 1)
   }
 
   test("region revenue joins the dim chain by broadcast only") {

@@ -518,10 +518,11 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("id_a", "id_b")),
 
-    // LLM-pipeline: IVF-Flat ANN, the similarity-search scale path —
-    // deterministic for the fixed seed but the k-means quantizer is not
-    // SQL-recomputable, so the driver records the rows-only check; recall
-    // vs brute force is spec-tested (SimilaritySpec)
+    // LLM-pipeline: IVF-Flat ANN, the similarity-search scale path — the
+    // seeded k-means quantizer is deterministic, so the TRAINED centroids
+    // are exported (Similarity.trainedCentroids) and the oracle re-derives
+    // cell assignment, nProbe probing and the cosine re-rank entirely in
+    // SQL (ivfOracleSql); recall vs brute force is spec-tested
     "q_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.Similarity
@@ -926,8 +927,65 @@ SELECT token,
 FROM ll ORDER BY token"""
   }
 
+  /** IVF-Flat fully re-derived in SQL from the exported trained centroids:
+    * cell assignment as the argmin of the double-precision squared L2
+    * distance — `list_inner_product(diff, diff)` is the same left-to-right
+    * IEEE fold as the engine's accumulation loop (the q_knn_cosine folding
+    * contract applied to distances), ties broken on ascending cell id on
+    * both sides — then nProbe probing for the query set and the exact
+    * cosine re-rank within probed cells. The centroids are data-dependent
+    * (trained on the sf directory's embeddings with the engine's own code
+    * path), which is why this entry lives in [[oracleSqlFor]] rather than
+    * the static [[oracleSql]] map. */
+  private def ivfOracleSql(spark: SparkSession, dir: String): String = {
+    val centroids = graft.similarity.Similarity.trainedCentroids(
+      tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCells = 8, seed = 42L, sampleSize = 10000)
+    val vals = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n  ")
+    s"""WITH cent(cell, cv) AS (VALUES
+  $vals),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+d AS (
+  SELECT vec_id, cell,
+    list_inner_product(list_transform(range(1, len(vec) + 1), i -> vec[i] - cv[i]),
+                       list_transform(range(1, len(vec) + 1), i -> vec[i] - cv[i])) AS d2
+  FROM v CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d WHERE vec_id < 5)
+  WHERE rn <= 3),
+s AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+    list_cosine_similarity(vq.vec, vn.vec) AS sim
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+  JOIN v vq ON vq.vec_id = p.vec_id
+  JOIN v vn ON vn.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s)
+WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** The full oracle map for one sf directory: the static [[oracleSql]]
+    * entries plus the data-dependent ones (IVF centroids are trained on
+    * the directory's own tables before being inlined as SQL literals).
+    * Verify dumps THIS map — the DuckDB side of every check still runs
+    * entirely from the dumped SQL. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql + ("q_knn_ivf" -> ivfOracleSql(spark, dir))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (see
+    * [[oracleSqlFor]] for the data-dependent additions). */
   def oracleSql: Map[String, String] = Map(
     "q_clean_text" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +

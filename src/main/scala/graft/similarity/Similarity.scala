@@ -302,14 +302,29 @@ object Similarity {
     centroids
   }
 
+  /** Squared L2 distance in '''double''' precision with a left-to-right
+    * accumulation order: each term is `(double(v_i) − double(c_i))²`, summed
+    * in index order. This is the exact IEEE sequence
+    * `list_inner_product(diff, diff)` produces in DuckDB on `DOUBLE[]`
+    * inputs, which is what lets the oracle re-derive cell assignment from
+    * the exported centroids bit-for-bit (the q_knn_cosine folding
+    * contract, applied to distances). */
+  private def dist2(v: Array[Float], ct: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < v.length) {
+      val x = v(i).toDouble - ct(i).toDouble
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
   private def nearestCell(v: Array[Float], centroids: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
-      var d = 0.0; var i = 0
-      val ct = centroids(c)
-      while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
-      if (d < bestD) { bestD = d; best = c }
+      val d = dist2(v, centroids(c))
+      if (d < bestD) { bestD = d; best = c } // strict < : ties keep the lowest cell id
       c += 1
     }
     best
@@ -317,13 +332,8 @@ object Similarity {
 
   private def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Seq[Int] =
     centroids.indices
-      .map { c =>
-        var d = 0.0; var i = 0
-        val ct = centroids(c)
-        while (i < v.length) { val x = v(i) - ct(i); d += x * x; i += 1 }
-        (c, d)
-      }
-      .sortBy(_._2)
+      .map(c => (c, dist2(v, centroids(c))))
+      .sortBy(_._2) // stable: ties keep ascending cell id
       .take(n)
       .map(_._1)
 
@@ -343,6 +353,35 @@ object Similarity {
     * share one hash and enter all-or-nothing). Deterministic for a fixed
     * seed; executes as TakeOrderedAndProject — each partition keeps a
     * `sampleSize` heap, no full sort, no extra scan. */
+  /** The coarse quantizer's trained centroids for a given corpus and
+    * seed — deterministic (seeded hash-ordered sample, seeded Lloyd), and
+    * exposed so an external checker can re-derive cell assignment,
+    * probing, and re-ranking from the same constants: the
+    * shared-config/independent-recompute pattern of [[lshPlanes]] /
+    * `Dedup.minHashParams`, extended to a '''data-dependent''' config (the
+    * oracle builder trains on the same table with the same code path,
+    * then hands DuckDB only the centroid literals — assignment, probing
+    * and cosine re-rank are re-derived in SQL). */
+  def trainedCentroids(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): Array[Array[Float]] = {
+    import corpus.sparkSession.implicits._
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(idCol)))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .as[Seq[Float]]
+      .collect()
+      .map(_.toArray)
+    require(sample.nonEmpty, "trainedCentroids: empty corpus")
+    trainCentroids(sample, nCells, seed)
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -353,17 +392,7 @@ object Similarity {
       nProbe: Int = 3,
       seed: Long = 42L,
       sampleSize: Int = 10000): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val sample = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(lit(seed), col(idCol)))
-      .limit(sampleSize)
-      .select(col(vecCol))
-      .as[Seq[Float]]
-      .collect()
-      .map(_.toArray)
-    require(sample.nonEmpty, "ivfTopK: empty corpus")
-    val centroids = trainCentroids(sample, nCells, seed)
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
 
     val assignCell = udf { v: Seq[Float] => nearestCell(v.toArray, centroids) }
     val probeCells = udf { v: Seq[Float] => nearestCells(v.toArray, centroids, nProbe) }

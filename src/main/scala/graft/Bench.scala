@@ -34,6 +34,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       if (failed) failures += 1
+      // Drop anything a query registered in the CacheManager so no later
+      // query (or pass) silently reads an InMemoryTableScan where the
+      // real plan would scan and tokenize the corpus — cached-plan
+      // substitution would make the medians measure the wrong stage.
+      spark.catalog.clearCache()
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Collocation statistics over the token stream (beyond-reference text
   * analytics; the adjacency/PMI definitions follow Church & Hanks 1990,
@@ -15,10 +14,23 @@ import org.apache.spark.storage.StorageLevel
   * window cannot provide safely — bigram type counts are NOT bounded the
   * way unigram vocabularies are (tens of billions on a web corpus), so an
   * unpartitioned window would funnel the whole counts table through a
-  * single partition. Instead the counts frame is persisted and the total
-  * is a 1-row aggregate (map-side partial sums, 16 bytes to the driver)
-  * inlined as a literal — the persist makes the second traversal a cache
-  * read, never a second corpus scan.
+  * single partition. Instead the counts frame is locally checkpointed and
+  * the total is a 1-row aggregate (map-side partial sums, 16 bytes to the
+  * driver) inlined as a literal — the checkpoint makes the second
+  * traversal a block read, never a second corpus scan.
+  *
+  * Why `localCheckpoint` and not `Dataset.persist`: a Dataset-level
+  * persist registers the plan in the session's `CacheManager`, which holds
+  * a strong reference until an explicit `unpersist()` — a library function
+  * that persists and returns would leak one vocabulary-scale cache per
+  * invocation for the session lifetime (and the CacheManager would
+  * silently substitute the cached plan into unrelated queries). A local
+  * checkpoint materializes plain RDD blocks with no CacheManager entry;
+  * those blocks ARE released by the `ContextCleaner` once the returned
+  * frame becomes unreachable. The trade-off is truncated lineage: on
+  * executor loss the job fails fast instead of recomputing — acceptable
+  * for a frame that is consumed promptly, and it removes the
+  * nondeterministic-recompute hazard outright.
   */
 object Collocations {
 
@@ -45,22 +57,19 @@ object Collocations {
     * `pmi = ln(n_ab * N / (n_a * n_b))` with margins `n_a = Σ_b n_ab`,
     * `n_b = Σ_a n_ab` and `N = Σ n_ab`.
     *
-    * The returned frame reads a persisted copy of the bigram counts (the
-    * grand total is collected from it as a 1-row aggregate and inlined as
-    * a literal — see the object scaladoc for why a global window is not an
-    * option at bigram cardinalities). The cache is vocabulary-scale, is
-    * shared by the margins and the total, and is released by Spark's
-    * ContextCleaner once the returned frame is unreferenced; callers
-    * holding the result across a long job can drop it earlier via
-    * `df.sparkSession.sharedState.cacheManager` or by re-deriving from
-    * [[bigramCounts]] with their own lifecycle. */
+    * The returned frame reads a locally-checkpointed copy of the bigram
+    * counts (the grand total is collected from it as a 1-row aggregate and
+    * inlined as a literal — see the object scaladoc for why a global
+    * window is not an option at bigram cardinalities, and why the
+    * checkpoint is not a `persist`). The blocks are vocabulary-scale,
+    * shared by the margins and the total, and released by the
+    * ContextCleaner once the returned frame is unreferenced. */
   def bigramPmi(
       df: DataFrame,
       textCol: String,
       idCol: String,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
-    val pc = bigramCounts(df, textCol, idCol, model)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pc = bigramCounts(df, textCol, idCol, model).localCheckpoint(true)
     val nTotal = pc.agg(coalesce(sum("n_ab"), lit(0L))).head.getLong(0)
     val byW1 = Window.partitionBy("w1")
     val byW2 = Window.partitionBy("w2")

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * shuffle — a single conditional aggregation
   * (`groupBy(token).agg(sum(when(corpus0,1)), sum(when(!corpus0,1)))`)
   * replaces two filtered passes plus a full-outer join. The corpus totals
-  * are a 1-row aggregate over a persisted copy of the counts table, collected
-  * to the driver and injected as literals (16 bytes at any scale) — never an
-  * unpartitioned window (which would single-partition the counts table) and
-  * never a second corpus scan (the persist makes the totals traversal a
-  * cache read).
+  * are a 1-row aggregate over a locally-checkpointed copy of the counts
+  * table, collected to the driver and injected as literals (16 bytes at any
+  * scale) — never an unpartitioned window (which would single-partition the
+  * counts table) and never a second corpus scan (the checkpoint makes the
+  * totals traversal a block read). See `Collocations`' scaladoc for why
+  * the checkpoint is `localCheckpoint` and not `Dataset.persist` (a
+  * persist-and-return would leak a CacheManager entry per invocation).
   */
 object TokenFrequencies {
 
@@ -90,17 +92,19 @@ object TokenFrequencies {
     * factor BIC, effect size ELL, significance stars, percents, relative
     * risk, log ratio, odds ratio.
     *
-    * ONE traversal of the `counts` subtree: the frame is persisted, the
-    * corpus totals are a 1-row aggregate on the persisted copy (map-side
-    * partial sums, 16 bytes to the driver) inlined as literals, and the
-    * returned plan reads the same cache. No window runs unpartitioned —
-    * natural-language vocabularies are plausibly bounded, but this
-    * function is also reached with open token spaces (ids, n-grams) where
-    * a global window would single-partition the whole table. The cache is
-    * vocabulary-sized and is reclaimed by Spark's ContextCleaner once the
+    * ONE traversal of the `counts` subtree: the frame is locally
+    * checkpointed, the corpus totals are a 1-row aggregate on the
+    * checkpointed copy (map-side partial sums, 16 bytes to the driver)
+    * inlined as literals, and the returned plan reads the same blocks. No
+    * window runs unpartitioned — natural-language vocabularies are
+    * plausibly bounded, but this function is also reached with open token
+    * spaces (ids, n-grams) where a global window would single-partition
+    * the whole table. The blocks are vocabulary-sized, live outside the
+    * CacheManager (no session-lifetime leak, no cached-plan substitution
+    * into other queries), and are reclaimed by the ContextCleaner once the
     * returned frame is unreferenced. */
   def tokenFrequencyStatsFromCounts(counts: DataFrame): DataFrame = {
-    val persisted = counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = counts.localCheckpoint(true)
     val totals = persisted.agg(
       coalesce(sum("freq_corpus_0"), lit(0L)).as("t0"),
       coalesce(sum("freq_corpus_1"), lit(0L)).as("t1")).head()

@@ -48,17 +48,19 @@ object Ctfidf {
     * table. Output: `topic, rank, token, score` (score descending,
     * alphabetical tie-break).
     *
-    * Plan shape: the counts table is persisted and traversed once by the
-    * returned plan — the per-topic word totals and corpus-wide term
-    * frequency are '''partitioned windows''' over it (a join formulation
-    * would make Catalyst recompute the tokenize→explode→agg subtree once
-    * per join branch: 3 corpus scans in one plan), while the global `A`
-    * average is a 1-row aggregate on the persisted copy inlined as a
-    * literal — never an unpartitioned window, which would funnel the
-    * (topic × token)-cardinality table through one partition. The cache
-    * is reclaimed by ContextCleaner once the result is unreferenced. */
+    * Plan shape: the counts table is locally checkpointed and traversed
+    * once by the returned plan — the per-topic word totals and corpus-wide
+    * term frequency are '''partitioned windows''' over it (a join
+    * formulation would make Catalyst recompute the tokenize→explode→agg
+    * subtree once per join branch: 3 corpus scans in one plan), while the
+    * global `A` average is a 1-row aggregate on the checkpointed copy
+    * inlined as a literal — never an unpartitioned window, which would
+    * funnel the (topic × token)-cardinality table through one partition.
+    * The blocks live outside the CacheManager (no session-lifetime leak —
+    * see `Collocations`' scaladoc) and are reclaimed by the ContextCleaner
+    * once the result is unreferenced. */
   def topTerms(termCounts: DataFrame, topK: Int = 10): DataFrame = {
-    val persisted = termCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = termCounts.localCheckpoint(true)
     val tot = persisted.agg(
       coalesce(sum("cnt"), lit(0L)).as("words"),
       countDistinct("topic").as("topics")).head()

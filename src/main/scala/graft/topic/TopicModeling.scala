@@ -183,7 +183,11 @@ object TopicModeling {
       val keywords: Map[Int, Seq[(String, Double)]] = timed("ctfidf_scores") {
         if (nTopics == 0) Map.empty
         else
-          try Ctfidf
+          // topTerms localCheckpoints its counts input (no CacheManager
+          // entry); the blocks are released by the ContextCleaner once this
+          // collect — their only consumer — returns and they fall out of
+          // scope
+          Ctfidf
             .topTerms(termCounts, cfg.topK)
             .as[(Int, Long, String, Double)]
             .collect()
@@ -191,10 +195,6 @@ object TopicModeling {
             .view
             .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
             .toMap
-          // topTerms persists its counts input; the collect above is its
-          // only consumer here, so release the cache immediately instead
-          // of waiting for the ContextCleaner
-          finally termCounts.unpersist()
       }
 
       // 7. rollup — distributed, over the label triples (chunk-free plan)

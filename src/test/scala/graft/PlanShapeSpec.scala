@@ -38,16 +38,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("keyness: totals are driver literals over one persisted counts pass — no joins") {
+  test("keyness: totals are driver literals over one checkpointed counts pass — no joins") {
     val df = SparkEntry.queries("q_keyness_en_rest")(spark, dir)
     assertNoGlobalWindow(df)
     val plan = finalPlan(df)
-    assert(plan.contains("InMemoryTableScan"), plan)
+    // the scoring plan reads the localCheckpoint blocks, not the corpus —
+    // and registers NOTHING in the CacheManager (a persist-and-return
+    // would leak a vocabulary-scale cache per call for the session's life)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("FileScan"), plan)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library functions must not leave CacheManager entries behind")
     assert(!plan.contains("Join"), "keyness must not join — totals are inlined literals")
-    // the cached counts subtree itself is the single corpus scan (drop the
-    // session cache first or the identical persisted plan gets substituted
-    // into this probe frame)
-    spark.catalog.clearCache()
+    // the checkpointed counts subtree itself is the single corpus scan
     import org.apache.spark.sql.functions.col
     val counts = graft.text.TokenFrequencies.conditionalTokenFrequencies(
       spark.read.parquet(s"$dir/documents.parquet"), "text", col("lang") === "en")
@@ -70,13 +73,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("c-TF-IDF and rollup tokenize the corpus exactly once (one-pass shapes)") {
-    // the scoring plan reads the persisted counts; the counts subtree is
-    // the single tokenize pass
+    // the scoring plan reads the checkpointed counts; the counts subtree
+    // is the single tokenize pass
     val df = SparkEntry.queries("q_ctfidf_topk")(spark, dir)
     assertNoGlobalWindow(df)
     val ctfidf = finalPlan(df)
-    assert(ctfidf.contains("InMemoryTableScan"), ctfidf)
-    spark.catalog.clearCache() // see keyness test: avoid cache substitution
+    assert(ctfidf.contains("Scan ExistingRDD"), ctfidf)
+    assert(!ctfidf.contains("FileScan"), ctfidf)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "topTerms must not leave CacheManager entries behind")
     import org.apache.spark.sql.functions.col
     val counts = graft.topic.Ctfidf.countTopicTerms(
       spark.read.parquet(s"$dir/documents.parquet"), "text", col("lang"))
@@ -104,18 +109,20 @@ class PlanShapeSpec extends SparkSpec {
       "pair dedup must be a hash aggregate (no array buffers)")
   }
 
-  test("bigram PMI: partitioned margin windows over one persisted counts pass; total is a literal") {
+  test("bigram PMI: partitioned margin windows over one checkpointed counts pass; total is a literal") {
     val df = SparkEntry.queries("q_bigram_pmi")(spark, dir)
     // the r5 scale-killer: an unpartitioned n_total window single-partitions
     // the bigram-counts table, which (unlike a unigram vocabulary) is
     // unbounded at corpus scale
     assertNoGlobalWindow(df)
     val plan = finalPlan(df)
-    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("FileScan"), plan)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "bigramPmi must not leave CacheManager entries behind")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       "margins must ride partitioned windows over the one aggregation")
-    // the cached counts subtree is one scan + one tokenize pass
-    spark.catalog.clearCache() // see keyness test: avoid cache substitution
+    // the checkpointed counts subtree is one scan + one tokenize pass
     val counts = graft.text.Collocations.bigramCounts(
       spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
     assert(count(finalPlan(counts), "FileScan parquet") == 1)

@@ -713,7 +713,45 @@ object SparkEntry {
             sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
               lit(0.0), (acc, v) => acc + v * v)), 4).as("emb_norm"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // §2.5 #13 nested variant (reference `src/expressions.rs:690-752`:
+    // `List(String) → List(embedding)` — flatten, embed, regroup). The doc
+    // is split into segments; each segment embeds independently and the
+    // per-segment norms surface one row per (doc, segment). Pseudo-model →
+    // rows-only, like q_embed_docs; the flatten/regroup contract itself is
+    // pinned by EmbedderSpec.
+    "q_embed_nested" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn(
+          "segs",
+          filter(split(col("text"), " the "), x => x =!= ""))
+        .withColumn("embs", graft.embed.Embedders.embeddingList(col("segs")))
+        .select(col("doc_id"), posexplode(col("embs")).as(Seq("seg_idx", "emb")))
+        .select(
+          col("doc_id"),
+          col("seg_idx").cast("long").as("seg_idx"),
+          size(col("emb")).cast("long").as("emb_dim"),
+          round(
+            sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
+              lit(0.0), (acc, v) => acc + v * v)), 4).as("emb_norm"))
+        .orderBy("doc_id", "seg_idx")),
+
+    // §2.3 #10 concordance in regex mode: same KWIC contract, pattern taken
+    // as a raw regex with caseSensitive=true — pins the `regex`/
+    // `case_sensitive` kwargs surface (reference
+    // `polars_text/functions.py:74-96`). `s[ct][a-z]{2}` hits three
+    // distinct match texts on this corpus ("scan", "stre" in "stream",
+    // "stom" in "customer"), including mid-word matches whose partial-word
+    // context tokens exercise the tokenize-the-remainder semantics.
+    "q_concordance_regex" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(Concordance.concordanceCol(
+            col("text"), "s[ct][a-z]{2}", 5, 5, regex = true, caseSensitive = true)).as("c"))
+        .select(col("doc_id"), col("c.*"))
+        .orderBy("doc_id", "start_idx")))
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
@@ -1145,6 +1183,34 @@ SELECT doc_id,
   coalesce(array_to_string(rtoks[1:least(5, len(rtoks))], ' '), '') AS right_context,
   CAST(pos - 1 AS BIGINT) AS start_idx,
   CAST(pos + 4 AS BIGINT) AS end_idx,
+  coalesce(ltoks[len(ltoks)], '') AS l1,
+  coalesce(rtoks[1], '') AS r1
+FROM ctx ORDER BY doc_id, start_idx""",
+
+    // Regex mode re-derived by enumerating candidate positions: the
+    // pattern is FIXED-LENGTH (4 chars), so "substring at i matches
+    // ^…$" enumerates exactly the engine's matcher.find() results —
+    // candidates on this corpus can never overlap (a letters-only match
+    // cannot span the space between words, and no vocabulary word
+    // contains two `s[ct]` starts within 3 chars), so find()'s
+    // skip-past-match-end drops nothing.
+    "q_concordance_regex" ->
+      """WITH m AS (
+  SELECT doc_id, text,
+         unnest(list_filter(range(1, length(text) + 1),
+                            i -> regexp_matches(substring(text, i, 4), '^s[ct][a-z]{2}$'))) AS pos
+  FROM documents),
+ctx AS (
+  SELECT doc_id, pos, substring(text, pos, 4) AS mt,
+    list_filter(regexp_split_to_array(substring(text, 1, pos - 1), '\s+'), s -> s <> '') AS ltoks,
+    list_filter(regexp_split_to_array(substring(text, pos + 4), '\s+'), s -> s <> '') AS rtoks
+  FROM m)
+SELECT doc_id,
+  coalesce(array_to_string(ltoks[greatest(len(ltoks) - 4, 1):len(ltoks)], ' '), '') AS left_context,
+  mt AS matched_text,
+  coalesce(array_to_string(rtoks[1:least(5, len(rtoks))], ' '), '') AS right_context,
+  CAST(pos - 1 AS BIGINT) AS start_idx,
+  CAST(pos + 3 AS BIGINT) AS end_idx,
   coalesce(ltoks[len(ltoks)], '') AS l1,
   coalesce(rtoks[1], '') AS r1
 FROM ctx ORDER BY doc_id, start_idx""",

@@ -28,6 +28,19 @@ object SparkEntry {
   private lazy val tokCacheDir: String =
     java.nio.file.Files.createTempDirectory("graft-tokcache-").toString
 
+  /** File streams list a directory; the testdata ships single parquet
+    * files. Stage a copy once per (JVM, source file) — repeated bench
+    * passes reuse it. The read-only source is never touched. */
+  private val stageRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDir(src: String): String =
+    stageRoots.computeIfAbsent(src, { s =>
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s),
+        d.resolve(java.nio.file.Paths.get(s).getFileName))
+      d.toString
+    })
+
   val WordPieceModelId = "local:wordpiece-fixture"
   private lazy val wordPieceRegistered: Unit = {
     val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
@@ -136,6 +149,40 @@ object SparkEntry {
           col("n_events"),
           col("sum_value").cast("string").as("sum_value"),
           col("n_users"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Structured Streaming under the exact oracle: the same tumbling-window
+    // aggregation as q_event_windows (minus the distinct-user count, which
+    // streaming aggregation does not support) executed as a REAL
+    // readStream → writeStream run — file source, watermark,
+    // Trigger.AvailableNow drains it, Complete mode materializes the final
+    // window state in the memory sink. The returned frame reads that sink,
+    // so the driver compares a genuine streaming execution against DuckDB's
+    // batch SQL: the stream/batch unification contract, oracle-checked.
+    "q_stream_event_windows" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = tbl(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(stagedDir(s"$dir/events.parquet"))
+        .withColumn("ets", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val agg = graft.streaming.TextStream
+        .windowedEventStats(stream, "ets", "event_type", "value")
+      s.catalog.dropTempView("graft_stream_event_windows")
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("graft_stream_event_windows")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_event_windows")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value").cast("string").as("sum_value"))
         .orderBy("window_start", "event_type")
     }),
 
@@ -1059,6 +1106,14 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
   count(*) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stream_event_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2""",
 

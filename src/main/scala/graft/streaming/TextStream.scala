@@ -40,6 +40,33 @@ object TextStream {
         col("freq"))
   }
 
+  /** Event-time tumbling-window stats over a typed event stream: the
+    * streaming twin of the batch `q_event_windows` relational query. One
+    * shuffle keyed on `(window, type)`; DECIMAL sums keep the result
+    * engine-exact (double summation is order-dependent). `countDistinct`
+    * is deliberately absent — distinct aggregation is unsupported in
+    * streaming; a distinct-user count would chain a second stateful
+    * aggregation instead. Late data beyond `watermark` is dropped; in
+    * append mode closed windows leave the state store. */
+  def windowedEventStats(
+      stream: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+
   /** Streaming exact dedup: first occurrence of each normalized content
     * hash within the watermark horizon survives. Uses Spark's native
     * `dropDuplicatesWithinWatermark` so the hash state is evicted once the

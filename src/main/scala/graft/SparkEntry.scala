@@ -637,6 +637,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quality tier: Gopher/C4-style repetition metrics — pure Column
+    // program, one tokenize, zero shuffle (scan-speed curation signal)
+    "q_repetition" -> ((s, dir) => {
+      val rounded = graft.text.Repetition.repetitionMetrics(col("text")).map {
+        case (n @ ("dup_word_frac" | "top_word_frac" | "dup_bigram_frac"), c) =>
+          round(c, 6).as(n)
+        case (n, c) => c.as(n)
+      }
+      tbl(s, dir, "documents")
+        .select(col("doc_id") +: rounded: _*)
+        .orderBy("doc_id")
+    }),
+
     // text-analysis tier: rolling-hash fingerprint over normalized text
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -1489,6 +1502,36 @@ ORDER BY c.doc_id, c.topic_id""",
 
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+
+    // Repetition metrics re-derived relationally: list-level metrics from
+    // the token array; the top-word count and the longest consecutive run
+    // via unnest-with-subscripts (gap-islands for runs).
+    "q_repetition" ->
+      """WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+  FROM documents),
+lists AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+    list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM base),
+tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM base),
+grp AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+topw AS (SELECT doc_id, max(cnt) AS top_cnt FROM grp GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, max(runlen) AS max_run FROM (
+    SELECT doc_id, count(*) AS runlen
+    FROM (SELECT doc_id, w, i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS isl FROM tok)
+    GROUP BY doc_id, w, isl)
+  GROUP BY doc_id)
+SELECT l.doc_id,
+  CAST(l.n AS BIGINT) AS n_words,
+  round(CASE WHEN l.n > 0 THEN 1.0 - CAST(l.nd AS DOUBLE) / l.n ELSE 0.0 END, 6) AS dup_word_frac,
+  round(CASE WHEN l.n > 0 THEN CAST(t.top_cnt AS DOUBLE) / l.n ELSE 0.0 END, 6) AS top_word_frac,
+  round(CASE WHEN len(l.bigrams) > 0 THEN 1.0 - CAST(len(list_distinct(l.bigrams)) AS DOUBLE) / len(l.bigrams) ELSE 0.0 END, 6) AS dup_bigram_frac,
+  CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_word_run
+FROM lists l LEFT JOIN topw t USING (doc_id) LEFT JOIN runs r USING (doc_id)
+ORDER BY l.doc_id""",
     "q_clean_pipeline" -> cleanPipelineSql,
 
     "q_orders_rollup" ->

@@ -637,6 +637,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // search tier: BM25 lexical retrieval over the corpus — one tokenize,
+    // one (doc, term) aggregation (dl rides the key), constants as
+    // literals, posting-list-sized term frame, bounded TakeOrdered top-k.
+    // Rounded before ranking so float ulp noise cannot flip the cut line.
+    "q_bm25_search" -> ((s, dir) =>
+      graft.similarity.Bm25
+        .search(tbl(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "join", "window"), k = 20)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
     // quality tier: Gopher/C4-style repetition metrics — pure Column
     // program, one tokenize, zero shuffle (scan-speed curation signal)
     "q_repetition" -> ((s, dir) => {
@@ -1502,6 +1513,40 @@ ORDER BY c.doc_id, c.topic_id""",
 
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+
+    // BM25 re-derived end-to-end. Float-exactness notes: constants appear
+    // as the same IEEE literals/ops as the engine ((1.2 + 1.0), not 2.2 —
+    // they differ in the last ulp); the per-doc sum is a list_reduce over
+    // term-ordered scores, bit-matching the engine's sorted fold, so
+    // exact ties rank identically and the top-20 cut is deterministic.
+    "q_bm25_search" ->
+      """WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+  FROM documents),
+tfs AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY 1, 2, 3),
+corpus AS (
+  -- all documents, including any empty ones (the engine's N is count(*))
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM base),
+hits AS (
+  SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
+  FROM tfs WHERE term IN ('spark', 'join', 'window')),
+scored AS (
+  SELECT h.doc_id, h.term,
+    ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
+      * (h.tf * (1.2 + 1.0)) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS score_t
+  FROM hits h, corpus c),
+docs AS (
+  SELECT doc_id,
+    list_reduce(list(score_t ORDER BY term), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM docs ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     // Repetition metrics re-derived relationally: list-level metrics from
     // the token array; the top-word count and the longest consecutive run

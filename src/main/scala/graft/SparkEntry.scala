@@ -220,6 +220,41 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Streaming sessionization under the exact oracle: the q_sessions
+    // aggregation executed as a real stream (same session_window operator —
+    // the batch/streaming unification is literal here). Complete mode
+    // materializes the final merged session state; the gap-island SQL
+    // oracle is shared with the batch query verbatim.
+    "q_stream_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = tbl(s, dir, "events").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(stagedDir(s"$dir/events.parquet"))
+        .withColumn("ets", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        .withWatermark("ets", "12 hours")
+        .groupBy(session_window(col("ets"), "6 hours").as("session"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      s.catalog.dropTempView("graft_stream_sessions")
+      val q = stream.writeStream
+        .format("memory")
+        .queryName("graft_stream_sessions")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_sessions")
+        .select(
+          col("user_id"),
+          date_format(col("session.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"),
+          col("sum_value").cast("string").as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -1336,6 +1371,24 @@ FROM c ORDER BY doc_id""",
       s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
 
     "q_sessions" ->
+      """WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // identical semantics, genuinely-streamed execution
+    "q_stream_sessions" ->
       """WITH o AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL

@@ -672,6 +672,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cleaning tier: C4-style scrub. The corpus itself is clean, so the
+    // query injects deterministic URL/e-mail literals into each document
+    // (both sides of the oracle build the same dirty string) — the
+    // redaction genuinely fires on every row and the untouched corpus
+    // prefix pins zero false positives.
+    "q_scrub" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn(
+          "dirty",
+          concat(col("text"), lit(" ping bob.smith+x@mail.example.co or " +
+            "https://spark.apache.org/docs?q=a@b.c or www.data.net/x end")))
+        .select(col("doc_id"), graft.text.Scrub.scrub(col("dirty")).as("scrubbed"))
+        .orderBy("doc_id")),
+
+    // embedding analytics: per-label centroids via the typed Aggregator —
+    // ONE hash aggregate with map-side partial (sums, count) buffers; the
+    // vectors themselves never shuffle (vs posexplode's rows×dims records)
+    "q_embed_centroids" -> ((s, dir) =>
+      graft.embed.VectorAgg
+        .centroids(tbl(s, dir, "embeddings"), "embedding", "label")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(
+          col("label"),
+          col("dim").cast("long").as("dim"),
+          round(col("c"), 6).as("c"))
+        .orderBy("label", "dim")),
+
     // search tier: BM25 lexical retrieval over the corpus — one tokenize,
     // one (doc, term) aggregation (dl rides the key), constants as
     // literals, posting-list-sized term frame, bounded TakeOrdered top-k.
@@ -1566,6 +1593,28 @@ ORDER BY c.doc_id, c.topic_id""",
 
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+
+    // Same scrub patterns (the portable Java/RE2 regex subset), same
+    // injected literals, replace-all on both engines.
+    "q_scrub" ->
+      """SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' ping bob.smith+x@mail.example.co or https://spark.apache.org/docs?q=a@b.c or www.data.net/x end',
+        '(?i)\b(?:https?://|www\.)[^\s]+', '<URL>', 'g'),
+      '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
+    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS scrubbed
+FROM documents ORDER BY doc_id""",
+
+    // Dimension-wise mean per label: engine sums Float→Double widened
+    // values and divides by count; avg over CAST AS DOUBLE is the same
+    // arithmetic (summation order differs → round(6) + compare epsilon).
+    "q_embed_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(avg(CAST(x AS DOUBLE)), 6) AS c
+FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i ORDER BY label, dim""",
 
     // BM25 re-derived end-to-end. Float-exactness notes: constants appear
     // as the same IEEE literals/ops as the engine ((1.2 + 1.0), not 2.2 —

@@ -129,6 +129,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(finalPlan(counts), "tokenize_plain_words") == 1)
   }
 
+  test("bm25 search is zero-shuffle: one scan into a bounded TakeOrdered") {
+    val plan = finalPlan(SparkEntry.queries("q_bm25_search")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(!plan.contains("Exchange"), "BM25 must not shuffle — constants are literals, " +
+      "tf is elementwise, top-k is TakeOrdered:\n" + plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("repetition and scrub are scan-speed: no aggregation shuffle, no UDF") {
+    for (q <- Seq("q_repetition", "q_scrub")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      // the only exchange allowed is the oracle-determinism orderBy tail
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"$q:\n$plan")
+      assert(count(plan, "FileScan parquet") == 1, s"$q:\n$plan")
+    }
+  }
+
   test("region revenue joins the dim chain by broadcast only") {
     val plan = finalPlan(SparkEntry.queries("q_region_revenue")(spark, dir))
     assert(!plan.contains("SortMergeJoin"),

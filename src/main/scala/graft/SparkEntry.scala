@@ -672,6 +672,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation telemetry: the one-row corpus profile (2 scans: elementwise
+    // scalars + the one token-level distinct; five scalars to the driver)
+    "q_corpus_profile" -> ((s, dir) =>
+      graft.text.CorpusProfile
+        .profile(tbl(s, dir, "documents"), "text", langCol = Some("lang"))
+        .withColumn("avg_doc_len", round(col("avg_doc_len"), 6))),
+
     // cleaning tier: C4-style scrub. The corpus itself is clean, so the
     // query injects deterministic URL/e-mail literals into each document
     // (both sides of the oracle build the same dirty string) — the
@@ -1593,6 +1600,19 @@ ORDER BY c.doc_id, c.topic_id""",
 
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+
+    "q_corpus_profile" ->
+      """WITH base AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+  FROM documents)
+SELECT
+  (SELECT count(*) FROM base) AS n_docs,
+  (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM base) AS n_tokens,
+  round((SELECT CAST(coalesce(sum(len(toks)), 0) AS DOUBLE) FROM base)
+        / (SELECT count(*) FROM base), 6) AS avg_doc_len,
+  (SELECT count(DISTINCT t) FROM (SELECT unnest(toks) AS t FROM base)) AS vocab_size,
+  (SELECT count(DISTINCT lang) FROM base) AS n_langs""",
 
     // Same scrub patterns (the portable Java/RE2 regex subset), same
     // injected literals, replace-all on both engines.

@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-row corpus profile — the `describe()` a curation pipeline runs
+  * before and after every major stage (scrub → dedup → quality gate) to
+  * watch volumes move: document count, token count, vocabulary size,
+  * mean document length, language count.
+  *
+  * Scale design (100 TB): two scans, each the cheapest possible shape.
+  * Scan 1 is a pure elementwise 1-row aggregate (doc count, token totals
+  * via `size(tokenize(...))` — no explode, the array never materializes
+  * past the count — plus a distinct-lang count over a low-cardinality
+  * column). Scan 2 is the one genuinely token-level statistic,
+  * vocabulary size: explode → distinct-count, one shuffle keyed on
+  * token. The two 1-row results meet in a trivial cross join. Driver
+  * state: five scalars.
+  */
+object CorpusProfile {
+
+  def profile(
+      df: DataFrame,
+      textCol: String,
+      langCol: Option[String] = None,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    val toks: Column = transform(
+      Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    val langAgg: Column = langCol match {
+      case Some(l) => countDistinct(col(l)).as("n_langs")
+      case None => lit(0L).as("n_langs")
+    }
+    val scalars = df.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(toks)), lit(0)).cast("long").as("n_tokens"),
+      langAgg)
+    val vocab = df
+      .select(explode(toks).as("token"))
+      .agg(countDistinct("token").as("vocab_size"))
+    scalars
+      .crossJoin(vocab)
+      .select(
+        col("n_docs"),
+        col("n_tokens"),
+        when(col("n_docs") > 0,
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)).as("avg_doc_len"),
+        col("vocab_size"),
+        col("n_langs"))
+  }
+}

@@ -255,6 +255,33 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Arbitrary streaming state under the exact oracle: the
+    // mapGroupsWithState running-totals operator streamed over the
+    // documents table in Update mode. Each micro-batch emits the updated
+    // per-key totals; totals are monotone, so max-per-key in the sink is
+    // the final state regardless of how the source splits into batches.
+    "q_stream_running_totals" -> ((s, dir) => {
+      val schema = tbl(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(stagedDir(s"$dir/documents.parquet"))
+      val totals = graft.streaming.TextStream
+        .runningTotals(stream, "lang", "text")
+        .toDF("key", "n_docs", "n_toks")
+      s.catalog.dropTempView("graft_stream_totals")
+      val q = totals.writeStream
+        .format("memory")
+        .queryName("graft_stream_totals")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_totals")
+        .groupBy(col("key"))
+        .agg(max("n_docs").as("n_docs"), max("n_toks").as("n_toks"))
+        .orderBy("key")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -1201,6 +1228,13 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the custom-state stream's final totals == the batch group-by
+    "q_stream_running_totals" ->
+      """SELECT lang AS key, count(*) AS n_docs,
+  CAST(sum(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'),
+    s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')))) AS BIGINT) AS n_toks
+FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q_stream_event_windows" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

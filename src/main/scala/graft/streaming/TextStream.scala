@@ -115,7 +115,14 @@ object TextStream {
     * `mapGroupsWithState` (the arbitrary-state API the brief's streaming
     * tier calls for — state the built-in aggregations can't express, e.g.
     * totals that must survive across windows without event-time bounds).
-    * Output mode: Update. State size is O(distinct keys). */
+    * Output mode: Update. State size is O(distinct keys).
+    *
+    * Scale shape: the per-group state function is serial per key, so the
+    * expensive work (tokenization) runs BEFORE the state shuffle as a
+    * stateless codegen'd projection — fully parallel across input
+    * partitions regardless of key cardinality — and the state update
+    * merely adds two longs per row. Tokenizing inside the group function
+    * would cap throughput at the number of distinct keys. */
   def runningTotals(
       stream: DataFrame,
       keyCol: String,
@@ -124,17 +131,20 @@ object TextStream {
     import org.apache.spark.sql.streaming.GroupStateTimeout
 
     stream
-      .select(col(keyCol).cast("string").as("key"), coalesce(col(textCol), lit("")).as("text"))
-      .as[(String, String)]
+      .select(
+        col(keyCol).cast("string").as("key"),
+        coalesce(size(Tokenize.tokenize(coalesce(col(textCol), lit("")))), lit(0))
+          .cast("long").as("n_toks"))
+      .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), (String, Long, Long)](GroupStateTimeout.NoTimeout) {
         case (key, rows, state) =>
           val (docs0, toks0) = state.getOption.getOrElse((0L, 0L))
           var docs = docs0
           var toks = toks0
-          rows.foreach { case (_, text) =>
+          rows.foreach { case (_, n) =>
             docs += 1
-            toks += graft.text.PlainTokenizer.tokenize(text).length
+            toks += n
           }
           state.update((docs, toks))
           (key, docs, toks)

@@ -699,6 +699,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup cluster resolution: SimHash near-dup pairs resolved into
+    // transitive connected components (min-label propagation, unique
+    // fixpoint → deterministic) — the keep-one-representative step after
+    // any pair-generating dedup operator
+    "q_dup_clusters" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .simHashNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id"))
+        .orderBy("doc_id")),
+
     // curation telemetry: the one-row corpus profile (2 scans: elementwise
     // scalars + the one token-level distinct; five scalars to the driver)
     "q_corpus_profile" -> ((s, dir) =>
@@ -1430,6 +1440,25 @@ FROM c ORDER BY doc_id""",
     "q_simhash" -> simHashSql,
 
     "q_simhash_pairs" -> simHashPairsSql,
+
+    // Connected components re-derived with a recursive CTE: reach(id, r)
+    // closes the symmetric edge set; min reachable id == the engine's
+    // min-label fixpoint (both are THE component minimum — unique).
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $simHashFpCtes,
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM lab ORDER BY doc_id""",
 
     "q_embed_neardup" -> embedNearDupSql,
 

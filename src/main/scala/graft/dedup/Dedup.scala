@@ -378,4 +378,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // -------------------------------------------------- cluster resolution
+
+  /** Transitive duplicate clusters from a near-dup pair list: connected
+    * components by iterative min-label propagation. Near-duplicate
+    * relations are not transitive pairwise (A≈B, B≈C but A̸≈C), yet a
+    * curation pipeline must keep ONE representative per connected group —
+    * this resolves the pair edges the MinHash/SimHash/Jaccard/cosine
+    * operators emit into `(doc_id, cluster_id, n_members)`, where
+    * `cluster_id` is the smallest member id (the canonical keep-candidate).
+    *
+    * Scale design (100 TB of pairs): Pregel-style label propagation — each
+    * round updates every vertex's label to the min of its own and its
+    * neighbors' (one edge-keyed join + one min-aggregate per round),
+    * converging in at most the component diameter rounds. Duplicate
+    * clusters are near-cliques, so diameters are tiny (2–3). Each round's
+    * result is `localCheckpoint`ed: iterative plans otherwise grow the
+    * lineage exponentially, re-deriving every prior round per action (the
+    * canonical Spark iterative-algorithm pattern). The fixpoint is unique,
+    * so the output is deterministic regardless of execution order.
+    *
+    * Throws if `maxIterations` rounds don't converge — a silent partial
+    * clustering would under-merge and leak duplicates downstream. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct() // symmetric, deduped: bounds the per-round join fanout
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst").as("nid"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    require(converged,
+      s"duplicateClusters did not converge in $maxIterations rounds — " +
+        "component diameter exceeds the bound; raise maxIterations")
+
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
 }

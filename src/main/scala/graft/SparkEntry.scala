@@ -699,6 +699,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation: GPT-3-style decontamination — 'en' as the eval split,
+    // every other language as training data; 3-grams on this vocabulary
+    // give a non-trivial overlap set
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.dedup.Decontaminate
+        .overlap(
+          docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"),
+          "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // dedup cluster resolution: SimHash near-dup pairs resolved into
     // transitive connected components (min-label propagation, unique
     // fixpoint → deterministic) — the keep-one-representative step after
@@ -1440,6 +1453,24 @@ FROM c ORDER BY doc_id""",
     "q_simhash" -> simHashSql,
 
     "q_simhash_pairs" -> simHashPairsSql,
+
+    // n-gram overlap re-derived with list_transform windows; DuckDB's
+    // range(a, b) is empty when b <= a, covering the short-doc case.
+    "q_decontaminate" ->
+      """WITH base AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM base),
+train AS (SELECT DISTINCT gram FROM g WHERE lang <> 'en'),
+test AS (SELECT DISTINCT doc_id, gram FROM g WHERE lang = 'en')
+SELECT t.doc_id, count(*) AS n_hits
+FROM test t JOIN train USING (gram)
+GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""",
 
     // Connected components re-derived with a recursive CTE: reach(id, r)
     // closes the symmetric edge set; min reachable id == the engine's

@@ -340,6 +340,21 @@ object SparkEntry {
           round(expr("percentile(word_cnt, 0.9)"), 6).as("p90_words"))
         .orderBy("lang")),
 
+    // curation: corpus-relative length gate — exact percentile thresholds
+    // computed once (2 doubles to the driver) and inlined as literals into
+    // a scan-side filter; the global-threshold-as-literal pattern as a
+    // user-facing operator
+    "q_length_gate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordCount(col("text")).as("wc"))
+      val q = docs
+        .agg(expr("percentile(wc, array(0.10, 0.99))").as("q"))
+        .head().getSeq[Double](0)
+      docs
+        .filter(col("wc") >= lit(q(0)) && col("wc") <= lit(q(1)))
+        .orderBy("doc_id")
+    }),
+
     // TPC-H-Q5-flavor: revenue by customer region/nation — the dim chain
     // (customer⋈nation⋈region) is broadcast, so the fact side shuffles
     // exactly once, on the order key
@@ -1610,6 +1625,19 @@ SELECT lang, count(*) AS n_docs,
   round(quantile_cont(word_cnt, 0.5), 6) AS p50_words,
   round(quantile_cont(word_cnt, 0.9), 6) AS p90_words
 FROM c GROUP BY lang ORDER BY lang""",
+
+    // Spark's exact percentile == DuckDB quantile_cont (linear
+    // interpolation on the sorted values)
+    "q_length_gate" ->
+      """WITH w AS (
+SELECT doc_id,
+CAST(CASE WHEN t = '' THEN 0
+     WHEN regexp_matches(t, '\s') THEN len(regexp_split_to_array(t, '\s+'))
+     WHEN regexp_matches(t, '^[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{20000}-\x{2A6DF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{AC00}-\x{D7AF}]+$') THEN length(t)
+     ELSE 1 END AS BIGINT) AS wc
+FROM (SELECT doc_id, regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS t FROM documents)),
+q AS (SELECT quantile_cont(wc, 0.10) AS lo, quantile_cont(wc, 0.99) AS hi FROM w)
+SELECT doc_id, wc FROM w, q WHERE wc >= lo AND wc <= hi ORDER BY doc_id""",
 
     "q_jaccard_pairs" ->
       s"""WITH tok AS (

@@ -42,6 +42,11 @@ object SparkEntry {
     })
 
   val WordPieceModelId = "local:wordpiece-fixture"
+
+  // Shared by the q_seq_pack closure and its oracle SQL (constants hoisted
+  // so the two sides cannot drift — the ivfOracleSql lesson).
+  val SeqPackBudget = 512
+  val SeqPackShards = 8
   private lazy val wordPieceRegistered: Unit = {
     val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
     require(in != null, "wordpiece_vocab.txt fixture missing from resources")
@@ -735,6 +740,40 @@ object SparkEntry {
       graft.dedup.Dedup
         .duplicateClusters(graft.dedup.Dedup
           .simHashNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id"))
+        .orderBy("doc_id")),
+
+    // dedup tier end-to-end: the survivor corpus after fuzzy dedup —
+    // cluster members other than the canonical (min-id) representative are
+    // dropped via ONE left-anti doc-keyed join; pair generation and
+    // cluster resolution never touch the document text
+    "q_neardup_survivors" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val losers = graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .simHashNearDuplicates(docs, "text", "doc_id"))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM-assembly tier: fixed-token-budget sequence packing — shard-local
+    // running totals (windows always PARTITIONED by shard; packing is the
+    // one inherently sequential pipeline step, so shards are the unit of
+    // parallelism), exact integer bin arithmetic
+    "q_seq_pack" -> ((s, dir) =>
+      graft.text.SequencePack
+        .pack(tbl(s, dir, "documents"), "text", "doc_id",
+          budget = SeqPackBudget, nShards = SeqPackShards)
+        .orderBy("doc_id")),
+
+    // curation tier: corpus-trained unigram-LM cross-entropy (the CCNet
+    // LM-quality signal, order-0, zero-egress) — vocab-sized model frame
+    // broadcast back over the token stream, grand total as a literal
+    "q_perplexity" -> ((s, dir) =>
+      graft.text.LanguageModel
+        .unigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
     // curation telemetry: the one-row corpus profile (2 scans: elementwise
@@ -1505,6 +1544,54 @@ lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id, cluster_id,
   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
 FROM lab ORDER BY doc_id""",
+
+    // same component resolution, composed to its end use: drop every
+    // member but the canonical min-id representative
+    "q_neardup_survivors" ->
+      s"""WITH RECURSIVE $simHashFpCtes,
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id""",
+
+    // exact integer packing arithmetic re-derived over the same token
+    // counts; constants shared with the closure (SeqPackBudget/Shards)
+    "q_seq_pack" ->
+      s"""WITH tc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+         s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS BIGINT) AS n_tokens,
+    CAST(doc_id % $SeqPackShards AS INT) AS shard
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM tc)
+SELECT doc_id, shard, n_tokens,
+  CAST(start_tok // $SeqPackBudget AS BIGINT) AS seq_id,
+  CAST(start_tok % $SeqPackBudget AS BIGINT) AS seq_offset
+FROM cum ORDER BY doc_id""",
+
+    // unigram model + scoring fully re-derived: p(w) from the corpus
+    // itself, per-doc mean -log2 p; round(6) absorbs log/libm ulp noise
+    "q_perplexity" ->
+      s"""WITH tok AS ($tokSql),
+v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v)
+SELECT doc_id, count(*) AS n_tokens,
+  round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
+FROM tok JOIN v USING (token)
+GROUP BY doc_id ORDER BY doc_id""",
 
     "q_embed_neardup" -> embedNearDupSql,
 

@@ -163,6 +163,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), "quality gate and lang-id must stay map-side")
   }
 
+  test("perplexity scores via broadcast vocab over one probe scan; model reads checkpoint blocks") {
+    val plan = finalPlan(SparkEntry.queries("q_perplexity")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "vocab-sized model frame must broadcast")
+    // probe side: ONE corpus scan + tokenize; vocab side: checkpoint blocks
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(count(plan, "tokenize_plain_words") == 1, plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library functions must not leave CacheManager entries behind")
+  }
+
+  test("sequence packing is one scan, one tokenize, shard-partitioned windows") {
+    val df = SparkEntry.queries("q_seq_pack")(spark, dir)
+    assertNoGlobalWindow(df, "q_seq_pack")
+    val plan = finalPlan(df)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(count(plan, "tokenize_plain_words") == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("near-dup survivors: text rides only the left-anti probe side") {
+    val plan = finalPlan(SparkEntry.queries("q_neardup_survivors")(spark, dir))
+    // the survivor filter is a single anti join of (corpus) x (loser ids);
+    // the loser side reads the clusters' checkpoint blocks, never the text
+    assert(plan.contains("LeftAnti"), plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+  }
+
   test("filters push down to the parquet scan under derived text columns") {
     import org.apache.spark.sql.functions._
     val q = spark.read.parquet(s"$dir/documents.parquet")

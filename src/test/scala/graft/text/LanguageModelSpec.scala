@@ -1,0 +1,41 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniform corpus scores exactly log2(vocab) bits per token") {
+    // 4 equally frequent tokens -> p(w) = 1/4, cross-entropy = 2 bits
+    val docs = Seq((0L, "a b c d"), (1L, "d c b a")).toDF("doc_id", "text")
+    val out = LanguageModel.unigramCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 4L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(2.0, 2.0))
+  }
+
+  test("rarer tokens raise a document's cross-entropy") {
+    val docs = Seq(
+      (0L, "the the the the the the the rare"),
+      (1L, "the the the the the the the the")).toDF("doc_id", "text")
+    val Array(withRare, allCommon) = LanguageModel
+      .unigramCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(withRare > allCommon)
+    // hand check: p(the)=15/16, p(rare)=1/16
+    val expected0 = -(7 * math.log(15.0 / 16) / math.log(2) + math.log(1.0 / 16) / math.log(2)) / 8
+    assert(math.abs(withRare - expected0) < 1e-6)
+  }
+
+  test("scoring joins the vocab broadcast; model blocks come from the checkpoint") {
+    val docs = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
+    val out = LanguageModel.unigramCrossEntropy(docs, "text", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Scan ExistingRDD"), "vocab side must read checkpoint blocks")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library functions must not leave CacheManager entries behind")
+  }
+}

@@ -24,14 +24,19 @@ object Bench {
     // keeping the bench under ~3× a single pass.
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
-      val times = (0 until passes).map { _ =>
+      val times = (0 until passes).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            failed = true
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              failed = true
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        // A failed pass's walltime (often a fast exception) must not enter
+        // the median — it would understate the query's cost while the
+        // failure only surfaced in the exit code.
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
       if (failed) failures += 1
       // Drop anything a query registered in the CacheManager so no later
@@ -39,7 +44,7 @@ object Bench {
       // real plan would scan and tokenize the corpus — cached-plan
       // substitution would make the medians measure the wrong stage.
       spark.catalog.clearCache()
-      name -> times(times.length / 2)
+      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

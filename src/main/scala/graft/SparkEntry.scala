@@ -47,6 +47,15 @@ object SparkEntry {
   // so the two sides cannot drift — the ivfOracleSql lesson).
   val SeqPackBudget = 512
   val SeqPackShards = 8
+
+  // Shared by the q_knn_ivf closure and ivfOracleSql: editing either side
+  // alone must be a compile-time impossibility, not a verify surprise.
+  val IvfCells = 8
+  val IvfSeed = 42L
+  val IvfSampleSize = 10000
+  val IvfProbe = 3
+  val IvfK = 10
+  val IvfQueryMax = 5 // query set = vec_id < IvfQueryMax
   private lazy val wordPieceRegistered: Unit = {
     val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
     require(in != null, "wordpiece_vocab.txt fixture missing from resources")
@@ -488,12 +497,15 @@ object SparkEntry {
 
     // skew path: two-phase salted aggregation over the token stream (the
     // stopword-heavy-hitter case) — must equal the direct groupBy exactly,
-    // which the plain-GROUP-BY oracle pins
+    // which the plain-GROUP-BY oracle pins. doc_id rides the salted rows
+    // so byte-identical token structs from duplicated documents still
+    // spread across sub-keys (the pre-dedup web corpus is exactly the
+    // shape salting exists for)
     "q_salted_token_counts" -> ((s, dir) =>
       graft.util.Salting
         .saltedCount(
           tbl(s, dir, "documents")
-            .select(explode(Tokenize.tokenize(col("text"))).as("t")),
+            .select(col("doc_id"), explode(Tokenize.tokenize(col("text"))).as("t")),
           col("t.token"))
         .select(col("key").as("token"), col("count").as("freq"))
         .orderBy("token")),
@@ -655,7 +667,8 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.Similarity
-        .ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10, nCells = 8, nProbe = 3)
+        .ivfTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
+          k = IvfK, nCells = IvfCells, nProbe = IvfProbe, seed = IvfSeed)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -1222,7 +1235,7 @@ FROM ll ORDER BY token"""
   private def ivfOracleSql(spark: SparkSession, dir: String): String = {
     val centroids = graft.similarity.Similarity.trainedCentroids(
       tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      nCells = 8, seed = 42L, sampleSize = 10000)
+      nCells = IvfCells, seed = IvfSeed, sampleSize = IvfSampleSize)
     val vals = centroids.zipWithIndex
       .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n  ")
@@ -1241,8 +1254,8 @@ assign AS (
 probe AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM d WHERE vec_id < 5)
-  WHERE rn <= 3),
+    FROM d WHERE vec_id < $IvfQueryMax)
+  WHERE rn <= $IvfProbe),
 s AS (
   SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
     list_cosine_similarity(vq.vec, vn.vec) AS sim
@@ -1254,7 +1267,7 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
   SELECT query_id, neighbor_id, sim,
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM s)
-WHERE rank <= 10 ORDER BY query_id, rank"""
+WHERE rank <= $IvfK ORDER BY query_id, rank"""
   }
 
   /** The full oracle map for one sf directory: the static [[oracleSql]]

@@ -48,6 +48,11 @@ object SparkEntry {
   val SeqPackBudget = 512
   val SeqPackShards = 8
 
+  // Shared by q_encode_ids / q_domain_mix and their oracle SQL.
+  val EncodeDim = 1 << 20
+  val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
+  val MixDefault = 0.25 // rate*1000 truncates identically in both engines
+
   // Shared by the q_knn_ivf closure and ivfOracleSql: editing either side
   // alone must be a compile-time impossibility, not a verify surprise.
   val IvfCells = 8
@@ -787,6 +792,24 @@ object SparkEntry {
     "q_perplexity" -> ((s, dir) =>
       graft.text.LanguageModel
         .unigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // LLM-assembly tier: vocabulary-free training encode by feature
+    // hashing — pure elementwise Column program (one scan, zero shuffle,
+    // no vocabulary build/broadcast), ids from the oracle-recomputable
+    // code-point rolling hash
+    "q_encode_ids" -> ((s, dir) =>
+      graft.text.Encoding
+        .featureHashIds(tbl(s, dir, "documents"), "text", "doc_id", dim = EncodeDim)
+        .orderBy("doc_id", "pos")),
+
+    // curation tier: weighted domain-mixture sampling — deterministic
+    // seeded hash gate (reproducible, retry-stable, oracle-checkable),
+    // rate table compiled into the plan as a literal CASE chain
+    "q_domain_mix" -> ((s, dir) =>
+      graft.util.DomainMix
+        .sample(tbl(s, dir, "documents"), "lang", "doc_id", MixRates, MixDefault)
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
     // curation telemetry: the one-row corpus profile (2 scans: elementwise
@@ -1605,6 +1628,37 @@ SELECT doc_id, count(*) AS n_tokens,
   round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
 FROM tok JOIN v USING (token)
 GROUP BY doc_id ORDER BY doc_id""",
+
+    // position-indexed hashed token ids: FNV-1a re-derived per token
+    // (HUGEINT wrap-around → signed → Java pmod), mod the shared EncodeDim
+    "q_encode_ids" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos1, unnest(toks) AS token FROM t),
+h AS (
+  SELECT doc_id, pos1, ${toSigned64(fnvSql("token"))} AS sh FROM tok)
+SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+  CAST(((sh % $EncodeDim) + $EncodeDim) % $EncodeDim AS BIGINT) AS token_id
+FROM h ORDER BY doc_id, pos""",
+
+    // the mixture gate re-derived: same seeded FNV-1a of the id string,
+    // same rate table (shared MixRates/MixDefault constants)
+    "q_domain_mix" -> {
+      val cases = MixRates.toSeq.sorted
+        .map { case (d, r) => s"WHEN '$d' THEN $r" }
+        .mkString(" ")
+      s"""WITH g AS (
+  SELECT doc_id, lang,
+    ${toSigned64(fnvSql("'mix:' || CAST(doc_id AS VARCHAR)"))} AS sh
+  FROM documents)
+SELECT doc_id, lang FROM g
+WHERE ((sh % 1000) + 1000) % 1000 <
+  CAST((CASE lang $cases ELSE $MixDefault END) * 1000 AS BIGINT)
+ORDER BY doc_id"""
+    },
 
     "q_embed_neardup" -> embedNearDupSql,
 

@@ -80,7 +80,7 @@ object AsofJoin {
         col(leftTsCol).as(ts),
         lit(1).as(side),
         lit(null).cast(payloadType).as(pay),
-        struct(left.columns.map(col): _*).as(lrow)): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as(lrow)): _*)
 
     // Growing frame + last(ignoreNulls): each left row sees the most recent
     // right payload at or before its timestamp. Nulls-first ordering makes

@@ -70,7 +70,7 @@ object Collocations {
       idCol: String,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     val pc = bigramCounts(df, textCol, idCol, model).localCheckpoint(true)
-    val nTotal = pc.agg(coalesce(sum("n_ab"), lit(0L))).head.getLong(0)
+    val nTotal = pc.agg(coalesce(sum("n_ab"), lit(0L))).head().getLong(0)
     val byW1 = Window.partitionBy("w1")
     val byW2 = Window.partitionBy("w2")
     pc

@@ -41,7 +41,7 @@ object LanguageModel {
       .groupBy("token")
       .agg(count(lit(1)).as("n_w"))
       .localCheckpoint(true)
-    val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head.getLong(0)
+    val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
 
     toks(df)
       .join(broadcast(vocab), "token")

@@ -98,8 +98,23 @@ object TextAnalysis {
     * code-point-based (surrogate pairs hash as one value), so the result
     * matches DuckDB's `unicode(ch)` formulation on any corpus, not just
     * ASCII, with one walk per row and no per-character array. */
-  def fingerprint(c: Column): Column = {
+  def fingerprint(c: Column): Column =
+    codePointHash(TextFunctions.cleanText(c))
+
+  /** The fingerprint's hash kernel over the RAW string (no `clean_text`
+    * normalization): `h = (h·31 + codepoint) mod 1e9+7`. Collision-grade
+    * only — it is affine in the trailing character, so anything that
+    * thresholds or buckets hash values should use [[fnv1a64]] instead. */
+  def codePointHash(c: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
-    Bridge.column(CodePointHashExpr(Bridge.expression(TextFunctions.cleanText(c))))
+    Bridge.column(CodePointHashExpr(Bridge.expression(c)))
+  }
+
+  /** FNV-1a 64 over the code points of the RAW string — the engine's
+    * well-avalanched oracle-recomputable hash, for sampling gates and
+    * bucket assignment ([[Fnv1aExpr]] for why the 31-hash won't do). */
+  def fnv1a64(c: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Fnv1aExpr(Bridge.expression(c)))
   }
 }

@@ -192,6 +192,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "FileScan parquet") == 1, plan)
   }
 
+  test("feature-hash encode and mixture gate are scan-speed: no shuffle, no UDF, codegen'd hash") {
+    for (q <- Seq("q_encode_ids", "q_domain_mix")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = finalPlan(df)
+      assert(!plan.contains("ScalaUDF"), s"$q:\n$plan")
+      assert(count(plan, "FileScan parquet") == 1, s"$q:\n$plan")
+      // the only exchange is the deterministic-output sort tail
+      assert(count(plan, "Exchange hashpartitioning") == 0, s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+  }
+
   test("filters push down to the parquet scan under derived text columns") {
     import org.apache.spark.sql.functions._
     val q = spark.read.parquet(s"$dir/documents.parquet")

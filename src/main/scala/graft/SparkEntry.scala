@@ -48,8 +48,10 @@ object SparkEntry {
   val SeqPackBudget = 512
   val SeqPackShards = 8
 
-  // Shared by q_encode_ids / q_domain_mix and their oracle SQL.
+  // Shared by q_encode_ids / q_domain_mix / q_curation_pipeline and
+  // their oracle SQL.
   val EncodeDim = 1 << 20
+  val CurationDupFracMax = 0.6 // median dup_word_frac on this corpus ~0.54
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
 
@@ -811,6 +813,28 @@ object SparkEntry {
         .sample(tbl(s, dir, "documents"), "lang", "doc_id", MixRates, MixDefault)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+
+    // curation flagship v2: the multi-signal pass a pretraining corpus
+    // actually runs — scan-speed gates (quality keep + repetition) feed
+    // the LM scorer, whose corpus-RELATIVE p90 band is computed once (one
+    // double to the driver) and inlined as a literal. The gates are
+    // elementwise, so repeating them under the scorer's two scans costs
+    // filter-at-scan-speed, never an extra shuffle or materialization
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val quality = TextAnalysis.qualityMetrics(col("text")).toMap
+      val rep = graft.text.Repetition.repetitionMetrics(col("text")).toMap
+      val gated = docs.filter(
+        quality("keep") && rep("dup_word_frac") <= lit(CurationDupFracMax))
+      val scored = graft.text.LanguageModel
+        .unigramCrossEntropy(gated, "text", "doc_id")
+      val p90 = scored
+        .agg(expr("percentile(bits_per_token, 0.9)")).head().getDouble(0)
+      scored
+        .filter(col("bits_per_token") <= lit(p90))
+        .select(col("doc_id"), col("n_tokens"), col("bits_per_token"))
+        .orderBy("doc_id")
+    }),
 
     // curation telemetry: the one-row corpus profile (2 scans: elementwise
     // scalars + the one token-level distinct; five scalars to the driver)
@@ -1643,6 +1667,39 @@ h AS (
 SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
   CAST(((sh % $EncodeDim) + $EncodeDim) % $EncodeDim AS BIGINT) AS token_id
 FROM h ORDER BY doc_id, pos""",
+
+    // curation flagship fully re-derived: whitespace-token quality gate
+    // (the qualitySql formulation), tokenizer-token dup fraction (the
+    // repetition formulation), then the unigram LM trained on the GATED
+    // population and its own quantile_cont(0.9) band — three different
+    // tokenizations, exactly as the engine composes them
+    "q_curation_pipeline" ->
+      s"""WITH wq AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS wtoks,
+    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'), s -> s <> '') AS rtoks
+  FROM documents),
+gated AS (
+  SELECT doc_id FROM wq
+  WHERE CAST(len(wtoks) AS BIGINT) >= 10
+    AND len(list_filter(wtoks, x -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, x))) >= 1
+    AND (CASE WHEN len(rtoks) > 0
+              THEN 1.0 - CAST(len(list_distinct(rtoks)) AS DOUBLE) / len(rtoks)
+              ELSE 0.0 END) <= $CurationDupFracMax),
+tok AS (
+  SELECT doc_id, token FROM ($tokSql)
+  WHERE doc_id IN (SELECT doc_id FROM gated)),
+v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
+  FROM tok JOIN v USING (token)
+  GROUP BY doc_id),
+thr AS (SELECT quantile_cont(bits_per_token, 0.9) AS p90 FROM scored)
+SELECT doc_id, n_tokens, bits_per_token FROM scored
+WHERE bits_per_token <= (SELECT p90 FROM thr)
+ORDER BY doc_id""",
 
     // the mixture gate re-derived: same seeded FNV-1a of the id string,
     // same rate table (shared MixRates/MixDefault constants)

@@ -192,6 +192,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "FileScan parquet") == 1, plan)
   }
 
+  test("curation pipeline: gates stay scan-side under the LM scorer; band is a literal") {
+    val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
+    assertNoGlobalWindow(df, "q_curation_pipeline")
+    val plan = finalPlan(df)
+    // same physical posture as q_perplexity: one probe scan + broadcast
+    // vocab from checkpoint blocks; the quality/repetition gates are
+    // Filter nodes under the scan, not separate materializations
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library functions must not leave CacheManager entries behind")
+  }
+
   test("feature-hash encode and mixture gate are scan-speed: no shuffle, no UDF, codegen'd hash") {
     for (q <- Seq("q_encode_ids", "q_domain_mix")) {
       val df = SparkEntry.queries(q)(spark, dir)

@@ -52,6 +52,7 @@ object SparkEntry {
   // their oracle SQL.
   val EncodeDim = 1 << 20
   val CurationDupFracMax = 0.6 // median dup_word_frac on this corpus ~0.54
+  val SpanDedupWords = 10
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
 
@@ -760,6 +761,16 @@ object SparkEntry {
       graft.dedup.Dedup
         .duplicateClusters(graft.dedup.Dedup
           .simHashNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id"))
+        .orderBy("doc_id")),
+
+    // dedup tier, sub-document: corpus-wide exact span dedup with doc
+    // reassembly (the repeated-substring scrub) — spans built elementwise
+    // from the token array, TWO exchanges total (span-key window +
+    // doc-key rebuild)
+    "q_span_dedup" -> ((s, dir) =>
+      graft.dedup.SpanDedup
+        .dropRepeatedSpans(tbl(s, dir, "documents"), "text", "doc_id",
+          spanWords = SpanDedupWords)
         .orderBy("doc_id")),
 
     // dedup tier end-to-end: the survivor corpus after fuzzy dedup —
@@ -1604,6 +1615,37 @@ lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id, cluster_id,
   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
 FROM lab ORDER BY doc_id""",
+
+    // span dedup re-derived: same fixed-stride span construction, global
+    // first occurrence by (doc_id, span_no), reassembly as an ordered
+    // string_agg; token-less docs ride the LEFT JOIN back
+    "q_span_dedup" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+    unnest(range(0, CAST(ceil(len(toks) / ${SpanDedupWords}.0) AS BIGINT))) AS span_no,
+    unnest(list_transform(range(0, CAST(ceil(len(toks) / ${SpanDedupWords}.0) AS BIGINT)),
+      i -> array_to_string(list_slice(toks, i * $SpanDedupWords + 1, (i + 1) * $SpanDedupWords), ' '))) AS span
+  FROM t),
+rk AS (
+  SELECT doc_id, span_no, span,
+    row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rk
+  FROM sp),
+agg AS (
+  SELECT doc_id,
+    count(span) AS n_spans,
+    count(CASE WHEN rk = 1 THEN span END) AS n_kept,
+    coalesce(string_agg(CASE WHEN rk = 1 THEN span END, ' ' ORDER BY span_no), '') AS text_deduped
+  FROM rk GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(a.text_deduped, '') AS text_deduped
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id""",
 
     // same component resolution, composed to its end use: drop every
     // member but the canonical min-id representative

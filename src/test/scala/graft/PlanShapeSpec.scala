@@ -192,6 +192,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "FileScan parquet") == 1, plan)
   }
 
+  test("span dedup is two exchanges: span-key window + doc-key rebuild, join-free") {
+    val df = SparkEntry.queries("q_span_dedup")(spark, dir)
+    val plan = finalPlan(df)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(!plan.contains("Join"), "spans are built elementwise, never by join")
+    assert(count(plan, "Exchange hashpartitioning") == 2, plan)
+  }
+
   test("curation pipeline: gates stay scan-side under the LM scorer; band is a literal") {
     val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
     assertNoGlobalWindow(df, "q_curation_pipeline")

@@ -53,6 +53,7 @@ object SparkEntry {
   val EncodeDim = 1 << 20
   val CurationDupFracMax = 0.6 // median dup_word_frac on this corpus ~0.54
   val SpanDedupWords = 10
+  val BigramLambda = 0.75 // exact binary fraction; 1-λ = 0.25 exact too
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
 
@@ -805,6 +806,16 @@ object SparkEntry {
     "q_perplexity" -> ((s, dir) =>
       graft.text.LanguageModel
         .unigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // curation tier, order-1: interpolated bigram-LM cross-entropy (the
+    // Jelinek-Mercer rung toward CCNet's KenLM) — adjacency derived
+    // elementwise from the token array, unigram model broadcast, bigram
+    // counts joined on the pair key (vocab²-bounded, never broadcast)
+    "q_perplexity_bigram" -> ((s, dir) =>
+      graft.text.LanguageModel
+        .bigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id",
+          lambda = BigramLambda)
         .orderBy("doc_id")),
 
     // LLM-assembly tier: vocabulary-free training encode by feature
@@ -1694,6 +1705,38 @@ SELECT doc_id, count(*) AS n_tokens,
   round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
 FROM tok JOIN v USING (token)
 GROUP BY doc_id ORDER BY doc_id""",
+
+    // interpolated bigram LM fully re-derived: adjacency via lag, both
+    // count tables from the same stream, λ/(1−λ) as exact literals
+    "q_perplexity_bigram" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token FROM t),
+adj AS (
+  SELECT doc_id, pos, token,
+    lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok),
+v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v),
+bc AS (
+  SELECT prev AS w1, token AS w2, count(*) AS n_ab
+  FROM adj WHERE prev IS NOT NULL GROUP BY 1, 2),
+bm AS (SELECT w1, w2, n_ab, sum(n_ab) OVER (PARTITION BY w1) AS n_a FROM bc),
+p AS (
+  SELECT adj.doc_id,
+    CASE WHEN adj.prev IS NULL
+         THEN CAST(v.n_w AS DOUBLE) / (SELECT n FROM tot)
+         ELSE $BigramLambda * (CAST(bm.n_ab AS DOUBLE) / bm.n_a)
+            + ${1.0 - BigramLambda} * (CAST(v.n_w AS DOUBLE) / (SELECT n FROM tot)) END AS p
+  FROM adj
+  JOIN v USING (token)
+  LEFT JOIN bm ON bm.w1 = adj.prev AND bm.w2 = adj.token)
+SELECT doc_id, count(*) AS n_tokens,
+  round(-sum(log2(p)) / count(*), 6) AS bits_per_token
+FROM p GROUP BY doc_id ORDER BY doc_id""",
 
     // position-indexed hashed token ids: FNV-1a re-derived per token
     // (HUGEINT wrap-around → signed → Java pmod), mod the shared EncodeDim

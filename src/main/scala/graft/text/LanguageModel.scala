@@ -53,4 +53,68 @@ object LanguageModel {
             count(lit(1)),
           6).as("bits_per_token"))
   }
+
+  /** Order-1 upgrade of [[unigramCrossEntropy]]: interpolated bigram
+    * cross-entropy `p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·c(w)/N` (Jelinek &
+    * Mercer interpolation — the first rung of the ladder toward the
+    * 5-gram KenLM CCNet scores with), each document's first token scored
+    * by the unigram term alone.
+    *
+    * Scale design: token ADJACENCY is derived elementwise from the token
+    * array (`element_at(toks, pos)` — no per-doc window, no doc-keyed
+    * pre-shuffle). The unigram vocabulary broadcasts; the bigram counts
+    * frame is vocab²-bounded — NOT broadcast-safe on an open corpus — so
+    * it joins on the `(prev, token)` pair key: one pair-keyed exchange,
+    * one doc-keyed aggregation exchange, and the margins `c(v·)` ride
+    * the checkpointed counts with a partitioned window (the
+    * [[Collocations]] posture throughout). */
+  def bigramCrossEntropy(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lambda: Double = 0.75,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    import org.apache.spark.sql.expressions.Window
+
+    val vocab = df
+      .select(explode(Tokenize.tokenize(col(textCol), model)).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(count(lit(1)).as("n_w"))
+      .localCheckpoint(true)
+    val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
+
+    // (w1, w2, n_ab) with the left margin n_a = c(w1 ·) as a partitioned
+    // window over the checkpointed counts
+    val bigrams = Collocations.bigramCounts(df, textCol, idCol, model)
+      .localCheckpoint(true)
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
+
+    // tokenize ONCE in the child projection; the Generate node above
+    // consumes the attribute and passes it through for the prev lookup
+    val stream = df
+      .select(
+        col(idCol),
+        transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+          .as("__toks"))
+      .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("pos", "token")))
+      // element_at is 1-based; pos is 0-based, so `pos` indexes w_{i-1}
+      .withColumn("prev", when(col("pos") > 0, element_at(col("__toks"), col("pos"))))
+      .drop("__toks")
+
+    val pUni = col("n_w").cast("double") / lit(total.toDouble)
+    val pBi = col("n_ab").cast("double") / col("n_a").cast("double")
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+
+    stream
+      .join(broadcast(vocab), "token")
+      .join(bigrams,
+        stream("prev") === bigrams("w1") && stream("token") === bigrams("w2"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(log(2.0, p)) / count(lit(1)), 6).as("bits_per_token"))
+  }
 }

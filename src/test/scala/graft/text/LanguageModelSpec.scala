@@ -28,6 +28,32 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(withRare - expected0) < 1e-6)
   }
 
+  test("bigram interpolation: deterministic text scores near zero bits; first token pays unigram cost") {
+    // one doc, fully deterministic bigrams: every p(w|v) has c(v,w)=c(v·),
+    // so the bigram term is 1 and each non-initial token costs
+    // -log2(λ + (1-λ)p_uni) bits
+    val docs = Seq((0L, "a b a b a b a b")).toDF("doc_id", "text")
+    val Array(r) = LanguageModel
+      .bigramCrossEntropy(docs, "text", "doc_id", lambda = 0.75).collect()
+    assert(r.getLong(1) === 8L)
+    val pUni = 0.5
+    val first = -math.log(pUni) / math.log(2)
+    val rest = -math.log(0.75 * 1.0 + 0.25 * pUni) / math.log(2)
+    assert(math.abs(r.getDouble(2) - (first + 7 * rest) / 8) < 1e-6)
+  }
+
+  test("bigram model beats unigram on text with predictive adjacency") {
+    val docs = Seq(
+      (0L, "x y x y x y x y x y"),
+      (1L, "x x y y x y y x x y")).toDF("doc_id", "text")
+    val uni = LanguageModel.unigramCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    val bi = LanguageModel.bigramCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    // doc 0 alternates perfectly: bigram context is highly predictive
+    assert(bi(0) < uni(0))
+  }
+
   test("scoring joins the vocab broadcast; model blocks come from the checkpoint") {
     val docs = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
     val out = LanguageModel.unigramCrossEntropy(docs, "text", "doc_id")

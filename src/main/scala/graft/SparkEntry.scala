@@ -54,6 +54,7 @@ object SparkEntry {
   val CurationDupFracMax = 0.6 // median dup_word_frac on this corpus ~0.54
   val SpanDedupWords = 10
   val BigramLambda = 0.75 // exact binary fraction; 1-λ = 0.25 exact too
+  val CoocWindow = 3
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
 
@@ -527,6 +528,16 @@ object SparkEntry {
     "q_bigram_pmi" -> ((s, dir) =>
       graft.text.Collocations
         .bigramPmi(tbl(s, dir, "documents"), "text", "doc_id")
+        .withColumn("pmi", round(col("pmi"), 6))
+        .orderBy("w1", "w2")),
+
+    // collocations, ±k context: windowed co-occurrence PMI (Church &
+    // Hanks's actual statistic; bigram PMI is window=1) — pair list
+    // built elementwise by shifted zip_with, no positions self-join
+    "q_cooc_pmi" -> ((s, dir) =>
+      graft.text.Collocations
+        .windowedPmi(tbl(s, dir, "documents"), "text", "doc_id",
+          window = CoocWindow)
         .withColumn("pmi", round(col("pmi"), 6))
         .orderBy("w1", "w2")),
 
@@ -1493,6 +1504,32 @@ adj AS (
 pc AS (
   SELECT token AS w1, next AS w2, count(*) AS n_ab
   FROM adj WHERE next IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT w1, w2, n_ab,
+    sum(n_ab) OVER (PARTITION BY w1) AS n_a,
+    sum(n_ab) OVER (PARTITION BY w2) AS n_b,
+    sum(n_ab) OVER () AS n_total
+  FROM pc)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+  round(ln((CAST(n_ab AS DOUBLE) * n_total) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
+FROM m ORDER BY w1, w2""",
+
+    // windowed co-occurrence re-derived INDEPENDENTLY as a bounded-gap
+    // positions self-join (the engine builds pairs by shifted zips — two
+    // formulations, one answer)
+    "q_cooc_pmi" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
+                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
+  FROM t),
+pc AS (
+  SELECT a.token AS w1, b.token AS w2, count(*) AS n_ab
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $CoocWindow
+  GROUP BY 1, 2),
 m AS (
   SELECT w1, w2, n_ab,
     sum(n_ab) OVER (PARTITION BY w1) AS n_a,

@@ -68,8 +68,55 @@ object Collocations {
       df: DataFrame,
       textCol: String,
       idCol: String,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame =
+    pmiOverCounts(bigramCounts(df, textCol, idCol, model))
+
+  /** Ordered co-occurrence counts within a ±`window` token context:
+    * `(w1, w2, n_ab)` where `w2` follows `w1` at distance 1..`window`
+    * in the same document — the classic collocation-window statistic
+    * (Church & Hanks use ±5), of which [[bigramCounts]] is `window = 1`.
+    *
+    * Scale design: the pair list is built ELEMENTWISE from the token
+    * array (`zip_with` of the array against its d-shifted self for each
+    * offset) — no per-doc window function, no positions self-join (which
+    * at 100 TB would shuffle the token stream twice and explode on long
+    * documents); the only exchange is the `(w1, w2)` hash aggregation. */
+  def cooccurrenceCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
-    val pc = bigramCounts(df, textCol, idCol, model).localCheckpoint(true)
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pairType = "array<struct<w1:string,w2:string>>"
+    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    df.select(toks.as("__toks"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(window)),
+        d => when(size(col("__toks")) > d,
+          zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - d),
+            slice(col("__toks"), d + lit(1), size(col("__toks")) - d),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast(pairType))))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+  }
+
+  /** PMI over a ±`window` co-occurrence context (see
+    * [[cooccurrenceCounts]]); same margins/total plan as [[bigramPmi]]. */
+  def windowedPmi(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame =
+    pmiOverCounts(cooccurrenceCounts(df, textCol, idCol, window, model))
+
+  /** Margins as partitioned windows over the checkpointed counts, total
+    * as a 1-row-aggregate literal (see object scaladoc). */
+  private def pmiOverCounts(counts: DataFrame): DataFrame = {
+    val pc = counts.localCheckpoint(true)
     val nTotal = pc.agg(coalesce(sum("n_ab"), lit(0L))).head().getLong(0)
     val byW1 = Window.partitionBy("w1")
     val byW2 = Window.partitionBy("w2")

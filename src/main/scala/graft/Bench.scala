@@ -44,12 +44,24 @@ object Bench {
       // real plan would scan and tokenize the corpus — cached-plan
       // substitution would make the medians measure the wrong stage.
       spark.catalog.clearCache()
-      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
+      // A query whose every pass failed reports null, not a sentinel —
+      // a numeric -1.0 reads as a timing (or a huge speedup) to
+      // round-over-round diff tooling; failure stays visible in
+      // `failures` and stderr.
+      name -> (if (times.isEmpty) None else Some(times(times.length / 2)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val total = results.values.flatten.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the line to a file: the driver's stdout capture has
+    // truncated the head of long lines before (BENCH_r07 parsed null), so
+    // the round artifact gets a second, capture-independent source.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()
   }
 }

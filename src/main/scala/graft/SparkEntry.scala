@@ -536,8 +536,7 @@ object SparkEntry {
     // built elementwise by shifted zip_with, no positions self-join
     "q_cooc_pmi" -> ((s, dir) =>
       graft.text.Collocations
-        .windowedPmi(tbl(s, dir, "documents"), "text", "doc_id",
-          window = CoocWindow)
+        .windowedPmi(tbl(s, dir, "documents"), "text", window = CoocWindow)
         .withColumn("pmi", round(col("pmi"), 6))
         .orderBy("w1", "w2")),
 
@@ -852,7 +851,13 @@ object SparkEntry {
     // the LM scorer, whose corpus-RELATIVE p90 band is computed once (one
     // double to the driver) and inlined as a literal. The gates are
     // elementwise, so repeating them under the scorer's two scans costs
-    // filter-at-scan-speed, never an extra shuffle or materialization
+    // filter-at-scan-speed, never an extra shuffle or materialization.
+    // The scored frame is locally checkpointed (the Collocations
+    // counts-literal pattern) because TWO actions consume it — the p90
+    // percentile and the returned band filter; without the checkpoint the
+    // final scan would recompute the whole tokenize+broadcast-join scoring
+    // pass, one avoidable corpus-scale traversal of the most expensive
+    // stage
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val quality = TextAnalysis.qualityMetrics(col("text")).toMap
@@ -861,6 +866,7 @@ object SparkEntry {
         quality("keep") && rep("dup_word_frac") <= lit(CurationDupFracMax))
       val scored = graft.text.LanguageModel
         .unigramCrossEntropy(gated, "text", "doc_id")
+        .localCheckpoint(true)
       val p90 = scored
         .agg(expr("percentile(bits_per_token, 0.9)")).head().getDouble(0)
       scored
@@ -906,12 +912,14 @@ object SparkEntry {
     // search tier: BM25 lexical retrieval over the corpus — one tokenize,
     // one (doc, term) aggregation (dl rides the key), constants as
     // literals, posting-list-sized term frame, bounded TakeOrdered top-k.
-    // Rounded before ranking so float ulp noise cannot flip the cut line.
+    // roundTo = 6 rounds INSIDE the engine before the limit(k) cut, so the
+    // cut line and the doc_id tie-break bind to the same rounded scores
+    // the oracle's ORDER BY sees — sub-rounding ulp noise cannot flip
+    // which of two round-equal docs survives rank 20.
     "q_bm25_search" -> ((s, dir) =>
       graft.similarity.Bm25
         .search(tbl(s, dir, "documents"), "text", "doc_id",
-          Seq("spark", "join", "window"), k = 20)
-        .withColumn("score", round(col("score"), 6))
+          Seq("spark", "join", "window"), k = 20, roundTo = 6)
         .orderBy(col("score").desc, col("doc_id").asc)),
 
     // quality tier: Gopher/C4-style repetition metrics — pure Column
@@ -1090,15 +1098,24 @@ object SparkEntry {
         .select(col("doc_id"), col("c.*"))
         .orderBy("doc_id", "start_idx")))
 
+  /** The `native:plain_words_en` token ARRAY of `textExpr` as one DuckDB
+    * list expression — including the tokenizer's UNCONDITIONAL
+    * special-token drop (`Tokenizers.scala:100`). Every oracle that
+    * re-derives tokens must compose this fragment instead of re-typing
+    * the split+filter: a hand-retyped variant that forgets the
+    * CLS/SEP/PAD/UNK/MASK drop stays green only while the corpus happens
+    * to contain none of those words, then silently drifts from the engine
+    * on a corpus refresh. */
+  private def toksArrSql(textExpr: String = "text"): String =
+    s"list_filter(regexp_split_to_array(lower(coalesce($textExpr,'')), '[\\s!-/:-@\\[-`{-~]+'), " +
+      "s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))"
+
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
     * whitespace+punctuation-isolation then punct-drop is exactly "split on
     * runs of whitespace/ASCII-punctuation", minus special tokens. */
   private val tokSql =
-    "SELECT doc_id, lang, unnest(list_filter(" +
-      "regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'), " +
-      "s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token " +
-      "FROM documents"
+    s"SELECT doc_id, lang, unnest(${toksArrSql()}) AS token FROM documents"
 
   /** FNV-1a 64 over the characters of `expr` as DuckDB HUGEINT arithmetic
     * with wrap-around mod 2^64. The xor only needs the low 7 bits on an
@@ -1122,8 +1139,7 @@ object SparkEntry {
       .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""params(h, a, b) AS (VALUES $vals),
 t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 g AS (
   SELECT doc_id, unnest(
@@ -1173,8 +1189,7 @@ WHERE est >= 0.125 ORDER BY id_a, id_b"""
     * oracle. */
   private def simHashFpCtes: String =
     s"""tok AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                        s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token
+  SELECT doc_id, unnest(${toksArrSql()}) AS token
   FROM documents),
 th AS (SELECT doc_id, ${fnvSql("token")} AS fnv FROM tok),
 bits AS (
@@ -1401,9 +1416,8 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the custom-state stream's final totals == the batch group-by
     "q_stream_running_totals" ->
-      """SELECT lang AS key, count(*) AS n_docs,
-  CAST(sum(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'),
-    s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')))) AS BIGINT) AS n_toks
+      s"""SELECT lang AS key, count(*) AS n_docs,
+  CAST(sum(len(${toksArrSql()})) AS BIGINT) AS n_toks
 FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q_stream_event_windows" ->
@@ -1492,8 +1506,7 @@ FROM pieces ORDER BY doc_id, start_cp, token""",
 
     "q_bigram_pmi" ->
       s"""WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 tok AS (
   SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
@@ -1519,8 +1532,7 @@ FROM m ORDER BY w1, w2""",
     // formulations, one answer)
     "q_cooc_pmi" ->
       s"""WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 tok AS (
   SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
@@ -1630,9 +1642,8 @@ FROM c ORDER BY doc_id""",
     // n-gram overlap re-derived with list_transform windows; DuckDB's
     // range(a, b) is empty when b <= a, covering the short-doc case.
     "q_decontaminate" ->
-      """WITH base AS (
-  SELECT doc_id, lang,
-    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+      s"""WITH base AS (
+  SELECT doc_id, lang, ${toksArrSql()} AS toks
   FROM documents),
 g AS (
   SELECT doc_id, lang,
@@ -1669,8 +1680,7 @@ FROM lab ORDER BY doc_id""",
     // string_agg; token-less docs ride the LEFT JOIN back
     "q_span_dedup" ->
       s"""WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 sp AS (
   SELECT doc_id,
@@ -1718,8 +1728,7 @@ ORDER BY d.doc_id""",
     "q_seq_pack" ->
       s"""WITH tc AS (
   SELECT doc_id,
-    CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-         s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS BIGINT) AS n_tokens,
+    CAST(len(${toksArrSql()}) AS BIGINT) AS n_tokens,
     CAST(doc_id % $SeqPackShards AS INT) AS shard
   FROM documents),
 cum AS (
@@ -1747,8 +1756,7 @@ GROUP BY doc_id ORDER BY doc_id""",
     // count tables from the same stream, λ/(1−λ) as exact literals
     "q_perplexity_bigram" ->
       s"""WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 tok AS (
   SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token FROM t),
@@ -1779,8 +1787,7 @@ FROM p GROUP BY doc_id ORDER BY doc_id""",
     // (HUGEINT wrap-around → signed → Java pmod), mod the shared EncodeDim
     "q_encode_ids" ->
       s"""WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                 s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK')) AS toks
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 tok AS (
   SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos1, unnest(toks) AS token FROM t),
@@ -1799,7 +1806,7 @@ FROM h ORDER BY doc_id, pos""",
       s"""WITH wq AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS wtoks,
-    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'), s -> s <> '') AS rtoks
+    ${toksArrSql()} AS rtoks
   FROM documents),
 gated AS (
   SELECT doc_id FROM wq
@@ -1976,8 +1983,7 @@ SELECT doc_id, wc FROM w, q WHERE wc >= lo AND wc <= hi ORDER BY doc_id""",
       s"""WITH tok AS (
   SELECT DISTINCT doc_id, bucket, token FROM (
     SELECT doc_id, lang || '|' || source AS bucket,
-           unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\\s!-/:-@\\[-`{-~]+'),
-                              s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))) AS token
+           unnest(${toksArrSql()}) AS token
     FROM documents)),
 sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
 shared AS (
@@ -2057,9 +2063,8 @@ ORDER BY c.doc_id, c.topic_id""",
     "q_quality" -> qualitySql,
 
     "q_corpus_profile" ->
-      """WITH base AS (
-  SELECT doc_id, lang,
-    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+      s"""WITH base AS (
+  SELECT doc_id, lang, ${toksArrSql()} AS toks
   FROM documents)
 SELECT
   (SELECT count(*) FROM base) AS n_docs,
@@ -2097,9 +2102,8 @@ GROUP BY label, i ORDER BY label, dim""",
     // term-ordered scores, bit-matching the engine's sorted fold, so
     // exact ties rank identically and the top-20 cut is deterministic.
     "q_bm25_search" ->
-      """WITH base AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+      s"""WITH base AS (
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 tfs AS (
   SELECT doc_id, dl, term, count(*) AS tf FROM (
@@ -2129,9 +2133,8 @@ FROM docs ORDER BY score DESC, doc_id ASC LIMIT 20""",
     // the token array; the top-word count and the longest consecutive run
     // via unnest-with-subscripts (gap-islands for runs).
     "q_repetition" ->
-      """WITH base AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[\s!-/:-@\[-`{-~]+'), s -> s <> '') AS toks
+      s"""WITH base AS (
+  SELECT doc_id, ${toksArrSql()} AS toks
   FROM documents),
 lists AS (
   SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,

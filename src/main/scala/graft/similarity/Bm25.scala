@@ -36,7 +36,13 @@ import graft.text.{Tokenize, TokenizerModels}
 object Bm25 {
 
   /** Score `df`'s documents against `terms` and return the top `k` as
-    * `(doc_id, score)`, score descending with id tie-break. */
+    * `(doc_id, score)`, score descending with id tie-break.
+    *
+    * `roundTo >= 0` rounds the score to that many decimals BEFORE the
+    * top-k cut, so the cut and the tie-break bind to the rounded value —
+    * two documents whose scores differ only in sub-rounding ulps straddling
+    * rank `k` then rank by `doc_id` on both this engine and any checker
+    * that compares rounded scores, instead of by unobservable float noise. */
   def search(
       df: DataFrame,
       textCol: String,
@@ -45,6 +51,7 @@ object Bm25 {
       k: Int = 20,
       k1: Double = 1.2,
       b: Double = 0.75,
+      roundTo: Int = -1,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
@@ -76,7 +83,8 @@ object Bm25 {
         .otherwise(lit(0.0))
     }
     val sortedIdx = terms.indices.sortBy(terms)
-    val score = sortedIdx.map(partial).foldLeft(lit(0.0))(_ + _)
+    val summed = sortedIdx.map(partial).foldLeft(lit(0.0))(_ + _)
+    val score = if (roundTo >= 0) round(summed, roundTo) else summed
 
     // Scan 2: elementwise scoring + bounded TakeOrdered.
     perDoc

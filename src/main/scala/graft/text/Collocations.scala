@@ -75,21 +75,32 @@ object Collocations {
     * `(w1, w2, n_ab)` where `w2` follows `w1` at distance 1..`window`
     * in the same document — the classic collocation-window statistic
     * (Church & Hanks use ±5), of which [[bigramCounts]] is `window = 1`.
+    * Document boundaries are implicit per input row, so no id column is
+    * needed (unlike [[bigramCounts]], whose `lead` window keys on it).
     *
     * Scale design: the pair list is built ELEMENTWISE from the token
     * array (`zip_with` of the array against its d-shifted self for each
     * offset) — no per-doc window function, no positions self-join (which
     * at 100 TB would shuffle the token stream twice and explode on long
-    * documents); the only exchange is the `(w1, w2)` hash aggregation. */
+    * documents); the only exchange is the `(w1, w2)` hash aggregation.
+    * The per-row pair structs are `window × len` before the explode, so
+    * `maxTokensPerDoc` caps the tokens considered per document (the
+    * explicit-cap `maxBucket` pattern): one pathological mega-document
+    * cannot materialize a multi-GB struct array in a single task. Tokens
+    * past the cap are ignored — documented truncation, like LSH's
+    * bucket cap. */
   def cooccurrenceCounts(
       df: DataFrame,
       textCol: String,
-      idCol: String,
       window: Int,
-      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+      model: String = TokenizerModels.PlainWordsEn,
+      maxTokensPerDoc: Int = 1 << 17): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    require(maxTokensPerDoc >= 2, s"maxTokensPerDoc must be >= 2, got $maxTokensPerDoc")
     val pairType = "array<struct<w1:string,w2:string>>"
-    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    val toks = slice(
+      transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token")),
+      1, maxTokensPerDoc)
     df.select(toks.as("__toks"))
       .select(explode(flatten(transform(
         sequence(lit(1), lit(window)),
@@ -108,10 +119,10 @@ object Collocations {
   def windowedPmi(
       df: DataFrame,
       textCol: String,
-      idCol: String,
       window: Int,
-      model: String = TokenizerModels.PlainWordsEn): DataFrame =
-    pmiOverCounts(cooccurrenceCounts(df, textCol, idCol, window, model))
+      model: String = TokenizerModels.PlainWordsEn,
+      maxTokensPerDoc: Int = 1 << 17): DataFrame =
+    pmiOverCounts(cooccurrenceCounts(df, textCol, window, model, maxTokensPerDoc))
 
   /** Margins as partitioned windows over the checkpointed counts, total
     * as a 1-row-aggregate literal (see object scaladoc). */

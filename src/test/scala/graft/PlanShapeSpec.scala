@@ -200,16 +200,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Exchange hashpartitioning") == 2, plan)
   }
 
-  test("curation pipeline: gates stay scan-side under the LM scorer; band is a literal") {
+  test("curation pipeline: scores once — the band filter reads checkpoint blocks") {
     val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
     assertNoGlobalWindow(df, "q_curation_pipeline")
     val plan = finalPlan(df)
-    // same physical posture as q_perplexity: one probe scan + broadcast
-    // vocab from checkpoint blocks; the quality/repetition gates are
-    // Filter nodes under the scan, not separate materializations
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    assert(count(plan, "FileScan parquet") == 1, plan)
+    // TWO actions consume the scored frame (the p90 percentile and the
+    // returned band filter); the checkpoint makes the second a block read
+    // — the returned plan must contain NO corpus scan, no tokenize, no
+    // re-run of the vocab broadcast join
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("FileScan"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("tokenize_plain_words"), plan)
     assert(spark.sharedState.cacheManager.isEmpty,
       "library functions must not leave CacheManager entries behind")
   }

@@ -74,6 +74,46 @@ object SparkEntry {
     finally src.close()
   }
 
+  val EmbedFixtureModelId = "local:fnv-digit-fixture"
+  val EmbedFixtureDim = 4
+
+  /** Offline embedder fixture: component `d` of a text's vector is digit
+    * `d` of the unsigned FNV-1a 64 of the text in base 97 — exact small
+    * integers, so the whole embed (unlike the float-pooled pseudo-model)
+    * is independently re-derivable by DuckDB's HUGEINT arithmetic. It
+    * exists to put the EMBEDDING CACHE and the registry's non-native
+    * registration path under the exact oracle, the same job the WordPiece
+    * vocab fixture does for the tokenizer registry. */
+  private final case class FnvDigitModel(dim: Int) extends graft.embed.EmbeddingModel {
+    override def countTokens(text: String): Int =
+      if (text == null) 0 else graft.text.PlainTokenizer.tokenize(text).length
+    override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map { t =>
+        if (t == null) Array.empty[Float]
+        else {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+          Array.tabulate(dim) { d =>
+            var u = h
+            var k = 0
+            while (k < d) { u = java.lang.Long.divideUnsigned(u, 97L); k += 1 }
+            java.lang.Long.remainderUnsigned(u, 97L).toFloat
+          }
+        }
+      }
+  }
+
+  private lazy val embedFixtureRegistered: Unit =
+    graft.embed.EmbedderRegistry.register(EmbedFixtureModelId, FnvDigitModel(EmbedFixtureDim))
+
+  /** Scratch cache roots for the typed-cache queries (one per JVM, the
+    * tokCacheDir pattern: the bench warmup populates, timed passes hit). */
+  private lazy val typedTokCacheDir: String =
+    java.nio.file.Files.createTempDirectory("graft-typedtok-").toString
+  private lazy val embedCacheDir: String =
+    java.nio.file.Files.createTempDirectory("graft-embcache-").toString
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Corpus-comparison keyness (log-likelihood G² et al.) of English vs
     * non-English documents — tokenize → explode → aggregate → full-outer
@@ -628,6 +668,48 @@ object SparkEntry {
         .orderBy("doc_id", "token")
     }),
 
+    // §2.7 #24 token cache: the TYPED (model, params_hash, content_hash)
+    // cache view over TextCache, under the SAME oracle as the uncached
+    // tokenize — cached == uncached, the reference's contract for the
+    // token table specifically (src/expressions.rs:235-299)
+    "q_token_cached" -> ((s, dir) =>
+      graft.cache.TypedCaches
+        .cachedTokenize(s, typedTokCacheDir, tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), explode(col("tokens")).as("t"))
+        .select(col("doc_id"), col("t.token").as("token"))
+        .orderBy("doc_id", "token")),
+
+    // §2.7 #25 embedding cache: the (model, content_hash)-keyed cache on
+    // the embed path. The registered FnvDigitModel fixture makes the
+    // cached compute EXACTLY re-derivable in SQL (integer base-97 digits
+    // of the text's FNV — no float pooling), so cached == uncached is
+    // checked by DuckDB rather than ScalaTest, and the registry's
+    // non-native registration path runs end-to-end (the WordPiece-fixture
+    // pattern applied to the embedder registry)
+    "q_embed_cached" -> ((s, dir) => {
+      embedFixtureRegistered
+      graft.cache.TypedCaches
+        .cachedEmbed(s, embedCacheDir, tbl(s, dir, "documents"), "text", EmbedFixtureModelId)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(
+          col("doc_id"),
+          col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .orderBy("doc_id", "dim")
+    }),
+
+    // §2.8 #7 model inventory: the predefined id → language table
+    // (reference polars_text/models.py:22-57) surfaced as a relation; the
+    // oracle re-lists it from the same shared constant (config shared,
+    // nothing recomputed — it IS config)
+    "q_models" -> ((s, dir) => {
+      import s.implicits._
+      TokenizerModels.inventory.toSeq
+        .flatMap { case (m, langs) => langs.map(l => (m, l)) }
+        .toDF("model_id", "lang")
+        .orderBy("model_id", "lang")
+    }),
+
     "q_minhash_sig" -> ((s, dir) =>
       graft.dedup.Dedup
         .minHashSignatures(tbl(s, dir, "documents"), "text", "doc_id",
@@ -1025,17 +1107,7 @@ object SparkEntry {
     // §2.6 full topic-modeling pipeline (pseudo-embedder + PCA/DBSCAN
     // stand-ins; stochastic-stage parity is structural → rows-only check)
     "q_topic_model" -> ((s, dir) => {
-      // sort-before-limit: TopicModeling.run requires a deterministic input
-      // frame (labels re-join the persisted chunks, and persist does not
-      // survive executor loss) — a bare limit(200) takes whatever
-      // partitions answer first
-      val out = graft.topic.TopicModeling.run(
-        tbl(s, dir, "documents").orderBy("doc_id").limit(200),
-        "text",
-        "doc_id",
-        corpusCol = None,
-        cfg = graft.topic.TopicModeling.Config(
-          cluster = graft.topic.Cluster.Config(minClusterSize = 5)))
+      val out = topicRun(s, dir)
       out.documents
         .select(
           col("doc_id"),
@@ -1044,6 +1116,48 @@ object SparkEntry {
           col("n_topics"),
           col("n_chunks"))
         .orderBy("doc_id")
+    }),
+
+    // §2.6 #21 topic coords, under the DATA-DEPENDENT oracle: the seeded
+    // reduce/cluster stages are deterministic, so the per-chunk
+    // (label, x, y) export is shared config (the trainedCentroids
+    // pattern) and the distributed centroid aggregation — the Coords
+    // operator itself — is what DuckDB independently re-derives
+    "q_topic_coords" -> ((s, dir) => {
+      import s.implicits._
+      val pts = topicRun(s, dir).chunkPoints
+        .toDF("doc_id", "chunk_idx", "label", "x", "y")
+      graft.topic.Coords.topicCoords(pts)
+        .select(col("label"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+        .orderBy("label")
+    }),
+
+    // §2.6 #22 per-document assembly, same data-dependent oracle: from
+    // the exported chunk points alone DuckDB re-derives the rollup
+    // (proportions + dominant topic), the dominant topic's coords, and
+    // the n_topics/n_chunks constants — the whole distributed assembly
+    // join re-checked relationally
+    "q_topic_assembly" -> ((s, dir) => {
+      val out = topicRun(s, dir)
+      out.documents
+        .select(
+          col("doc_id"),
+          col("dominant_topic"),
+          explode_outer(col("topic_distribution")).as("td"),
+          col("x"),
+          col("y"),
+          col("n_topics"),
+          col("n_chunks"))
+        .select(
+          col("doc_id"),
+          col("dominant_topic"),
+          col("td.topic_id").as("topic_id"),
+          round(col("td.proportion"), 6).as("proportion"),
+          round(col("x").cast("double"), 6).as("x"),
+          round(col("y").cast("double"), 6).as("y"),
+          col("n_topics"),
+          col("n_chunks"))
+        .orderBy("doc_id", "topic_id")
     }),
 
     // §2.5 #13 embedding via the mapPartitions batch engine (pseudo-model;
@@ -1327,6 +1441,84 @@ FROM ll ORDER BY token"""
     * (trained on the sf directory's embeddings with the engine's own code
     * path), which is why this entry lives in [[oracleSqlFor]] rather than
     * the static [[oracleSql]] map. */
+  /** The ONE deterministic topic-pipeline configuration every topic query
+    * and its data-dependent oracle share. Sort-before-limit:
+    * TopicModeling.run requires a deterministic input frame (labels
+    * re-join the persisted chunks, and persist does not survive executor
+    * loss) — a bare limit(200) takes whatever partitions answer first. */
+  private def topicRun(s: SparkSession, dir: String): graft.topic.TopicModeling.Output =
+    graft.topic.TopicModeling.run(
+      tbl(s, dir, "documents").orderBy("doc_id").limit(200),
+      "text",
+      "doc_id",
+      corpusCol = None,
+      cfg = graft.topic.TopicModeling.Config(
+        // 16-token chunks (the q_chunking constants): multiple chunks per
+        // document, so the assembly's proportions/dominant algebra is
+        // exercised on non-trivial distributions. eps pinned at 0.2 — the
+        // probed density level where DBSCAN yields several clusters PLUS
+        // outliers on this corpus (auto-eps merges the hash-projection
+        // space into one blob), so coords/rollup/assembly see the full
+        // label structure, -1 included
+        chunking = graft.topic.Chunking.Config(maxTokens = 16, overlap = 4),
+        cluster = graft.topic.Cluster.Config(minClusterSize = 5, eps = Some(0.2))))
+
+  /** Data-dependent topic oracles: one pipeline run exports the per-chunk
+    * `(doc_id, chunk_idx, label, x, y)` points as SQL literals; DuckDB
+    * re-derives the coords centroids, the rollup/dominant algebra, and
+    * the assembly join from them (see q_topic_coords / q_topic_assembly). */
+  private def topicOracleSql(spark: SparkSession, dir: String): Map[String, String] = {
+    val pts = topicRun(spark, dir).chunkPoints
+    require(pts.nonEmpty, "topic oracle: pipeline produced no chunks")
+    val vals = pts
+      .map { case (d, c, l, x, y) => s"($d, $c, $l, ${x.toDouble}, ${y.toDouble})" }
+      .mkString(", ")
+    val ptsCte = s"pts(doc_id, chunk_idx, label, x, y) AS (VALUES $vals)"
+    val coords =
+      s"""WITH $ptsCte
+SELECT CAST(label AS INT) AS label,
+  round(avg(CAST(x AS DOUBLE)), 6) AS x,
+  round(avg(CAST(y AS DOUBLE)), 6) AS y
+FROM pts WHERE label <> -1
+GROUP BY label ORDER BY label"""
+    // x/y: the engine's driver loop folds the 2-D points in
+    // (doc_id, chunk_idx) order in DOUBLE and casts the mean to FLOAT —
+    // the ordered list_reduce + REAL cast reproduces that arithmetic
+    // bitwise (the bm25 ordered-fold lesson), so round(6) compares equal
+    val assembly =
+      s"""WITH $ptsCte,
+counts AS (
+  SELECT doc_id, CAST(label AS INT) AS topic_id, count(*) AS cnt
+  FROM pts GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(cnt) AS total FROM counts GROUP BY 1),
+dom AS (
+  SELECT doc_id, topic_id AS dominant_topic FROM (
+    SELECT doc_id, topic_id,
+      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, topic_id ASC) AS rn
+    FROM counts WHERE topic_id <> -1) WHERE rn = 1),
+coords AS (
+  SELECT CAST(label AS INT) AS label,
+    CAST(list_reduce(list(CAST(x AS DOUBLE) ORDER BY doc_id, chunk_idx), (a, b) -> a + b) / count(*) AS REAL) AS tx,
+    CAST(list_reduce(list(CAST(y AS DOUBLE) ORDER BY doc_id, chunk_idx), (a, b) -> a + b) / count(*) AS REAL) AS ty
+  FROM pts WHERE label <> -1 GROUP BY label),
+base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+SELECT b.doc_id,
+  CAST(coalesce(d.dominant_topic, -1) AS INT) AS dominant_topic,
+  c.topic_id,
+  round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS proportion,
+  round(CAST(coalesce(co.tx, 0.0) AS DOUBLE), 6) AS x,
+  round(CAST(coalesce(co.ty, 0.0) AS DOUBLE), 6) AS y,
+  CAST((SELECT coalesce(max(label) + 1, 0) FROM pts WHERE label >= 0) AS INT) AS n_topics,
+  CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_chunks
+FROM base b
+LEFT JOIN counts c ON c.doc_id = b.doc_id
+LEFT JOIN tot t ON t.doc_id = b.doc_id
+LEFT JOIN dom d ON d.doc_id = b.doc_id
+LEFT JOIN coords co ON co.label = coalesce(d.dominant_topic, -1)
+ORDER BY b.doc_id, c.topic_id"""
+    Map("q_topic_coords" -> coords, "q_topic_assembly" -> assembly)
+  }
+
   private def ivfOracleSql(spark: SparkSession, dir: String): String = {
     val centroids = graft.similarity.Similarity.trainedCentroids(
       tbl(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -1371,7 +1563,7 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
     * Verify dumps THIS map — the DuckDB side of every check still runs
     * entirely from the dumped SQL. */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    oracleSql + ("q_knn_ivf" -> ivfOracleSql(spark, dir))
+    oracleSql + ("q_knn_ivf" -> ivfOracleSql(spark, dir)) ++ topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (see
@@ -1852,6 +2044,33 @@ ORDER BY doc_id"""
     // the plain tokenize query
     "q_tokenize_cached" ->
       s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
+
+    // typed token cache: same contract, same oracle
+    "q_token_cached" ->
+      s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
+
+    // embedding cache over the FnvDigitModel fixture: component d is
+    // base-97 digit d of the text's unsigned FNV-1a 64, re-derived with
+    // HUGEINT division (exact integers — no float pooling to drift)
+    "q_embed_cached" -> {
+      val dims = (0 until EmbedFixtureDim)
+        .map(d => s"($d, ${BigInt(97).pow(d)})").mkString(", ")
+      s"""WITH h AS (
+  SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
+dims(dim, p) AS (VALUES $dims)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+  CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
+FROM h CROSS JOIN dims ORDER BY doc_id, dim"""
+    },
+
+    // model inventory from the same shared constant the engine serves
+    "q_models" -> {
+      val vals = TokenizerModels.inventory.toSeq.sortBy(_._1)
+        .flatMap { case (m, langs) => langs.sorted.map(l => s"('$m', '$l')") }
+        .mkString(", ")
+      s"SELECT model_id, lang FROM (VALUES $vals) AS t(model_id, lang) " +
+        "ORDER BY model_id, lang"
+    },
 
     "q_sessions" ->
       """WITH o AS (

@@ -175,6 +175,12 @@ object EmbedderRegistry {
   def ensure(id: String = DefaultModelId): EmbeddingModel =
     registry.computeIfAbsent(id, load(_))
 
+  /** Register (or replace) an offline model under `id` — the non-native
+    * registration path, mirroring `TokenizerModels.register` (the
+    * reference registers arbitrary backends the same way,
+    * `embedding.rs:252-282`). Registered entries win over [[load]]. */
+  def register(id: String, model: EmbeddingModel): scala.Unit = { registry.put(id, model); () }
+
   /** Idempotent warm-load (API parity with `prefetch_embedder`). */
   def prefetch(id: String = DefaultModelId): scala.Unit = { ensure(id); () }
 

@@ -60,12 +60,20 @@ object TopicModeling {
     * `doc_id, corpus, dominant_topic, topic_distribution, representative_words, x, y, n_topics, n_chunks, stage_timings_ms`.
     * `topics`: one row per topic —
     * `id, representative_words, representative_scores, size, total_size, chunk_count, x, y`. */
+  /** `chunkPoints`: one `(doc_id, chunk_idx, label, x, y)` per chunk —
+    * the cluster label and 2-D reduction coordinates from the driver
+    * barrier. The seeded reduce/cluster stages are deterministic, so this
+    * is the pipeline's data-dependent "trained config": an external
+    * checker can re-derive the coords centroids ([[Coords]] = groupBy-avg)
+    * and the per-document assembly join from these points alone, the
+    * `trainedCentroids` pattern applied to topic modeling. */
   final case class Output(
       documents: DataFrame,
       topics: DataFrame,
       nChunks: Long,
       nTopics: Int,
-      stageTimings: Seq[(String, Double)])
+      stageTimings: Seq[(String, Double)],
+      chunkPoints: Seq[(Long, Int, Int, Float, Float)])
 
   /** Run the pipeline. '''`docs` must be a deterministic frame''': cluster
     * labels are collected from one evaluation of the chunk subtree and
@@ -136,10 +144,10 @@ object TopicModeling {
       val matrix = collected.map(_._4.toArray)
 
       // 4. reduce + cluster (numeric guard identical to mod.rs:262-301)
-      val (labels, nTopics, topicCoords): (Array[Int], Int, Array[(Float, Float)]) =
-        if (nChunks == 0) (Array.empty, 0, Array.empty)
+      val (labels, nTopics, topicCoords, chunk2d): (Array[Int], Int, Array[(Float, Float)], Array[Array[Float]]) =
+        if (nChunks == 0) (Array.empty, 0, Array.empty, Array.empty)
         else if (nChunks < Reduce.MinPointsForReduction)
-          (Array.fill(nChunks)(0), 1, Array((0.0f, 0.0f)))
+          (Array.fill(nChunks)(0), 1, Array((0.0f, 0.0f)), Array.fill(nChunks)(Array(0.0f, 0.0f)))
         else {
           val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
           val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
@@ -159,8 +167,15 @@ object TopicModeling {
             }
             sums.map { case (sx, sy, c) => if (c == 0) (0.0f, 0.0f) else ((sx / c).toFloat, (sy / c).toFloat) }
           }
-          (result.labels, result.nTopics, coords)
+          (result.labels, result.nTopics, coords, twoD)
         }
+
+      // the per-chunk (label, 2-D point) export (see Output.chunkPoints)
+      val chunkPoints: Seq[(Long, Int, Int, Float, Float)] =
+        collected.indices.map { i =>
+          val (d, _, c, _) = collected(i)
+          (d, c, labels(i), chunk2d(i)(0), chunk2d(i)(1))
+        }.toSeq
 
       // 5. labels re-join the cached chunk frame by (doc_id, chunk_idx) —
       //    only for c-TF-IDF, which needs the chunk texts; the rollup and
@@ -274,7 +289,7 @@ object TopicModeling {
         "stage_timings_ms",
         typedLit(allTimings.map { case (s, e) => StageTiming(s, e) }))
 
-      Output(documentsWithTimings, output._1, nChunks.toLong, nTopics, allTimings)
+      Output(documentsWithTimings, output._1, nChunks.toLong, nTopics, allTimings, chunkPoints)
     } finally {
       chunks.unpersist()
     }

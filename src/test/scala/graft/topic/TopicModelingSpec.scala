@@ -192,5 +192,20 @@ class TopicModelingSpec extends SparkSpec {
     assert(a.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq ==
       b.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq)
     assert(a.topics.orderBy("id").collect().toSeq == b.topics.orderBy("id").collect().toSeq)
+    // chunkPoints is the data-dependent oracle config — must be bitwise
+    // stable across runs or the q_topic_coords/assembly oracles would race
+    // their own engine queries
+    assert(a.chunkPoints == b.chunkPoints)
+  }
+
+  test("chunkPoints aligns with the assembled documents") {
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"))
+    assert(out.chunkPoints.length == out.nChunks)
+    // every label in the export is a valid topic id or the outlier label
+    assert(out.chunkPoints.forall { case (_, _, l, _, _) => l >= -1 && l < out.nTopics })
+    // per-doc chunk counts in the export match the chunking stage
+    val perDoc = out.chunkPoints.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perDoc.values.sum == out.nChunks)
   }
 }

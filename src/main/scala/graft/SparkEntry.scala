@@ -919,6 +919,29 @@ object SparkEntry {
         .featureHashIds(tbl(s, dir, "documents"), "text", "doc_id", dim = EncodeDim)
         .orderBy("doc_id", "pos")),
 
+    // curation tier: trained quality gate — closed-form multinomial
+    // Naive Bayes over feature-hashed ids (the GPT-3-style classifier
+    // filter with a count-based fit, so train AND score are both under
+    // the exact oracle); labels from the trusted lang column, the same
+    // signal the keyness/decontamination queries split on
+    "q_quality_clf" -> ((s, dir) =>
+      graft.text.QualityClassifier
+        .naiveBayesScore(tbl(s, dir, "documents"), "text", "doc_id",
+          col("lang") === "en", dim = EncodeDim)
+        .orderBy("doc_id")),
+
+    // curation tier: DSIR importance weighting — log-ratio of the
+    // target-domain (en) vs raw hashed-bigram models, the standard
+    // data-selection operator; both fits and the scoring pass re-derived
+    // end-to-end by the oracle
+    "q_importance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.text.Importance
+        .importanceWeights(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id", dim = EncodeDim)
+        .orderBy("doc_id")
+    }),
+
     // curation tier: weighted domain-mixture sampling — deterministic
     // seeded hash gate (reproducible, retry-stable, oracle-checkable),
     // rate table compiled into the plan as a literal CASE chain
@@ -1988,6 +2011,61 @@ h AS (
 SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
   CAST(((sh % $EncodeDim) + $EncodeDim) % $EncodeDim AS BIGINT) AS token_id
 FROM h ORDER BY doc_id, pos""",
+
+    // Naive Bayes re-derived end-to-end: hashed ids (the q_encode_ids
+    // arithmetic), conditional per-class counts, Laplace log-ratio sum,
+    // doc-count prior — round(6) absorbs libm/accumulation-order ulps
+    // (the q_perplexity contract); pred binds to the rounded llr
+    "q_quality_clf" ->
+      s"""WITH t AS (
+  SELECT doc_id, lang, ${toksArrSql()} AS toks FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS token FROM t),
+h AS (
+  SELECT doc_id, lang, ((sh % $EncodeDim) + $EncodeDim) % $EncodeDim AS tid
+  FROM (SELECT doc_id, lang, ${toSigned64(fnvSql("token"))} AS sh FROM tok)),
+c AS (
+  SELECT tid,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS n0
+  FROM h GROUP BY 1),
+tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS np, CAST(sum(n0) AS DOUBLE) AS nn FROM c),
+pr AS (
+  SELECT ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+          / sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) AS prior
+  FROM documents),
+s AS (
+  SELECT h.doc_id, count(*) AS n_tokens,
+    sum(ln(c.n1 + 1.0) - ln(tot.np + $EncodeDim)
+      - (ln(c.n0 + 1.0) - ln(tot.nn + $EncodeDim))) AS delta
+  FROM h JOIN c USING (tid) CROSS JOIN tot GROUP BY 1)
+SELECT doc_id, n_tokens,
+  round(pr.prior + delta, 6) AS llr,
+  round(pr.prior + delta, 6) > 0 AS pred
+FROM s CROSS JOIN pr ORDER BY doc_id""",
+
+    // DSIR re-derived end-to-end: elementwise bigrams (the decontaminate
+    // range pattern at n=2), hashed ids, two Laplace models, per-doc
+    // log-ratio sum
+    "q_importance" ->
+      s"""WITH t AS (
+  SELECT doc_id, lang, ${toksArrSql()} AS toks FROM documents),
+g AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t),
+h AS (
+  SELECT doc_id, lang, ((sh % $EncodeDim) + $EncodeDim) % $EncodeDim AS gid
+  FROM (SELECT doc_id, lang, ${toSigned64(fnvSql("gram"))} AS sh FROM g)),
+tc AS (SELECT gid, count(*) AS n_t FROM h WHERE lang = 'en' GROUP BY 1),
+rc AS (SELECT gid, count(*) AS n_r FROM h GROUP BY 1),
+tt AS (
+  SELECT CAST((SELECT coalesce(sum(n_t), 0) FROM tc) AS DOUBLE) AS nt,
+         CAST((SELECT coalesce(sum(n_r), 0) FROM rc) AS DOUBLE) AS nr)
+SELECT h.doc_id, count(*) AS n_grams,
+  round(sum(ln(coalesce(tc.n_t, 0) + 1.0) - ln(tt.nt + $EncodeDim)
+    - (ln(rc.n_r + 1.0) - ln(tt.nr + $EncodeDim))), 6) AS log_weight
+FROM h JOIN rc USING (gid) LEFT JOIN tc USING (gid) CROSS JOIN tt
+GROUP BY 1 ORDER BY 1""",
 
     // curation flagship fully re-derived: whitespace-token quality gate
     // (the qualitySql formulation), tokenizer-token dup fraction (the

@@ -216,6 +216,23 @@ class PlanShapeSpec extends SparkSpec {
       "library functions must not leave CacheManager entries behind")
   }
 
+  test("NB classifier and DSIR scoring: one probe scan, broadcast-only model joins") {
+    for ((q, bhj) <- Seq("q_quality_clf" -> 1, "q_importance" -> 2)) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assertNoGlobalWindow(df, q)
+      val plan = finalPlan(df)
+      // the fits ran at construction into checkpoint blocks; the returned
+      // plan is ONE corpus scan + one tokenize probing dim-bounded
+      // broadcast counts — no sort-merge join, no second corpus pass
+      assert(count(plan, "FileScan parquet") == 1, s"$q:\n$plan")
+      assert(count(plan, "tokenize_plain_words") == 1, s"$q:\n$plan")
+      assert(count(plan, "BroadcastHashJoin") == bhj, s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "library functions must not leave CacheManager entries behind")
+    }
+  }
+
   test("feature-hash encode and mixture gate are scan-speed: no shuffle, no UDF, codegen'd hash") {
     for (q <- Seq("q_encode_ids", "q_domain_mix")) {
       val df = SparkEntry.queries(q)(spark, dir)

@@ -53,6 +53,7 @@ object SparkEntry {
   val EncodeDim = 1 << 20
   val CurationDupFracMax = 0.6 // median dup_word_frac on this corpus ~0.54
   val SpanDedupWords = 10
+  val ShingleWords = 8 // q_span_dedup_s1 + its oracle
   val BigramLambda = 0.75 // exact binary fraction; 1-λ = 0.25 exact too
   val CoocWindow = 3
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
@@ -864,6 +865,17 @@ object SparkEntry {
       graft.dedup.SpanDedup
         .dropRepeatedSpans(tbl(s, dir, "documents"), "text", "doc_id",
           spanWords = SpanDedupWords)
+        .orderBy("doc_id")),
+
+    // dedup tier, sub-document at ARBITRARY offsets: stride-1 rolling
+    // shingle keys (the Lee et al. 2022 repeated-substring semantics the
+    // fixed-grid q_span_dedup misses) — hashed keys through the span-key
+    // window, token arrays union'd in as sentinel rows, exactly TWO
+    // exchanges, join-free
+    "q_span_dedup_s1" -> ((s, dir) =>
+      graft.dedup.SpanDedup
+        .dropRepeatedShingles(tbl(s, dir, "documents"), "text", "doc_id",
+          shingleWords = ShingleWords)
         .orderBy("doc_id")),
 
     // dedup tier end-to-end: the survivor corpus after fuzzy dedup —
@@ -1919,6 +1931,49 @@ SELECT d.doc_id,
   coalesce(a.text_deduped, '') AS text_deduped
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id""",
+
+    // stride-1 shingle dedup re-derived: same FNV shingle keys, global
+    // first occurrence by (doc_id, start), covered-position expansion,
+    // positional rebuild — dup starts expand to intervals on both sides
+    "q_span_dedup_s1" -> {
+      val k = ShingleWords
+      s"""WITH t AS (
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(toks) - $k + 1, 0))) AS start,
+    unnest(list_transform(range(0, greatest(len(toks) - $k + 1, 0)),
+      i -> ${fnvSql(s"array_to_string(toks[i+1:i+$k], ' ')")})) AS key
+  FROM t),
+rk AS (
+  SELECT doc_id, start,
+    row_number() OVER (PARTITION BY key ORDER BY doc_id, start) AS rk
+  FROM sh),
+a AS (
+  SELECT doc_id,
+    count(*) AS n_shingles,
+    count(CASE WHEN rk > 1 THEN 1 END) AS n_dup,
+    list(start ORDER BY start) FILTER (WHERE rk > 1) AS dstarts
+  FROM rk GROUP BY doc_id),
+f AS (
+  SELECT t.doc_id, t.toks,
+    coalesce(a.n_shingles, 0) AS n_shingles,
+    coalesce(a.n_dup, 0) AS n_dup,
+    list_distinct(flatten(list_transform(
+      coalesce(a.dstarts, CAST([] AS BIGINT[])), s -> range(s, s + $k)))) AS cov
+  FROM t LEFT JOIN a USING (doc_id))
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_dup AS BIGINT) AS n_dup,
+  CAST(len(toks) - len(cov) AS BIGINT) AS n_kept,
+  coalesce(array_to_string(
+    list_transform(
+      list_filter(range(0, len(toks)), p -> NOT list_contains(cov, p)),
+      p -> toks[p + 1]),
+    ' '), '') AS text_deduped
+FROM f ORDER BY doc_id"""
+    },
 
     // same component resolution, composed to its end use: drop every
     // member but the canonical min-id representative

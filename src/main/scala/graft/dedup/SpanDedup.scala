@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.text.{Tokenize, TokenizerModels}
+import graft.text.{TextAnalysis, Tokenize, TokenizerModels}
 
 /** Cross-document exact SPAN deduplication with document reassembly —
   * the "repeated substring" scrub of modern pretraining pipelines (C4
@@ -68,5 +68,84 @@ object SpanDedup {
               struct(col("span_no"), col("span"))))),
             s => s.getField("span")),
           " ").as("text_deduped"))
+  }
+
+  /** Arbitrary-offset repeated-substring dedup — the stride-1 upgrade of
+    * [[dropRepeatedSpans]] (which only sees spans on a fixed k-token
+    * grid): EVERY k-token shingle (offsets 0..n−k) is keyed, the global
+    * first occurrence (by `(id, start)` order) of each distinct shingle
+    * is kept, and every token position covered by a NON-first occurrence
+    * is dropped — Lee et al. 2022's repeated-substring semantics with a
+    * greedy first-occurrence keep rule. A position inside the kept first
+    * occurrence can still be eroded by a different duplicated shingle
+    * overlapping it; the rule is positional, which is what makes it
+    * deterministic and exactly re-derivable relationally.
+    *
+    * Scale design (100 TB): shingle keys are 64-bit FNV-1a hashes of the
+    * joined tokens, built ELEMENTWISE from the token array — the span-key
+    * window shuffles `(id, start, key)` triples (8-byte keys, never
+    * shingle text). Reassembly needs each document's token array once, so
+    * a second scan contributes sentinel `(id, toks)` rows by UNION below
+    * the window — the union rides INTO the doc-keyed aggregation, keeping
+    * the operator at exactly TWO exchanges (span-key window + doc-key
+    * rebuild), join-free; a re-scan is a parallel read, a third shuffle
+    * is not. Covered positions expand dup starts to intervals
+    * (≤ k·n_dups temp cells per row) and drop them by hash
+    * `array_except` — no per-position linear scans. Hash collisions can
+    * only FALSELY drop a span (never resurrect one); at 64 bits the
+    * corpus-pair collision rate is the MinHash tier's accepted bound. */
+  def dropRepeatedShingles(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWords: Int = 8,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    require(shingleWords > 0, s"shingleWords must be positive, got $shingleWords")
+    val k = shingleWords
+    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+
+    // (id, start, key) for offsets 0..n-k; docs shorter than k contribute
+    // no shingle rows (sequence() runs backwards for start > stop — guard)
+    val keys = when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => TextAnalysis.fnv1a64(array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val shingles = df.select(col(idCol), posexplode(keys).as(Seq("start", "key")))
+
+    val firstSeen = Window.partitionBy("key").orderBy(idCol, "start")
+    val ranked = shingles
+      .withColumn("rk", row_number().over(firstSeen))
+      .select(col(idCol), col("start"),
+        col("rk"), lit(null).cast("array<string>").as("toks"))
+
+    // sentinel rows carry the token arrays into the SAME doc-keyed
+    // aggregation (start = -1 keeps them out of the shingle counts)
+    val sentinels = df.select(
+      col(idCol), lit(-1).as("start"), lit(0).as("rk"), toks.as("toks"))
+
+    val agg = ranked.unionByName(sentinels)
+      .groupBy(col(idCol))
+      .agg(
+        // exactly one non-null toks row per id → deterministic first()
+        first(col("toks"), ignoreNulls = true).as("toks"),
+        count(when(col("start") >= 0, 1)).as("n_shingles"),
+        count(when(col("rk") > 1, 1)).as("n_dup"),
+        sort_array(collect_list(when(col("rk") > 1, col("start")))).as("dstarts"))
+
+    val covered = array_distinct(flatten(transform(
+      col("dstarts"), s => sequence(s, s + lit(k - 1)))))
+    val keptPos = when(size(col("toks")) > 0,
+      array_except(sequence(lit(0), size(col("toks")) - 1), covered))
+      .otherwise(array().cast("array<int>"))
+    agg.select(
+      col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"),
+      col("n_shingles"),
+      col("n_dup"),
+      size(keptPos).cast("long").as("n_kept"),
+      array_join(
+        transform(keptPos, p => element_at(col("toks"), p + lit(1))),
+        " ").as("text_deduped"))
   }
 }

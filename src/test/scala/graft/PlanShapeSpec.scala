@@ -200,6 +200,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Exchange hashpartitioning") == 2, plan)
   }
 
+  test("stride-1 shingle dedup: two exchanges, join-free, hashed keys through the window") {
+    val df = SparkEntry.queries("q_span_dedup_s1")(spark, dir)
+    assertNoGlobalWindow(df, "q_span_dedup_s1")
+    val plan = finalPlan(df)
+    // shingle keys + sentinel token arrays are two parallel scans; the
+    // reassembly is the union riding the doc-keyed aggregation — never a
+    // third exchange or a join back to the corpus
+    assert(count(plan, "FileScan parquet") == 2, plan)
+    assert(!plan.contains("Join"), "reassembly must ride the union, not a join")
+    assert(count(plan, "Exchange hashpartitioning") == 2, plan)
+  }
+
   test("curation pipeline: scores once — the band filter reads checkpoint blocks") {
     val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
     assertNoGlobalWindow(df, "q_curation_pipeline")

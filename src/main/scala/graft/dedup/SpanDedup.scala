@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.text.{TextAnalysis, Tokenize, TokenizerModels}
+import graft.text.{PlainBackend, ShingleKeysExpr, TextAnalysis, Tokenize, TokenizerModels}
 
 /** Cross-document exact SPAN deduplication with document reassembly —
   * the "repeated substring" scrub of modern pretraining pipelines (C4
@@ -105,12 +105,19 @@ object SpanDedup {
     val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
 
     // (id, start, key) for offsets 0..n-k; docs shorter than k contribute
-    // no shingle rows (sequence() runs backwards for start > stop — guard)
-    val keys = when(size(toks) >= k,
-      transform(
-        sequence(lit(0), size(toks) - lit(k)),
-        i => TextAnalysis.fnv1a64(array_join(slice(toks, i + lit(1), lit(k)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+    // no shingle rows. The native path fuses tokenize+window-hash into one
+    // codegen'd expression (ShingleKeysExpr — hashing every token k times
+    // is this operator's hot loop and HOF lambdas run interpreted); other
+    // backends take the value-identical compositional formulation.
+    val keys =
+      if (TokenizerModels.resolve(model) eq PlainBackend)
+        org.apache.spark.sql.graft.Bridge.column(
+          ShingleKeysExpr(org.apache.spark.sql.graft.Bridge.expression(col(textCol)), k))
+      else when(size(toks) >= k,
+        transform(
+          sequence(lit(0), size(toks) - lit(k)),
+          i => TextAnalysis.fnv1a64(array_join(slice(toks, i + lit(1), lit(k)), " "))))
+        .otherwise(array().cast("array<bigint>"))
     val shingles = df.select(col(idCol), posexplode(keys).as(Seq("start", "key")))
 
     val firstSeen = Window.partitionBy("key").orderBy(idCol, "start")

@@ -54,10 +54,13 @@ object SparkEntry {
   val CurationDupFracMax = 0.6 // median dup_word_frac on this corpus ~0.54
   val SpanDedupWords = 10
   val ShingleWords = 8 // q_span_dedup_s1 + its oracle
+  val WinnowK = 4 // q_winnow shingle size
+  val WinnowW = 4 // q_winnow window
   val BigramLambda = 0.75 // exact binary fraction; 1-λ = 0.25 exact too
   val CoocWindow = 3
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
+  val MixTempFrac = 0.5 // q_domain_mix_temp target fraction (exact binary)
 
   // Shared by the q_knn_ivf closure and ivfOracleSql: editing either side
   // alone must be a compile-time impossibility, not a verify surprise.
@@ -878,6 +881,17 @@ object SparkEntry {
           shingleWords = ShingleWords)
         .orderBy("doc_id")),
 
+    // dedup tier, fingerprint selection: winnowing (the MOSS scheme) —
+    // ~2/(w+1) of the shingle stream with a guaranteed hit for any shared
+    // run of >= w+k-1 tokens, all selected elementwise in one codegen'd
+    // expression (zero shuffle before the output sort)
+    "q_winnow" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"), WinnowK, WinnowW)).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+        .orderBy("doc_id", "pos")),
+
     // dedup tier end-to-end: the survivor corpus after fuzzy dedup —
     // cluster members other than the canonical (min-id) representative are
     // dropped via ONE left-anti doc-keyed join; pair generation and
@@ -960,6 +974,17 @@ object SparkEntry {
     "q_domain_mix" -> ((s, dir) =>
       graft.util.DomainMix
         .sample(tbl(s, dir, "documents"), "lang", "doc_id", MixRates, MixDefault)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // curation tier: α=1/2 temperature mixture — data-dependent per-domain
+    // keep rates (rare domains keep more of themselves), thresholds
+    // bitwise re-derivable because every op in the rate formula is
+    // correctly rounded (sqrt, never pow) and the normalizer folds in
+    // sorted-domain order
+    "q_domain_mix_temp" -> ((s, dir) =>
+      graft.util.DomainMix
+        .temperatureSample(tbl(s, dir, "documents"), "lang", "doc_id", MixTempFrac)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
@@ -1932,6 +1957,40 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id""",
 
+    // winnowing re-derived: same signed shingle keys, rightmost-min of
+    // each w-window via an ordered list_reduce fold, consecutive
+    // same-position selections collapsed by subscript comparison
+    "q_winnow" -> {
+      val (k, w) = (WinnowK, WinnowW)
+      s"""WITH t AS (
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(toks) - $k + 1, 0))) AS start,
+    unnest(list_transform(range(0, greatest(len(toks) - $k + 1, 0)),
+      i -> ${toSigned64(fnvSql(s"array_to_string(toks[i+1:i+$k], ' ')"))})) AS key
+  FROM t),
+ks AS (SELECT doc_id, list(key ORDER BY start) AS h, count(*) AS m FROM sh GROUP BY doc_id),
+sel AS (
+  SELECT doc_id,
+    list_transform(range(0, CASE WHEN m > $w THEN m - $w + 1 ELSE 1 END),
+      j -> list_reduce(
+        list_transform(range(j + 1, least(j + $w, m) + 1),
+          p -> struct_pack(p := p, v := h[p])),
+        (a, b) -> CASE WHEN struct_extract(b, 'v') <= struct_extract(a, 'v')
+                       THEN b ELSE a END)) AS sels
+  FROM ks),
+f AS (
+  SELECT doc_id, unnest(sels) AS s, generate_subscripts(sels, 1) AS si, sels
+  FROM sel)
+SELECT doc_id,
+  CAST(struct_extract(s, 'p') - 1 AS INT) AS pos,
+  CAST(struct_extract(s, 'v') AS BIGINT) AS fp
+FROM f
+WHERE si = 1 OR struct_extract(s, 'p') <> struct_extract(sels[si - 1], 'p')
+ORDER BY doc_id, pos"""
+    },
+
     // stride-1 shingle dedup re-derived: same FNV shingle keys, global
     // first occurrence by (doc_id, start), covered-position expansion,
     // positional rebuild — dup starts expand to intervals on both sides
@@ -2170,6 +2229,28 @@ WHERE ((sh % 1000) + 1000) % 1000 <
   CAST((CASE lang $cases ELSE $MixDefault END) * 1000 AS BIGINT)
 ORDER BY doc_id"""
     },
+
+    // temperature mixture re-derived: same counts, sqrt weights, a
+    // sorted-order list_reduce normalizer, identical left-assoc rate
+    // arithmetic — thresholds match bitwise, then the same integer gate
+    "q_domain_mix_temp" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+c AS (SELECT lang AS d, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
+w AS (SELECT d, cnt, sqrt(cnt / (SELECT n FROM nn)) AS wt FROM c),
+z AS (SELECT list_reduce(list(wt ORDER BY d), (a, b) -> a + b) AS zz FROM w),
+thr AS (
+  SELECT d,
+    CAST(floor(least($MixTempFrac * (SELECT n FROM nn) * wt / (SELECT zz FROM z) / cnt, 1.0)
+               * 1000000.0) AS BIGINT) AS t
+  FROM w),
+g AS (
+  SELECT doc_id, lang,
+    ((sh % 1000000) + 1000000) % 1000000 AS gate
+  FROM (SELECT doc_id, lang,
+          ${toSigned64(fnvSql("'mixt:' || CAST(doc_id AS VARCHAR)"))} AS sh
+        FROM documents))
+SELECT doc_id, lang FROM g JOIN thr ON thr.d = g.lang
+WHERE gate < t ORDER BY doc_id""",
 
     "q_embed_neardup" -> embedNearDupSql,
 

@@ -117,4 +117,18 @@ object TextAnalysis {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(Fnv1aExpr(Bridge.expression(c)))
   }
+
+  /** Stride-1 k-token shingle keys of the text ([[ShingleKeysExpr]]). */
+  def shingleKeys(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ShingleKeysExpr(Bridge.expression(c), k))
+  }
+
+  /** Winnowing fingerprints `array<struct<pos, fp>>` over the k-token
+    * shingle stream with window `w` ([[WinnowExpr]]): density ~2/(w+1),
+    * guaranteed hit for any shared run of ≥ w+k−1 tokens. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(WinnowExpr(Bridge.expression(c), k, w))
+  }
 }

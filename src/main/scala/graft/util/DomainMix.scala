@@ -47,4 +47,52 @@ object DomainMix {
       lit(Buckets))
     df.filter(gate < (rate * Buckets).cast("long"))
   }
+
+  private val TempBuckets = 1000000L // data-dependent rates: 1e-6 resolution
+
+  /** Temperature-scaled mixture sampling — the α-temperature domain
+    * reweighting of multilingual/multi-source pretraining (GPT-3 §2.2
+    * upweights rarer sources; XLM-R/Llama sample domains ∝ p^α): the
+    * target composition is `q_d ∝ (n_d/N)^α` at `α = 0.5` and the sample
+    * keeps `frac·N` documents in expectation, so rare domains keep a
+    * LARGER fraction of themselves than abundant ones.
+    *
+    * α is fixed at 1/2 because `sqrt` is correctly rounded under
+    * IEEE-754 while `pow` is not — with `+ * /` also correctly rounded
+    * and the normalizer summed in sorted-domain order, the per-domain
+    * keep thresholds are BITWISE identical when an external checker
+    * (DuckDB) re-derives them from the same counts, which is what makes
+    * this data-dependent gate oracle-checkable at integer precision.
+    *
+    * Scale design: domain counts are one partial-aggregated groupBy
+    * collapsing to |domains| rows on the driver (domains are a curated
+    * handful); thresholds inline as a literal CASE chain and the gate is
+    * the same zero-shuffle elementwise program as [[sample]], stable
+    * under retries. */
+  def temperatureSample(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      frac: Double,
+      seed: String = "mixt:"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val counts = df.groupBy(col(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample: empty corpus")
+    val domains = counts.keys.toSeq.sorted
+    val nTotal = counts.values.sum.toDouble
+    val weights = domains.map(d => math.sqrt(counts(d).toDouble / nTotal))
+    val z = weights.foldLeft(0.0)(_ + _) // sorted-order fold, oracle-matched
+    val s = frac * nTotal
+    val thresholds = domains.zip(weights).map { case (d, w) =>
+      d -> math.floor(math.min(s * w / z / counts(d).toDouble, 1.0) * TempBuckets).toLong
+    }
+    val thr: Column = thresholds.foldLeft(lit(0L)) {
+      case (acc, (domain, t)) => when(col(domainCol) === domain, lit(t)).otherwise(acc)
+    }
+    val gate = pmod(
+      TextAnalysis.fnv1a64(concat(lit(seed), col(idCol).cast("string"))),
+      lit(TempBuckets))
+    df.filter(gate < thr)
+  }
 }

@@ -246,7 +246,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("feature-hash encode and mixture gate are scan-speed: no shuffle, no UDF, codegen'd hash") {
-    for (q <- Seq("q_encode_ids", "q_domain_mix")) {
+    for (q <- Seq("q_encode_ids", "q_domain_mix", "q_domain_mix_temp", "q_winnow")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = finalPlan(df)
       assert(!plan.contains("ScalaUDF"), s"$q:\n$plan")

@@ -35,4 +35,36 @@ class DomainMixSpec extends SparkSpec {
     val b = DomainMix.sample(corpus, "lang", "doc_id", Map.empty, 0.5, seed = "b:")
     assert(a.exceptAll(b).count() > 0)
   }
+
+  // 9:1 skewed corpus for the temperature tests
+  private def skewed = (0L until 2000L).map { i =>
+    (i, if (i % 10 == 0) "rare" else "big", s"doc $i")
+  }.toDF("doc_id", "lang", "text")
+
+  test("temperature mixture keeps a larger fraction of rare domains") {
+    val out = DomainMix.temperatureSample(skewed, "lang", "doc_id", frac = 0.5)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=0.5 targets q ∝ sqrt(p): rare (10%) should retain a clearly larger
+    // share of itself than big (90%) — exact thresholds: rare keeps 100%
+    // (rate clamps at 1), big ~44%
+    val rareFrac = kept("rare").toDouble / 200
+    val bigFrac = kept("big").toDouble / 1800
+    assert(rareFrac > bigFrac + 0.2, s"rare=$rareFrac big=$bigFrac")
+    // expected size ≈ frac·N within a CLT band
+    val total = kept.values.sum
+    assert(total > 800 && total < 1200, total)
+  }
+
+  test("temperature mixture is deterministic; frac=1 keeps a balanced corpus whole") {
+    val a = DomainMix.temperatureSample(skewed, "lang", "doc_id", 0.5)
+    val b = DomainMix.temperatureSample(skewed, "lang", "doc_id", 0.5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // balanced domains → q == p → every rate clamps to 1 at frac=1;
+    // a SKEWED corpus at frac=1 must still down-sample abundant domains
+    // toward the sqrt composition (expected Σ min(n_d, N·q_d) < N)
+    assert(DomainMix.temperatureSample(corpus, "lang", "doc_id", 1.0).count() === 2000)
+    val skewedKept = DomainMix.temperatureSample(skewed, "lang", "doc_id", 1.0).count()
+    assert(skewedKept < 1800 && skewedKept > 1500, skewedKept)
+  }
 }

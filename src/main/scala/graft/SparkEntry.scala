@@ -57,6 +57,12 @@ object SparkEntry {
   val WinnowK = 4 // q_winnow shingle size
   val WinnowW = 4 // q_winnow window
   val BigramLambda = 0.75 // exact binary fraction; 1-λ = 0.25 exact too
+  // trigram interpolation weights (q_perplexity_trigram): derived values
+  // (1-λ₂, 1-λ₃-λ₂) are COMPUTED in Scala and interpolated into the
+  // oracle SQL, so both engines multiply by bit-identical doubles even
+  // where the difference is not an exact binary fraction
+  val TrigramL3 = 0.5
+  val TrigramL2 = 0.3
   val CoocWindow = 3
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
@@ -881,6 +887,16 @@ object SparkEntry {
           shingleWords = ShingleWords)
         .orderBy("doc_id")),
 
+    // dedup tier, audit: per-doc cross-document shingle sharing (the
+    // "fraction of corpus duplicated" statistic) — distinct pairs reduce
+    // map-side, per-key doc counts on a key-partitioned window, verdict
+    // joins only (id, counts) back; text never moves
+    "q_novelty_audit" -> ((s, dir) =>
+      graft.dedup.SpanDedup
+        .shingleNoveltyAudit(tbl(s, dir, "documents"), "text", "doc_id",
+          shingleWords = ShingleWords)
+        .orderBy("doc_id")),
+
     // dedup tier, fingerprint selection: winnowing (the MOSS scheme) —
     // ~2/(w+1) of the shingle stream with a guaranteed hit for any shared
     // run of >= w+k-1 tokens, all selected elementwise in one codegen'd
@@ -934,6 +950,16 @@ object SparkEntry {
       graft.text.LanguageModel
         .bigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id",
           lambda = BigramLambda)
+        .orderBy("doc_id")),
+
+    // curation tier, order-2: interpolated trigram-LM cross-entropy — the
+    // next rung toward KenLM; trigram counts join on the TRIPLE key
+    // (vocab³-bounded, even less broadcast-safe than the bigram table),
+    // margins as partitioned windows, contexts derived elementwise
+    "q_perplexity_trigram" -> ((s, dir) =>
+      graft.text.LanguageModel
+        .trigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id",
+          lambda3 = TrigramL3, lambda2 = TrigramL2)
         .orderBy("doc_id")),
 
     // LLM-assembly tier: vocabulary-free training encode by feature
@@ -1957,6 +1983,33 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id""",
 
+    // novelty audit re-derived: same shingle keys, distinct (doc, key),
+    // per-key doc counts, shared-fraction algebra
+    "q_novelty_audit" -> {
+      val k = ShingleWords
+      s"""WITH t AS (
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, key FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(0, greatest(len(toks) - $k + 1, 0)),
+        i -> ${fnvSql(s"array_to_string(toks[i+1:i+$k], ' ')")})) AS key
+    FROM t)),
+kc AS (SELECT key, count(*) AS nd FROM sh GROUP BY 1),
+a AS (
+  SELECT doc_id, count(*) AS n_shingles,
+    count(CASE WHEN kc.nd > 1 THEN 1 END) AS n_shared
+  FROM sh JOIN kc USING (key) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+  round(CASE WHEN coalesce(a.n_shingles, 0) > 0
+             THEN CAST(a.n_shared AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN a USING (doc_id)
+ORDER BY d.doc_id"""
+    },
+
     // winnowing re-derived: same signed shingle keys, rightmost-min of
     // each w-window via an ordered list_reduce fold, consecutive
     // same-position selections collapsed by subscript comparison
@@ -2108,6 +2161,47 @@ p AS (
   FROM adj
   JOIN v USING (token)
   LEFT JOIN bm ON bm.w1 = adj.prev AND bm.w2 = adj.token)
+SELECT doc_id, count(*) AS n_tokens,
+  round(-sum(log2(p)) / count(*), 6) AS bits_per_token
+FROM p GROUP BY doc_id ORDER BY doc_id""",
+
+    // interpolated trigram LM fully re-derived: two lags, three count
+    // tables, margins as partitioned windows, λ terms multiplied in the
+    // engine's left-assoc order with Scala-computed derived weights
+    "q_perplexity_trigram" ->
+      s"""WITH t AS (
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token FROM t),
+adj AS (
+  SELECT doc_id, pos, token,
+    lag(token) OVER w AS prev,
+    lag(token, 2) OVER w AS prev2
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v),
+bc AS (
+  SELECT prev AS w1, token AS w2, count(*) AS n_ab
+  FROM adj WHERE prev IS NOT NULL GROUP BY 1, 2),
+bm AS (SELECT w1, w2, n_ab, sum(n_ab) OVER (PARTITION BY w1) AS n_a FROM bc),
+tc AS (
+  SELECT prev2 AS u, prev AS v2, token AS w, count(*) AS n_abc
+  FROM adj WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+tm AS (SELECT u, v2, w, n_abc, sum(n_abc) OVER (PARTITION BY u, v2) AS n_uv FROM tc),
+p AS (
+  SELECT adj.doc_id,
+    CASE WHEN adj.prev IS NULL
+         THEN CAST(v.n_w AS DOUBLE) / (SELECT n FROM tot)
+         WHEN adj.prev2 IS NULL
+         THEN $TrigramL2 * (CAST(bm.n_ab AS DOUBLE) / bm.n_a)
+            + ${1.0 - TrigramL2} * (CAST(v.n_w AS DOUBLE) / (SELECT n FROM tot))
+         ELSE $TrigramL3 * (CAST(tm.n_abc AS DOUBLE) / tm.n_uv)
+            + $TrigramL2 * (CAST(bm.n_ab AS DOUBLE) / bm.n_a)
+            + ${1.0 - TrigramL3 - TrigramL2} * (CAST(v.n_w AS DOUBLE) / (SELECT n FROM tot)) END AS p
+  FROM adj
+  JOIN v USING (token)
+  LEFT JOIN bm ON bm.w1 = adj.prev AND bm.w2 = adj.token
+  LEFT JOIN tm ON tm.u = adj.prev2 AND tm.v2 = adj.prev AND tm.w = adj.token)
 SELECT doc_id, count(*) AS n_tokens,
   round(-sum(log2(p)) / count(*), 6) AS bits_per_token
 FROM p GROUP BY doc_id ORDER BY doc_id""",

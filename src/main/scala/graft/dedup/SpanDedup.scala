@@ -105,19 +105,8 @@ object SpanDedup {
     val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
 
     // (id, start, key) for offsets 0..n-k; docs shorter than k contribute
-    // no shingle rows. The native path fuses tokenize+window-hash into one
-    // codegen'd expression (ShingleKeysExpr — hashing every token k times
-    // is this operator's hot loop and HOF lambdas run interpreted); other
-    // backends take the value-identical compositional formulation.
-    val keys =
-      if (TokenizerModels.resolve(model) eq PlainBackend)
-        org.apache.spark.sql.graft.Bridge.column(
-          ShingleKeysExpr(org.apache.spark.sql.graft.Bridge.expression(col(textCol)), k))
-      else when(size(toks) >= k,
-        transform(
-          sequence(lit(0), size(toks) - lit(k)),
-          i => TextAnalysis.fnv1a64(array_join(slice(toks, i + lit(1), lit(k)), " "))))
-        .otherwise(array().cast("array<bigint>"))
+    // no shingle rows.
+    val keys = shingleKeyCol(textCol, k, model)
     val shingles = df.select(col(idCol), posexplode(keys).as(Seq("start", "key")))
 
     val firstSeen = Window.partitionBy("key").orderBy(idCol, "start")
@@ -154,5 +143,70 @@ object SpanDedup {
       array_join(
         transform(keptPos, p => element_at(col("toks"), p + lit(1))),
         " ").as("text_deduped"))
+  }
+
+  /** The stride-1 k-token shingle FNV keys of `textCol`. The native path
+    * fuses tokenize+window-hash into one codegen'd expression
+    * ([[ShingleKeysExpr]] — hashing every token k times is the shingle
+    * tier's hot loop and HOF lambdas run interpreted); other backends
+    * take the value-identical compositional formulation. */
+  private def shingleKeyCol(textCol: String, k: Int, model: String) =
+    if (TokenizerModels.resolve(model) eq PlainBackend)
+      org.apache.spark.sql.graft.Bridge.column(
+        ShingleKeysExpr(org.apache.spark.sql.graft.Bridge.expression(col(textCol)), k))
+    else {
+      val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+      when(size(toks) >= k,
+        transform(
+          sequence(lit(0), size(toks) - lit(k)),
+          i => TextAnalysis.fnv1a64(array_join(slice(toks, i + lit(1), lit(k)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+
+  /** Per-document duplication audit — the statistic dedup papers report
+    * (Lee et al. 2022 measure the fraction of corpus substrings that are
+    * duplicated) and the cheapest way to DECIDE whether a corpus needs
+    * the full dedup pass: for each document, how many of its stride-1
+    * k-token shingles also occur in at least one OTHER document.
+    * `dup_frac = n_shared / n_shingles` (0.0 for shingle-less docs).
+    *
+    * Scale design (100 TB): distinct `(id, key)` pairs reduce map-side,
+    * per-key doc counts ride a key-partitioned window over that reduced
+    * frame, and the verdict aggregates back on the doc key — two
+    * exchanges, join-free, nothing but 8-byte keys and counts shuffled;
+    * the final left join puts only `(id, counts)` against the id column
+    * of the corpus (text never moves). */
+  def shingleNoveltyAudit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWords: Int = 8,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    require(shingleWords > 0, s"shingleWords must be positive, got $shingleWords")
+    val keys = shingleKeyCol(textCol, shingleWords, model)
+
+    // distinct (id, key): a shingle repeated WITHIN one doc counts once —
+    // the audit asks about cross-document sharing
+    val pairs = df
+      .select(col(idCol), explode(keys).as("key"))
+      .distinct()
+    val byKey = Window.partitionBy("key")
+    val audited = pairs
+      .withColumn("n_docs", count(lit(1)).over(byKey))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("n_docs") > 1, 1)).as("n_shared"))
+    df.select(col(idCol))
+      .join(audited, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(
+          when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            col("n_shared").cast("double") / col("n_shingles").cast("double"))
+            .otherwise(lit(0.0)),
+          6).as("dup_frac"))
   }
 }

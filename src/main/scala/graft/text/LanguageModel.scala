@@ -117,4 +117,81 @@ object LanguageModel {
         count(lit(1)).as("n_tokens"),
         round(-sum(log(2.0, p)) / count(lit(1)), 6).as("bits_per_token"))
   }
+
+  /** Order-2 rung of the ladder: interpolated TRIGRAM cross-entropy
+    * `p(w|u,v) = λ₃·c(u,v,w)/c(u,v,·) + λ₂·c(v,w)/c(v,·) + (1−λ₃−λ₂)·c(w)/N`
+    * — each document's first token scores by the unigram term alone and
+    * its second by the bigram interpolation, the standard
+    * Jelinek-Mercer boundary treatment (one rung below the 5-gram KenLM
+    * CCNet ships).
+    *
+    * Scale design: the [[bigramCrossEntropy]] posture extended one order —
+    * BOTH context lookups are derived elementwise from the token array
+    * (`element_at`, no per-doc window), the unigram vocabulary broadcasts,
+    * and the bigram AND trigram count frames join on their (pair /
+    * triple) keys: vocab³-bounded frames are even less broadcast-safe
+    * than vocab², so each rides its own key-partitioned exchange, with
+    * margins `c(·)` as partitioned windows over the checkpointed counts
+    * (never a global window). */
+  def trigramCrossEntropy(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lambda3: Double = 0.5,
+      lambda2: Double = 0.3,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    require(lambda3 >= 0.0 && lambda2 >= 0.0 && lambda3 + lambda2 <= 1.0,
+      s"need λ₃, λ₂ >= 0 with λ₃+λ₂ <= 1, got $lambda3, $lambda2")
+    import org.apache.spark.sql.expressions.Window
+
+    val vocab = df
+      .select(explode(Tokenize.tokenize(col(textCol), model)).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(count(lit(1)).as("n_w"))
+      .localCheckpoint(true)
+    val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
+
+    val bigrams = Collocations.bigramCounts(df, textCol, idCol, model)
+      .localCheckpoint(true)
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
+
+    // one tokenize pass feeds the trigram fit AND the scoring stream
+    def stream(frame: DataFrame): DataFrame = frame
+      .select(
+        col(idCol),
+        transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+          .as("__toks"))
+      .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("pos", "token")))
+      .withColumn("prev", when(col("pos") > 0, element_at(col("__toks"), col("pos"))))
+      .withColumn("prev2", when(col("pos") > 1, element_at(col("__toks"), col("pos") - 1)))
+      .drop("__toks")
+
+    val trigrams = stream(df)
+      .filter(col("prev2").isNotNull)
+      .groupBy(col("prev2").as("u"), col("prev").as("v"), col("token").as("w"))
+      .agg(count(lit(1)).as("n_abc"))
+      .localCheckpoint(true)
+      .withColumn("n_uv", sum(col("n_abc")).over(Window.partitionBy("u", "v")))
+
+    val lambda1 = 1.0 - lambda3 - lambda2
+    val pUni = col("n_w").cast("double") / lit(total.toDouble)
+    val pBi = col("n_ab").cast("double") / col("n_a").cast("double")
+    val pTri = col("n_abc").cast("double") / col("n_uv").cast("double")
+    val p = when(col("prev").isNull, pUni)
+      .when(col("prev2").isNull,
+        lit(lambda2) * pBi + lit(1.0 - lambda2) * pUni)
+      .otherwise(lit(lambda3) * pTri + lit(lambda2) * pBi + lit(lambda1) * pUni)
+
+    val s = stream(df)
+    s.join(broadcast(vocab), "token")
+      .join(bigrams,
+        s("prev") === bigrams("w1") && s("token") === bigrams("w2"), "left")
+      .join(trigrams,
+        s("prev2") === trigrams("u") && s("prev") === trigrams("v") &&
+          s("token") === trigrams("w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(log(2.0, p)) / count(lit(1)), 6).as("bits_per_token"))
+  }
 }

@@ -42,6 +42,32 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (first + 7 * rest) / 8) < 1e-6)
   }
 
+  test("trigram interpolation: hand-derivable on a deterministic sequence") {
+    // one doc, fully deterministic trigrams AND bigrams: every context
+    // term is 1, so pos0 = p_uni, pos1 = λ2 + (1-λ2)p_uni,
+    // pos>=2 = λ3 + λ2 + (1-λ3-λ2)p_uni
+    val docs = Seq((0L, "a b a b a b a b")).toDF("doc_id", "text")
+    val Array(r) = LanguageModel
+      .trigramCrossEntropy(docs, "text", "doc_id", lambda3 = 0.5, lambda2 = 0.3).collect()
+    assert(r.getLong(1) === 8L)
+    val pU = 0.5
+    def b(p: Double) = -math.log(p) / math.log(2)
+    val expected = (b(pU) + b(0.3 + 0.7 * pU) + 6 * b(0.5 + 0.3 + 0.2 * pU)) / 8
+    assert(math.abs(r.getDouble(2) - expected) < 1e-6)
+  }
+
+  test("trigram model beats bigram on order-2-predictive text") {
+    // "a a b" repeating: after context (a a) the next is ALWAYS b, and
+    // after (a b) always a — trigrams deterministic; bigram context "a"
+    // is ambiguous (a->a and a->b both occur)
+    val docs = Seq((0L, "a a b a a b a a b a a b")).toDF("doc_id", "text")
+    val bi = LanguageModel.bigramCrossEntropy(docs, "text", "doc_id")
+      .collect().head.getDouble(2)
+    val tri = LanguageModel.trigramCrossEntropy(docs, "text", "doc_id")
+      .collect().head.getDouble(2)
+    assert(tri < bi)
+  }
+
   test("bigram model beats unigram on text with predictive adjacency") {
     val docs = Seq(
       (0L, "x y x y x y x y x y"),

@@ -356,6 +356,29 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // streaming tier: the curation gate run as a STREAM — stateless
+    // scan-speed filtering (quality + repetition + lang-id) over a file
+    // source, answering the SAME oracle as the batch formulation (a
+    // streamed corpus gates exactly like a batch one)
+    "q_stream_curation" -> ((s, dir) => {
+      val schema = tbl(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(stagedDir(s"$dir/documents.parquet"))
+      val gated = graft.streaming.TextStream
+        .curationGate(stream, "text", CurationDupFracMax)
+        .select(col("doc_id"), col("lang"), col("pred_lang"))
+      s.catalog.dropTempView("graft_stream_curation")
+      val q = gated.writeStream
+        .format("memory")
+        .queryName("graft_stream_curation")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_curation").orderBy("doc_id")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -1531,23 +1554,33 @@ FROM ll ORDER BY token"""
     * and its data-dependent oracle share. Sort-before-limit:
     * TopicModeling.run requires a deterministic input frame (labels
     * re-join the persisted chunks, and persist does not survive executor
-    * loss) — a bare limit(200) takes whatever partitions answer first. */
+    * loss) — a bare limit(200) takes whatever partitions answer first.
+    *
+    * Memoized per (session, dir) — the tokCacheDir warm-hit pattern: four
+    * consumers (q_topic_model, q_topic_coords, q_topic_assembly, and the
+    * oracle builder) read the SAME pipeline Output, exactly as a library
+    * user would call run() once and consume its frames; the run is
+    * deterministic, so the memo changes cost, never answers. */
+  private val topicRuns =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.topic.TopicModeling.Output]()
   private def topicRun(s: SparkSession, dir: String): graft.topic.TopicModeling.Output =
-    graft.topic.TopicModeling.run(
-      tbl(s, dir, "documents").orderBy("doc_id").limit(200),
-      "text",
-      "doc_id",
-      corpusCol = None,
-      cfg = graft.topic.TopicModeling.Config(
-        // 16-token chunks (the q_chunking constants): multiple chunks per
-        // document, so the assembly's proportions/dominant algebra is
-        // exercised on non-trivial distributions. eps pinned at 0.2 — the
-        // probed density level where DBSCAN yields several clusters PLUS
-        // outliers on this corpus (auto-eps merges the hash-projection
-        // space into one blob), so coords/rollup/assembly see the full
-        // label structure, -1 included
-        chunking = graft.topic.Chunking.Config(maxTokens = 16, overlap = 4),
-        cluster = graft.topic.Cluster.Config(minClusterSize = 5, eps = Some(0.2))))
+    topicRuns.computeIfAbsent((s, dir), { _ =>
+      graft.topic.TopicModeling.run(
+        tbl(s, dir, "documents").orderBy("doc_id").limit(200),
+        "text",
+        "doc_id",
+        corpusCol = None,
+        cfg = graft.topic.TopicModeling.Config(
+          // 16-token chunks (the q_chunking constants): multiple chunks per
+          // document, so the assembly's proportions/dominant algebra is
+          // exercised on non-trivial distributions. eps pinned at 0.2 — the
+          // probed density level where DBSCAN yields several clusters PLUS
+          // outliers on this corpus (auto-eps merges the hash-projection
+          // space into one blob), so coords/rollup/assembly see the full
+          // label structure, -1 included
+          chunking = graft.topic.Chunking.Config(maxTokens = 16, overlap = 4),
+          cluster = graft.topic.Cluster.Config(minClusterSize = 5, eps = Some(0.2))))
+    })
 
   /** Data-dependent topic oracles: one pipeline run exports the per-chunk
     * `(doc_id, chunk_idx, label, x, y)` points as SQL literals; DuckDB
@@ -2588,6 +2621,7 @@ ORDER BY c.doc_id, c.topic_id""",
 
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+    "q_stream_curation" -> streamCurationSql,
 
     "q_corpus_profile" ->
       s"""WITH base AS (
@@ -2785,6 +2819,25 @@ d AS (
   FROM q),
 k AS (SELECT doc_id, lang, tx, toks, n_copies FROM d WHERE dup_rank = 1)
 ${langIdPredSql("k", Seq("n_copies"))}
+ORDER BY doc_id"""
+
+  /** Streamed curation gate == batch gate: whitespace-token quality
+    * keep, tokenizer-token dup bound, then lang-id — the q_curation
+    * gates + q_lang_id prediction composed relationally. */
+  private def streamCurationSql: String =
+    s"""WITH t AS (
+  SELECT doc_id, lang, coalesce(text, '') AS tx,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks,
+    ${toksArrSql()} AS rtoks
+  FROM documents),
+k AS (
+  SELECT doc_id, lang, tx, toks FROM t
+  WHERE CAST(len(toks) AS BIGINT) >= 10
+    AND len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, x))) >= 1
+    AND (CASE WHEN len(rtoks) > 0
+              THEN 1.0 - CAST(len(list_distinct(rtoks)) AS DOUBLE) / len(rtoks)
+              ELSE 0.0 END) <= $CurationDupFracMax)
+${langIdPredSql("k", Nil)}
 ORDER BY doc_id"""
 
   private def qualitySql: String =

@@ -86,6 +86,25 @@ object TextStream {
   def withLangId(stream: DataFrame, textCol: String): DataFrame =
     stream.withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
 
+  /** Streaming curation gate: the batch pipeline's scan-speed signals
+    * (quality keep + repetition bound + language id) applied to a
+    * document stream — STATELESS, so records flow through at scan speed
+    * with no state store, no watermark, and no shuffle; the natural
+    * first stage of an ingest topology, in front of the stateful dedup /
+    * windowed stages. Identical Column programs to the batch
+    * `q_curation_pipeline` gates, so a streamed corpus gates exactly
+    * like a batch one (pinned by the shared oracle). */
+  def curationGate(
+      stream: DataFrame,
+      textCol: String,
+      maxDupWordFrac: Double = 0.6): DataFrame = {
+    val quality = TextAnalysis.qualityMetrics(col(textCol)).toMap
+    val rep = graft.text.Repetition.repetitionMetrics(col(textCol)).toMap
+    stream
+      .filter(quality("keep") && rep("dup_word_frac") <= lit(maxDupWordFrac))
+      .withColumn("pred_lang", TextAnalysis.langId(col(textCol)))
+  }
+
   /** Event-time sessionization via Spark's native `session_window` (3.2+):
     * per-key sessions close after `gap` of event-time silence, so a user's
     * burst of documents rolls up to one row with its doc and word totals.

@@ -156,6 +156,21 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("cleaned"))
         .orderBy("doc_id")),
 
+    // SQL entry point: the engine's registered session functions driven
+    // through spark.sql — the Column API and the SQL name resolve to ONE
+    // plan (Bridge-wrapped builders), so this query pins that a SQL-only
+    // user gets the exact Column-API semantics
+    "q_sql_surface" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      tbl(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id, lang,
+  clean_text(text) AS cleaned,
+  word_count(text) AS word_cnt,
+  CAST(size(tokenize_plain(text)) AS BIGINT) AS n_toks,
+  lang_id(text) AS pred_lang
+FROM graft_documents ORDER BY doc_id""")
+    }),
+
     // standard relational surface (SURVEY §2.9): TPC-H-Q1-flavor pricing
     // summary over lineitem — filter pushdown to the scan, exact DECIMAL
     // aggregation (double sums are order-dependent across engines), final
@@ -2622,6 +2637,26 @@ ORDER BY c.doc_id, c.topic_id""",
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
     "q_stream_curation" -> streamCurationSql,
+
+    // the SQL-surface composite: clean + word count + tokenize length +
+    // lang-id re-derived from their individually-green formulations
+    "q_sql_surface" ->
+      s"""WITH base AS (
+  SELECT doc_id, lang, coalesce(text, '') AS tx,
+    regexp_replace(coalesce(text, ''), '^\\s+|\\s+$$', '', 'g') AS wtrim,
+    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), s -> s <> '') AS toks,
+    trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned,
+    CAST(len(${toksArrSql()}) AS BIGINT) AS n_toks
+  FROM documents),
+k AS (
+  SELECT doc_id, lang, tx, toks, cleaned, n_toks,
+    CAST(CASE WHEN wtrim = '' THEN 0
+         WHEN regexp_matches(wtrim, '\\s') THEN len(regexp_split_to_array(wtrim, '\\s+'))
+         WHEN regexp_matches(wtrim, '^[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}\\x{AC00}-\\x{D7AF}]+$$') THEN length(wtrim)
+         ELSE 1 END AS BIGINT) AS word_cnt
+  FROM base)
+${langIdPredSql("k", Seq("cleaned", "word_cnt", "n_toks"))}
+ORDER BY doc_id""",
 
     "q_corpus_profile" ->
       s"""WITH base AS (

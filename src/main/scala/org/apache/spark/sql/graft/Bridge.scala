@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst expression tree
+    * (builtins become `UnresolvedFunction`s the analyzer then resolves).
+    * [[expression]] instead wraps the node in a lazy `ColumnNodeExpression`
+    * leaf, which only Dataset analysis converts — inside a
+    * `FunctionRegistry` builder that leaf would survive to codegen as
+    * `Unevaluable`; use THIS from registry builders. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,41 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("SQL names resolve to the Column-API plans (one implementation)") {
+    val docs = Seq((0L, "The Quick, brown fox! 42"), (1L, ""), (2L, "vive la France"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, clean_text(text) AS cleaned, word_count(text) AS wc,
+           lang_id(text) AS pl FROM gf_docs ORDER BY doc_id""").collect()
+    val viaApi = docs.select(
+        col("doc_id"),
+        graft.text.TextFunctions.cleanText(col("text")).as("cleaned"),
+        graft.text.TextFunctions.wordCount(col("text")).as("wc"),
+        graft.text.TextAnalysis.langId(col("text")).as("pl"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("tokenize_plain and shingle_keys are SQL-callable with literal args") {
+    val r = spark.sql(
+      "SELECT tokenize_plain('a b c d')[0].token AS t0, size(shingle_keys('a b c d', 2)) AS nk")
+      .head()
+    assert(r.getString(0) == "a" && r.getInt(1) == 3)
+  }
+
+  test("registration is idempotent and arity is checked") {
+    GraftFunctions.register(spark) // second call must not throw
+    val e = intercept[Exception] {
+      spark.sql("SELECT clean_text('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("1 argument") || e.getMessage.contains("clean_text"))
+  }
+}

@@ -171,6 +171,21 @@ object SparkEntry {
 FROM graft_documents ORDER BY doc_id""")
     }),
 
+    // sink/source fidelity under the oracle: the corpus leaves through
+    // the JSON sink and comes back through the schema'd JSON source; the
+    // oracle reads the ORIGINAL table, so any engine-side interchange
+    // loss (escaping, nulls, type drift) breaks the hash. A fresh temp
+    // dir per invocation — bench measures the real write+read cost.
+    "q_sink_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString + "/docs_json"
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charCount(col("text")).as("char_cnt"))
+        .orderBy("doc_id")
+    }),
+
     // standard relational surface (SURVEY §2.9): TPC-H-Q1-flavor pricing
     // summary over lineitem — filter pushdown to the scan, exact DECIMAL
     // aggregation (double sums are order-dependent across engines), final
@@ -744,6 +759,17 @@ FROM graft_documents ORDER BY doc_id""")
           col("dim").cast("long").as("dim"),
           col("v").cast("double").as("v"))
         .orderBy("doc_id", "dim")
+    }),
+
+    // §2.8 compiled_features(): the feature-probe surface as a relation
+    // (this build compiles every reference feature in — the shim's whole
+    // contract), oracle = the same shared constant
+    "q_features" -> ((s, dir) => {
+      import s.implicits._
+      graft.Features.compiledFeatures.toSeq.sorted
+        .map(f => (f, graft.Features.isCompiled(f)))
+        .toDF("feature", "compiled")
+        .orderBy("feature")
     }),
 
     // §2.8 #7 model inventory: the predefined id → language table
@@ -1787,6 +1813,11 @@ SELECT lang, count(*) AS n_docs, CAST(sum(word_cnt) AS BIGINT) AS total_words,
   round(CAST(sum(char_cnt) AS BIGINT) / count(*), 6) AS avg_chars
 FROM c GROUP BY lang ORDER BY lang"""),
 
+    // the roundtripped corpus must equal the original table
+    "q_sink_roundtrip" ->
+      """SELECT doc_id, lang, CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt
+FROM documents ORDER BY doc_id""",
+
     "q_tokenize_tokens" ->
       s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
 
@@ -2417,6 +2448,13 @@ dims(dim, p) AS (VALUES $dims)
 SELECT doc_id, CAST(dim AS BIGINT) AS dim,
   CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
 FROM h CROSS JOIN dims ORDER BY doc_id, dim"""
+    },
+
+    "q_features" -> {
+      val vals = graft.Features.compiledFeatures.toSeq.sorted
+        .map(f => s"('$f', true)").mkString(", ")
+      s"SELECT feature, compiled FROM (VALUES $vals) AS t(feature, compiled) " +
+        "ORDER BY feature"
     },
 
     // model inventory from the same shared constant the engine serves

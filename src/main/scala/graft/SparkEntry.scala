@@ -972,6 +972,16 @@ FROM graft_documents ORDER BY doc_id""")
         .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
         .orderBy("doc_id", "pos")),
 
+    // dedup tier: winnow-fingerprint near-dup pairs — the MOSS pipeline
+    // end-to-end over the posting-list machinery; containment score on
+    // the fingerprint sets, guaranteed recall for long shared runs
+    "q_winnow_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .winnowNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id",
+          shingleWords = WinnowK, window = WinnowW, minShared = 2)
+        .withColumn("overlap", round(col("overlap"), 6))
+        .orderBy("id_a", "id_b")),
+
     // dedup tier end-to-end: the survivor corpus after fuzzy dedup —
     // cluster members other than the canonical (min-id) representative are
     // dropped via ONE left-anti doc-keyed join; pair generation and
@@ -2092,36 +2102,25 @@ ORDER BY d.doc_id"""
     // winnowing re-derived: same signed shingle keys, rightmost-min of
     // each w-window via an ordered list_reduce fold, consecutive
     // same-position selections collapsed by subscript comparison
-    "q_winnow" -> {
-      val (k, w) = (WinnowK, WinnowW)
-      s"""WITH t AS (
-  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
-sh AS (
-  SELECT doc_id,
-    unnest(range(0, greatest(len(toks) - $k + 1, 0))) AS start,
-    unnest(list_transform(range(0, greatest(len(toks) - $k + 1, 0)),
-      i -> ${toSigned64(fnvSql(s"array_to_string(toks[i+1:i+$k], ' ')"))})) AS key
-  FROM t),
-ks AS (SELECT doc_id, list(key ORDER BY start) AS h, count(*) AS m FROM sh GROUP BY doc_id),
-sel AS (
-  SELECT doc_id,
-    list_transform(range(0, CASE WHEN m > $w THEN m - $w + 1 ELSE 1 END),
-      j -> list_reduce(
-        list_transform(range(j + 1, least(j + $w, m) + 1),
-          p -> struct_pack(p := p, v := h[p])),
-        (a, b) -> CASE WHEN struct_extract(b, 'v') <= struct_extract(a, 'v')
-                       THEN b ELSE a END)) AS sels
-  FROM ks),
-f AS (
-  SELECT doc_id, unnest(sels) AS s, generate_subscripts(sels, 1) AS si, sels
-  FROM sel)
-SELECT doc_id,
-  CAST(struct_extract(s, 'p') - 1 AS INT) AS pos,
-  CAST(struct_extract(s, 'v') AS BIGINT) AS fp
-FROM f
-WHERE si = 1 OR struct_extract(s, 'p') <> struct_extract(sels[si - 1], 'p')
-ORDER BY doc_id, pos"""
-    },
+    "q_winnow" ->
+      s"""WITH ${winnowCtes(WinnowK, WinnowW)}
+SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos""",
+
+    // winnow pairs re-derived from the same fingerprint sets: distinct
+    // (doc, fp), per-doc set sizes, fp-keyed self-join, containment score
+    "q_winnow_pairs" ->
+      s"""WITH ${winnowCtes(WinnowK, WinnowW)},
+d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+  round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+FROM pr JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE n_shared >= 2
+ORDER BY id_a, id_b""",
 
     // stride-1 shingle dedup re-derived: same FNV shingle keys, global
     // first occurrence by (doc_id, start), covered-position expansion,
@@ -2834,6 +2833,38 @@ SELECT doc_id,
   CAST(1 + (u // 4294967296) % 32 AS INT) AS n_frames,
   CAST((u // 16777216) % 60000 AS BIGINT) AS duration_ms
 FROM s ORDER BY doc_id"""
+
+  /** CTE chain re-deriving the winnowing selection as
+    * `wfp(doc_id, pos, fp)` — shared by the fingerprint dump and the
+    * pairs oracle. */
+  private def winnowCtes(k: Int, w: Int): String =
+    s"""t AS (
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(toks) - $k + 1, 0))) AS start,
+    unnest(list_transform(range(0, greatest(len(toks) - $k + 1, 0)),
+      i -> ${toSigned64(fnvSql(s"array_to_string(toks[i+1:i+$k], ' ')"))})) AS key
+  FROM t),
+ks AS (SELECT doc_id, list(key ORDER BY start) AS h, count(*) AS m FROM sh GROUP BY doc_id),
+sel AS (
+  SELECT doc_id,
+    list_transform(range(0, CASE WHEN m > $w THEN m - $w + 1 ELSE 1 END),
+      j -> list_reduce(
+        list_transform(range(j + 1, least(j + $w, m) + 1),
+          p -> struct_pack(p := p, v := h[p])),
+        (a, b) -> CASE WHEN struct_extract(b, 'v') <= struct_extract(a, 'v')
+                       THEN b ELSE a END)) AS sels
+  FROM ks),
+f AS (
+  SELECT doc_id, unnest(sels) AS s, generate_subscripts(sels, 1) AS si, sels
+  FROM sel),
+wfp AS (
+  SELECT doc_id,
+    CAST(struct_extract(s, 'p') - 1 AS INT) AS pos,
+    CAST(struct_extract(s, 'v') AS BIGINT) AS fp
+  FROM f
+  WHERE si = 1 OR struct_extract(s, 'p') <> struct_extract(sels[si - 1], 'p'))"""
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -348,6 +348,52 @@ object Dedup {
     * memory is bounded by the posting-list length, i.e. the bucket size —
     * the same bound the join's matching phase has, and the documented
     * contract (bucket = LSH band at scale). */
+  /** Winnowing-fingerprint near-duplicate pairs — the MOSS detection
+    * pipeline end-to-end: each document reduces to its winnowed
+    * fingerprint SET (~2/(w+1) of its shingles, [[graft.text.WinnowExpr]]),
+    * and documents sharing at least `minShared` fingerprints pair up with
+    * a containment-style overlap score `shared / min(|A|, |B|)`. The
+    * winnowing guarantee transfers: two documents sharing any token run
+    * of ≥ `window + shingleWords − 1` tokens share a fingerprint, so at
+    * `minShared = 1` no such pair can be missed — unlike MinHash, whose
+    * recall is only probabilistic.
+    *
+    * Plan shape: one scan + codegen'd fingerprint expression, per-doc
+    * sets in one aggregation (set size rides the explode — no per-id
+    * window), then the shared posting-list machinery: pairs expand
+    * WITHIN each fingerprint's member list, `maxBucket`-capped, no
+    * self-join. The shuffled payload is (8-byte fp, id, count) triples —
+    * text and shingles never leave the scan. */
+  def winnowNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWords: Int = 4,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val docFps = df
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextAnalysis
+          .winnowFingerprints(col(textCol), shingleWords, window)).as("f"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("f.fp")).as("fps"))
+      .select(col("id"), size(col("fps")).as("n_fp"), explode(col("fps")).as("fp"))
+    graft.util.PostingLists
+      .pairs(graft.util.PostingLists.members(
+        docFps, Seq(col("fp")), struct(col("id"), col("n_fp")), maxBucket))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        first(col("a.n_fp")).as("n_a"),
+        first(col("b.n_fp")).as("n_b"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+  }
+
   def jaccardPairs(
       df: DataFrame,
       textCol: String,

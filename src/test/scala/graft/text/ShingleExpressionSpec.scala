@@ -73,4 +73,18 @@ class ShingleExpressionSpec extends SparkSpec {
     val out = winnow(docs, 2, 5) // 2 shingles < w
     assert(out.count(_._1 == 0L) == 1 && !out.exists(_._1 == 1L))
   }
+
+  test("winnow near-dup pairs: guaranteed recall on long shared runs, none on disjoint text") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (0L, s"alpha beta $shared gamma delta"),
+      (1L, s"x1 x2 x3 x4 $shared y1 y2"),
+      (2L, "totally different words everywhere here now")).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup
+      .winnowNearDuplicates(docs, "text", "doc_id",
+        shingleWords = 3, window = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
 }

@@ -1016,6 +1016,20 @@ FROM graft_documents ORDER BY doc_id""")
         .unigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // curation tier, artifact lifecycle: fit the unigram model ONCE,
+    // persist it as a parquet artifact, load it back, score with the
+    // loaded model — the train-once / score-many posture real pipelines
+    // run (a saved model scores new corpus shards without refitting);
+    // answers the SAME oracle as q_perplexity, pinning saved == fresh
+    "q_perplexity_saved" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-lm-").toString + "/unigram"
+      graft.text.LanguageModel.fitUnigram(docs, "text").write.mode("overwrite").parquet(path)
+      graft.text.LanguageModel
+        .scoreUnigram(docs, "text", "doc_id", s.read.parquet(path))
+        .orderBy("doc_id")
+    }),
+
     // curation tier, order-1: interpolated bigram-LM cross-entropy (the
     // Jelinek-Mercer rung toward CCNet's KenLM) — adjacency derived
     // elementwise from the token array, unigram model broadcast, bigram
@@ -2204,6 +2218,16 @@ FROM cum ORDER BY doc_id""",
     // unigram model + scoring fully re-derived: p(w) from the corpus
     // itself, per-doc mean -log2 p; round(6) absorbs log/libm ulp noise
     "q_perplexity" ->
+      s"""WITH tok AS ($tokSql),
+v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v)
+SELECT doc_id, count(*) AS n_tokens,
+  round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
+FROM tok JOIN v USING (token)
+GROUP BY doc_id ORDER BY doc_id""",
+
+    // saved == fresh: the artifact round-trip answers the q_perplexity oracle
+    "q_perplexity_saved" ->
       s"""WITH tok AS ($tokSql),
 v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
 tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v)

@@ -33,17 +33,41 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
-    def toks(frame: DataFrame): DataFrame = frame
-      .select(col(idCol), explode(Tokenize.tokenize(col(textCol), model)).as("t"))
-      .select(col(idCol), col("t.token").as("token"))
+    val vocab = fitUnigram(df, textCol, model)
+    scoreUnigram(df, textCol, idCol, vocab, model)
+  }
 
-    val vocab = toks(df)
+  /** Fit the unigram model: the vocabulary-sized `(token, n_w)` counts
+    * frame from ONE tokenize pass, locally checkpointed. This frame IS
+    * the model artifact — write it to parquet to train once and score
+    * many corpora ([[scoreUnigram]] takes it back, loaded or fresh). */
+  def fitUnigram(
+      df: DataFrame,
+      textCol: String,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame =
+    df.select(explode(Tokenize.tokenize(col(textCol), model)).as("t"))
+      .select(col("t.token").as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_w"))
       .localCheckpoint(true)
-    val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
 
-    toks(df)
+  /** Score `df` against a fitted `(token, n_w)` model frame (fresh from
+    * [[fitUnigram]] or loaded from a saved artifact). The grand total is
+    * one 1-row aggregate over the model (vocabulary-sized — cheap even
+    * loaded), inlined as a literal. Out-of-vocabulary tokens are DROPPED
+    * by the broadcast inner join — when scoring the training corpus
+    * (CCNet's posture, and every oracle here) no such token exists;
+    * scoring a foreign corpus against a saved model should gate on
+    * vocabulary coverage first or extend the model with a floor row. */
+  def scoreUnigram(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: DataFrame,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
+    df.select(col(idCol), explode(Tokenize.tokenize(col(textCol), model)).as("t"))
+      .select(col(idCol), col("t.token").as("token"))
       .join(broadcast(vocab), "token")
       .groupBy(col(idCol))
       .agg(

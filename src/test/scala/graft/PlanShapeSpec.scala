@@ -200,6 +200,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Exchange hashpartitioning") == 2, plan)
   }
 
+  test("winnow pairs: one scan, join-free posting lists, codegen'd fingerprints") {
+    val df = SparkEntry.queries("q_winnow_pairs")(spark, dir)
+    assertNoGlobalWindow(df, "q_winnow_pairs")
+    val plan = finalPlan(df)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(!plan.contains("Join"), "pairs expand inside posting lists, never by join")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("stride-1 shingle dedup: two exchanges, join-free, hashed keys through the window") {
     val df = SparkEntry.queries("q_span_dedup_s1")(spark, dir)
     assertNoGlobalWindow(df, "q_span_dedup_s1")

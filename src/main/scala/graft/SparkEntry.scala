@@ -920,6 +920,15 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("doc_id")
     }),
 
+    // curation audit: cross-domain contamination matrix — which languages
+    // share exact 3-grams, as one gram-keyed aggregation with elementwise
+    // pair expansion over the (tiny) per-gram domain set; the oracle
+    // re-derives it as a gram self-join (two formulations, one answer)
+    "q_cross_domain" -> ((s, dir) =>
+      graft.dedup.Decontaminate
+        .crossDomainOverlap(tbl(s, dir, "documents"), "text", "lang", n = 3)
+        .orderBy("domain_a", "domain_b")),
+
     // dedup cluster resolution: SimHash near-dup pairs resolved into
     // transitive connected components (min-label propagation, unique
     // fixpoint → deterministic) — the keep-one-representative step after
@@ -2036,6 +2045,20 @@ test AS (SELECT DISTINCT doc_id, gram FROM g WHERE lang = 'en')
 SELECT t.doc_id, count(*) AS n_hits
 FROM test t JOIN train USING (gram)
 GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""",
+
+    // the contamination matrix re-derived as a distinct-key self-join
+    // over the same FNV shingle keys the engine aggregates
+    "q_cross_domain" ->
+      s"""WITH t AS (
+  SELECT lang, ${toksArrSql()} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT lang AS domain, gram FROM (
+    SELECT lang, unnest(list_transform(range(0, greatest(len(toks) - 3 + 1, 0)),
+      i -> ${fnvSql("array_to_string(toks[i+1:i+3], ' ')")})) AS gram
+    FROM t))
+SELECT a.domain AS domain_a, b.domain AS domain_b, count(*) AS n_shared
+FROM g a JOIN g b ON a.gram = b.gram AND a.domain < b.domain
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Connected components re-derived with a recursive CTE: reach(id, r)
     // closes the symmetric edge set; min reachable id == the engine's

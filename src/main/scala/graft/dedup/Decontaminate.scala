@@ -61,4 +61,44 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
   }
+
+  /** Cross-domain contamination MATRIX — the corpus-pair audit report
+    * (which sources/languages leak into which): for every unordered
+    * domain pair, how many DISTINCT token `n`-grams occur in both.
+    *
+    * Scale design: grams are 64-bit shingle KEYS from the fused codegen'd
+    * expression ([[graft.text.ShingleKeysExpr]] — the string-gram HOF
+    * formulation measured 4.2 s vs 0.4 s at sf0.1, and 8-byte keys also
+    * cut the shuffle width; the audit counts distinct shared grams, so
+    * hash identity is the right granularity and a 64-bit collision only
+    * perturbs a count by one). Distinct `(domain, key)` pairs reduce
+    * map-side; each key's domain set aggregates into ONE row (bounded by
+    * |domains| — a curated handful, so no posting-list cap needed) and
+    * its pairs expand ELEMENTWISE from the sorted set; the final matrix
+    * aggregation touches |domains|² keys. One gram-keyed exchange — never
+    * a gram-level self-join. Uses the native tokenizer. */
+  def crossDomainOverlap(
+      df: DataFrame,
+      textCol: String,
+      domainCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val domGrams = df
+      .select(col(domainCol).as("domain"),
+        explode(graft.text.TextAnalysis.shingleKeys(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(sort_array(collect_set(col("domain"))).as("ds"))
+    val pairType = "array<struct<domain_a:string,domain_b:string>>"
+    domGrams
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ds"))),
+        i => when(size(col("ds")) > i,
+          zip_with(
+            array_repeat(element_at(col("ds"), i), size(col("ds")) - i),
+            slice(col("ds"), i + lit(1), size(col("ds")) - i),
+            (a, b) => struct(a.as("domain_a"), b.as("domain_b"))))
+          .otherwise(array().cast(pairType))))).as("p"))
+      .groupBy(col("p.domain_a").as("domain_a"), col("p.domain_b").as("domain_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -46,4 +46,19 @@ class DecontaminateSpec extends SparkSpec {
     val hits = run(train = Seq("a b"), test = Seq((1L, "a b")), n = 3)
     assert(hits.isEmpty)
   }
+
+  test("cross-domain matrix counts distinct shared grams per unordered pair") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a b c d"),       // grams: "a b c", "b c d"
+      ("en", "a b c x"),       // re-contributes "a b c" (distinct once)
+      ("de", "a b c y"),       // shares "a b c" with en and fr
+      ("fr", "a b c d e"),     // shares "a b c" AND "b c d" with en
+      ("zh", "p q r s")        // shares nothing
+    ).toDF("lang", "text")
+    val out = Decontaminate.crossDomainOverlap(docs, "text", "lang", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("de", "en") -> 1L, ("de", "fr") -> 1L, ("en", "fr") -> 2L))
+  }
 }

@@ -2029,16 +2029,17 @@ FROM c ORDER BY doc_id""",
 
     "q_simhash_pairs" -> simHashPairsSql,
 
-    // n-gram overlap re-derived with list_transform windows; DuckDB's
-    // range(a, b) is empty when b <= a, covering the short-doc case.
+    // n-gram overlap re-derived over the same FNV shingle keys the
+    // engine joins on; DuckDB's range(a, b) is empty when b <= a,
+    // covering the short-doc case.
     "q_decontaminate" ->
       s"""WITH base AS (
   SELECT doc_id, lang, ${toksArrSql()} AS toks
   FROM documents),
 g AS (
   SELECT doc_id, lang,
-    unnest(list_transform(range(1, len(toks) - 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    unnest(list_transform(range(0, greatest(len(toks) - 3 + 1, 0)),
+      i -> ${fnvSql("array_to_string(toks[i+1:i+3], ' ')")})) AS gram
   FROM base),
 train AS (SELECT DISTINCT gram FROM g WHERE lang <> 'en'),
 test AS (SELECT DISTINCT doc_id, gram FROM g WHERE lang = 'en')

@@ -17,11 +17,13 @@ import graft.text.{Tokenize, TokenizerModels}
   * ONE gram-keyed join (uniform key distribution; n-grams of natural
   * text have no mega-keys after `distinct`) and a per-document count.
   * Nothing is ever compared all-pairs and no document text leaves the
-  * scan. In production the gram string would be fingerprinted
-  * (`xxhash64`) before the exchange to cut shuffle width ~10×, at the
-  * cost of an astronomically small collision false-positive rate; the
-  * string form is kept here so the result is exactly reproducible by an
-  * independent engine.
+  * scan. Grams are fingerprinted to 64-bit FNV shingle keys BEFORE the
+  * exchange (the fused codegen'd [[graft.text.ShingleKeysExpr]] on the
+  * native path — the string-gram HOF formulation ran interpreted and
+  * ~5× slower, and 8-byte keys cut the shuffle width ~3×): a collision
+  * can only add a spurious hit, at an astronomically small rate, and
+  * the keys stay exactly reproducible by an independent engine
+  * (`fnvSql` re-derives them in DuckDB).
   */
 object Decontaminate {
 
@@ -33,6 +35,17 @@ object Decontaminate {
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** The n-gram key column: fused codegen'd expression on the native
+    * path, value-identical compositional fallback (fnv1a64 of each joined
+    * gram string) for registered backends. */
+  private def gramKeys(textCol: String, n: Int, model: String): Column =
+    if (TokenizerModels.resolve(model) eq graft.text.PlainBackend)
+      graft.text.TextAnalysis.shingleKeys(col(textCol), n)
+    else {
+      val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+      transform(ngrams(toks, n), g => graft.text.TextAnalysis.fnv1a64(g))
+    }
 
   /** Test documents contaminated by `train`: `(doc_id, n_hits)` where
     * `n_hits` counts the DISTINCT test-doc n-grams that also occur
@@ -47,13 +60,11 @@ object Decontaminate {
       minOverlap: Int = 1,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     require(n >= 1, "n-gram order must be >= 1")
-    def toks(df: DataFrame) =
-      transform(Tokenize.tokenize(df(textCol), model), t => t.getField("token"))
     val trainGrams = train
-      .select(explode(ngrams(toks(train), n)).as("gram"))
+      .select(explode(gramKeys(textCol, n, model)).as("gram"))
       .distinct()
     val testGrams = test
-      .select(col(idCol).as("doc_id"), explode(ngrams(toks(test), n)).as("gram"))
+      .select(col(idCol).as("doc_id"), explode(gramKeys(textCol, n, model)).as("gram"))
       .distinct()
     testGrams
       .join(trainGrams, "gram")

@@ -44,19 +44,25 @@ object Importance {
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
 
+    // bigram hash = FNV of "t1 t2" = exactly ShingleKeysExpr at k=2: the
+    // fused codegen'd pass replaces the interpreted zip_with/concat HOF
+    // (native path; the compositional fallback is value-identical)
     def gramIds(frame: DataFrame): DataFrame = {
-      val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
-      frame
-        .select(col(idCol), toks.as("__toks"))
-        .select(col(idCol),
-          explode(when(size(col("__toks")) > 1,
+      val keys =
+        if (TokenizerModels.resolve(model) eq PlainBackend)
+          TextAnalysis.shingleKeys(col(textCol), 2)
+        else {
+          val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+          when(size(toks) > 1,
             zip_with(
-              slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-              slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-              (a, b) => concat(a, lit(" "), b)))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-        .select(col(idCol),
-          pmod(TextAnalysis.fnv1a64(col("gram")), lit(dim.toLong)).as("gram_id"))
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => TextAnalysis.fnv1a64(concat(a, lit(" "), b))))
+            .otherwise(array().cast("array<bigint>"))
+        }
+      frame
+        .select(col(idCol), explode(keys).as("key"))
+        .select(col(idCol), pmod(col("key"), lit(dim.toLong)).as("gram_id"))
     }
 
     def fit(frame: DataFrame, cntCol: String): (DataFrame, Long) = {

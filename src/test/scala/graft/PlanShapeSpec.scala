@@ -238,15 +238,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("NB classifier and DSIR scoring: one probe scan, broadcast-only model joins") {
-    for ((q, bhj) <- Seq("q_quality_clf" -> 1, "q_importance" -> 2)) {
+    // q_quality_clf probes via the tokenize expression, q_importance via
+    // the fused shingle-key expression — exactly one lexing pass either way
+    for ((q, bhj, lexer) <- Seq(
+        ("q_quality_clf", 1, "tokenize_plain_words"),
+        ("q_importance", 2, "shingle_keys"))) {
       val df = SparkEntry.queries(q)(spark, dir)
       assertNoGlobalWindow(df, q)
       val plan = finalPlan(df)
       // the fits ran at construction into checkpoint blocks; the returned
-      // plan is ONE corpus scan + one tokenize probing dim-bounded
+      // plan is ONE corpus scan + one lexing pass probing dim-bounded
       // broadcast counts — no sort-merge join, no second corpus pass
       assert(count(plan, "FileScan parquet") == 1, s"$q:\n$plan")
-      assert(count(plan, "tokenize_plain_words") == 1, s"$q:\n$plan")
+      assert(count(plan, lexer) == 1, s"$q:\n$plan")
       assert(count(plan, "BroadcastHashJoin") == bhj, s"$q:\n$plan")
       assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -1161,6 +1161,18 @@ FROM graft_documents ORDER BY doc_id""")
         .select(col("doc_id"), graft.text.Scrub.scrub(col("dirty")).as("scrubbed"))
         .orderBy("doc_id")),
 
+    // embedding storage tier: symmetric per-vector int8 quantization —
+    // the 4x-smaller serving layout; every arithmetic step identically
+    // defined in both engines, so codes and scales are exactly
+    // re-derivable (scan-speed, zero shuffle)
+    "q_quantize_int8" -> ((s, dir) =>
+      graft.embed.VectorQuant
+        .quantizeInt8(tbl(s, dir, "embeddings"), "embedding", "vec_id")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("scale"), col("dim").cast("long").as("dim"), col("q"))
+        .orderBy("vec_id", "dim")),
+
     // embedding analytics: per-label centroids via the typed Aggregator —
     // ONE hash aggregate with map-side partial (sums, count) buffers; the
     // vectors themselves never shuffle (vs posexplode's rows×dims records)
@@ -2767,6 +2779,24 @@ SELECT
       '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS scrubbed
 FROM documents ORDER BY doc_id""",
+
+    // int8 quantization re-derived: same max|x|/127 scale, same
+    // half-away-from-zero round, same clamp
+    "q_quantize_int8" ->
+      """WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings),
+s AS (
+  SELECT vec_id, xs,
+    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+  FROM v)
+SELECT vec_id, round(scale, 6) AS scale,
+  CAST(i - 1 AS BIGINT) AS dim,
+  CASE WHEN scale > 0.0
+       THEN greatest(-127, least(127, CAST(round(x / scale) AS INT)))
+       ELSE 0 END AS q
+FROM (SELECT vec_id, scale, unnest(xs) AS x, generate_subscripts(xs, 1) AS i FROM s)
+ORDER BY vec_id, dim""",
 
     // Dimension-wise mean per label: engine sums Float→Double widened
     // values and divides by count; avg over CAST AS DOUBLE is the same

@@ -1,0 +1,45 @@
+package graft.embed
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 quantization — the storage/serving layout
+  * large vector corpora actually persist (4× smaller than float32, and
+  * int8 dot products are the SIMD fast path in every ANN runtime):
+  * `scale = max|x| / 127`, `q_i = round(x_i / scale)` clamped to ±127,
+  * zero vectors quantize to all-zero with scale 0.
+  *
+  * Scale design (100 TB): pure elementwise Column program over the
+  * vector array — one scan, zero shuffle, no UDF; every step (`/`, `*`,
+  * `abs`, `round` half-away-from-zero) is identically defined in Spark
+  * and DuckDB on doubles, so the full quantization is exactly
+  * recomputable by the SQL oracle (float→double widening is exact).
+  * Reconstruction error is bounded by `scale/2` per component — the spec
+  * pins the dequantized cosine against the exact one. */
+object VectorQuant {
+
+  /** `(id, scale, qvec)` — the per-vector scale (double) and the int8
+    * codes as `array<int>` (Spark has no int8 array; the codes are all
+    * in [−127, 127], the storage layer narrows them). */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String): DataFrame = {
+    val xs = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(xs, x => abs(x)))
+    val scale = maxAbs / lit(127.0)
+    df.select(
+      col(idCol),
+      scale.as("scale"),
+      when(maxAbs > 0.0,
+        transform(xs, x =>
+          greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
+        .otherwise(transform(xs, _ => lit(0)))
+        .as("qvec"))
+  }
+
+  /** Dequantize back to doubles: `x̂_i = q_i · scale`. */
+  def dequantize(df: DataFrame, qvecCol: String = "qvec", scaleCol: String = "scale") =
+    df.withColumn("xhat",
+      transform(col(qvecCol), q => q.cast("double") * col(scaleCol)))
+}

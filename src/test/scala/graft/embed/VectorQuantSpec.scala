@@ -1,0 +1,34 @@
+package graft.embed
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codes are exact on representable grids; zero vectors stay zero") {
+    val docs = Seq(
+      (0L, Seq(1.27f, -1.27f, 0.635f, 0.0f)), // scale = 0.01
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorQuant.quantizeInt8(docs, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(out(0).getSeq[Int](2) == Seq(127, -127, 64, 0)) // 0.635/0.01 = 63.5 -> away from zero
+    assert(out(1).getDouble(1) == 0.0 && out(1).getSeq[Int](2).forall(_ == 0))
+  }
+
+  test("dequantized cosine stays within int8 tolerance of the exact one") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val q = VectorQuant.dequantize(VectorQuant.quantizeInt8(emb, "embedding", "vec_id"))
+    val joined = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("x"))
+      .join(q.select(col("vec_id"), col("xhat")), "vec_id")
+    def dot(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (p, r) => p * r), lit(0.0), (acc, v) => acc + v)
+    val errs = joined.select(
+        (dot("x", "xhat") /
+          (sqrt(dot("x", "x")) * sqrt(dot("xhat", "xhat")))).as("cos"))
+      .collect().map(_.getDouble(0))
+    // int8 symmetric quantization keeps cosine with the original > 0.999
+    assert(errs.forall(_ > 0.999), errs.min)
+  }
+}

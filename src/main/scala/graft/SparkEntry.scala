@@ -822,6 +822,17 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("query_id", "rank")
     }),
 
+    // embedding serving tier: top-k over int8 codes — scales cancel in
+    // cosine, so similarity is integer dot products end-to-end (exact
+    // arithmetic, bit-reproducible, fully oracle-checkable)
+    "q_knn_int8" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.Similarity
+        .int8TopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // LLM-pipeline: embedding-cosine near-dup — sign-LSH bucket posting
     // lists → exact cosine verify. The seeded hyperplanes are exported
     // (Similarity.lshPlanes) and inlined into the oracle, which re-derives
@@ -2779,6 +2790,34 @@ SELECT
       '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '<EMAIL>', 'g'),
     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS scrubbed
 FROM documents ORDER BY doc_id""",
+
+    // int8 top-k re-derived: same quantization, integer dot products,
+    // scale-free cosine, rank with neighbor tiebreak
+    "q_knn_int8" ->
+      """WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings),
+s AS (
+  SELECT vec_id, xs,
+    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+  FROM v),
+qz AS (
+  SELECT vec_id,
+    CASE WHEN scale > 0.0
+         THEN list_transform(xs, x -> CAST(greatest(-127, least(127, CAST(round(x / scale) AS INT))) AS DOUBLE))
+         ELSE list_transform(xs, x -> CAST(0 AS DOUBLE)) END AS qv
+  FROM s),
+n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM qz)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_inner_product(q.qv, c.qv) / sqrt(q.n2 * c.n2) DESC,
+               c.vec_id) AS BIGINT) AS rank,
+    round(list_inner_product(q.qv, c.qv) / sqrt(q.n2 * c.n2), 6) AS sim
+  FROM n q CROSS JOIN n c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND q.n2 > 0 AND c.n2 > 0)
+WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // int8 quantization re-derived: same max|x|/127 scale, same
     // half-away-from-zero round, same clamp

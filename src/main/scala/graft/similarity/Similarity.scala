@@ -70,6 +70,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Top-k over symmetric int8 codes — the quantized serving path
+    * ([[graft.embed.VectorQuant]]): per-vector scales CANCEL in cosine
+    * (`(d_ab·s_a·s_b) / (√(d_aa)·s_a · √(d_bb)·s_b)`), so the quantized
+    * similarity is `d_ab / √(d_aa·d_bb)` over pure INTEGER dot products —
+    * exact arithmetic end-to-end (codes ≤ 127 ⇒ dots ≤ 2^20·dims, far
+    * inside exact-double range), which makes the whole approximate-by-
+    * quantization pipeline bit-reproducible and oracle-checkable, unlike
+    * float rerank paths whose fold order matters. Same shuffle bound as
+    * [[bruteForceTopK]]: broadcast queries, codegen'd integer dots, exact
+    * per-partition top-k prune before the ranking exchange. */
+  def int8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    def codes(df: DataFrame, idName: String, vecName: String, n2Name: String) =
+      graft.embed.VectorQuant.quantizeInt8(df, vecCol, idCol)
+        .select(col(idCol).as(idName), col("qvec").as(vecName))
+        .withColumn(n2Name, idot(col(vecName), col(vecName)))
+    val q = broadcast(codes(queries, "query_id", "q_vec", "qn2"))
+    val c = codes(corpus, "neighbor_id", "c_vec", "cn2")
+    val scored = c
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        when(col("qn2") > 0 && col("cn2") > 0,
+          idot(col("q_vec"), col("c_vec")).cast("double") /
+            sqrt((col("qn2") * col("cn2")).cast("double"))))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pruned = localTopKPerQuery(scored, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** Exact per-partition top-k prune over a `(query_id, neighbor_id, sim)`
     * frame: per query, keeps the k highest-sim rows of each partition plus
     * any rows tying the k-th similarity (so tie-breaking on the global

@@ -31,4 +31,40 @@ class VectorQuantSpec extends SparkSpec {
     // int8 symmetric quantization keeps cosine with the original > 0.999
     assert(errs.forall(_ > 0.999), errs.min)
   }
+
+  test("int8 similarities track the exact cosine within quantization error") {
+    // this corpus is structureless (neighbors ~equidistant), so RANK
+    // agreement at the top-k cut line is not a meaningful contract —
+    // similarity VALUE accuracy is
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = graft.similarity.Similarity.bruteForceTopK(qs, emb, k = 1000)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = graft.similarity.Similarity.int8TopK(qs, emb, k = 10)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(quant.nonEmpty)
+    quant.foreach { case (pair, s) =>
+      assert(math.abs(s - exact(pair)) < 0.02, s"$pair: int8 $s vs exact ${exact(pair)}")
+    }
+  }
+
+  test("int8 top-k recall is perfect when the corpus HAS neighborhood structure") {
+    import spark.implicits._
+    // 3 well-separated clusters of 8 members each: separation >> int8 error
+    val dim = 16
+    val vecs = for (c <- 0 until 3; m <- 0 until 8) yield {
+      val v = Array.fill(dim)(0.05f)
+      v(c * 5) = 1.0f
+      v((c * 5 + 1) % dim) += m * 0.01f // small within-cluster spread
+      ((c * 8 + m).toLong, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 8 === 0) // one query per cluster
+    val quant = graft.similarity.Similarity.int8TopK(qs, emb, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every retrieved neighbor is from the query's own cluster
+    assert(quant.nonEmpty && quant.forall { case (q, n) => n / 8 == q / 8 })
+  }
 }

@@ -630,7 +630,7 @@ FROM graft_documents ORDER BY doc_id""")
     // counts are unbounded at scale — no global window anywhere)
     "q_bigram_pmi" -> ((s, dir) =>
       graft.text.Collocations
-        .bigramPmi(tbl(s, dir, "documents"), "text", "doc_id")
+        .bigramPmi(tbl(s, dir, "documents"), "text")
         .withColumn("pmi", round(col("pmi"), 6))
         .orderBy("w1", "w2")),
 

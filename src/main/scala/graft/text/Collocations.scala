@@ -35,21 +35,27 @@ import org.apache.spark.sql.functions._
 object Collocations {
 
   /** Adjacent-bigram counts `(w1, w2, n_ab)` from one tokenize pass:
-    * adjacency via a `lead` window on `(doc, pos)`, then a hash aggregate
-    * on the pair. Never crosses document boundaries. */
+    * adjacency built ELEMENTWISE from the token array (the array zipped
+    * against its 1-shifted self — document boundaries are implicit per
+    * row), then ONE hash aggregate on the pair. The earlier `lead`-window
+    * formulation shuffled the entire token stream through a doc-keyed
+    * exchange before counting; this shape's only exchange is the
+    * pair-keyed aggregation — at 100 TB that is the whole corpus not
+    * crossing the wire once. */
   def bigramCounts(
       df: DataFrame,
       textCol: String,
-      idCol: String,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
-    val byDoc = Window.partitionBy("__doc").orderBy("__pos")
-    df.select(
-        col(idCol).as("__doc"),
-        posexplode(Tokenize.tokenize(col(textCol), model)).as(Seq("__pos", "t")))
-      .select(col("__doc"), col("__pos"), col("t.token").as("token"))
-      .withColumn("next", lead(col("token"), 1).over(byDoc))
-      .filter(col("next").isNotNull)
-      .groupBy(col("token").as("w1"), col("next").as("w2"))
+    val pairType = "array<struct<w1:string,w2:string>>"
+    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    df.select(toks.as("__toks"))
+      .select(explode(when(size(col("__toks")) > 1,
+        zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast(pairType))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
   }
 
@@ -67,9 +73,8 @@ object Collocations {
   def bigramPmi(
       df: DataFrame,
       textCol: String,
-      idCol: String,
       model: String = TokenizerModels.PlainWordsEn): DataFrame =
-    pmiOverCounts(bigramCounts(df, textCol, idCol, model))
+    pmiOverCounts(bigramCounts(df, textCol, model))
 
   /** Ordered co-occurrence counts within a ±`window` token context:
     * `(w1, w2, n_ab)` where `w2` follows `w1` at distance 1..`window`

@@ -110,7 +110,7 @@ object LanguageModel {
 
     // (w1, w2, n_ab) with the left margin n_a = c(w1 ·) as a partitioned
     // window over the checkpointed counts
-    val bigrams = Collocations.bigramCounts(df, textCol, idCol, model)
+    val bigrams = Collocations.bigramCounts(df, textCol, model)
       .localCheckpoint(true)
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
 
@@ -175,7 +175,7 @@ object LanguageModel {
       .localCheckpoint(true)
     val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
 
-    val bigrams = Collocations.bigramCounts(df, textCol, idCol, model)
+    val bigrams = Collocations.bigramCounts(df, textCol, model)
       .localCheckpoint(true)
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
 

@@ -124,9 +124,14 @@ class PlanShapeSpec extends SparkSpec {
       "margins must ride partitioned windows over the one aggregation")
     // the checkpointed counts subtree is one scan + one tokenize pass
     val counts = graft.text.Collocations.bigramCounts(
-      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
-    assert(count(finalPlan(counts), "FileScan parquet") == 1)
-    assert(count(finalPlan(counts), "tokenize_plain_words") == 1)
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    val cplan = finalPlan(counts)
+    assert(count(cplan, "FileScan parquet") == 1)
+    assert(count(cplan, "tokenize_plain_words") == 1)
+    // elementwise adjacency: the ONLY exchange is the pair-keyed
+    // aggregation — the token stream never shuffles through a doc window
+    assert(count(cplan, "Exchange hashpartitioning") == 1, cplan)
+    assert(!cplan.contains("Window"), cplan)
   }
 
   test("bm25 search is zero-shuffle: one scan into a bounded TakeOrdered") {

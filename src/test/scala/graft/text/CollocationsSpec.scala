@@ -22,7 +22,7 @@ class CollocationsSpec extends SparkSpec {
     val docs = Seq((0L, "x y x y z"), (1L, "z z x")).toDF("doc_id", "text")
     val co = Collocations.cooccurrenceCounts(docs, "text", window = 1)
       .orderBy("w1", "w2").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val bi = Collocations.bigramCounts(docs, "text", "doc_id")
+    val bi = Collocations.bigramCounts(docs, "text")
       .orderBy("w1", "w2").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(co.toSeq === bi.toSeq)
   }

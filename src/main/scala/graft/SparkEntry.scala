@@ -1158,6 +1158,12 @@ FROM graft_documents ORDER BY doc_id""")
         .profile(tbl(s, dir, "documents"), "text", langCol = Some("lang"))
         .withColumn("avg_doc_len", round(col("avg_doc_len"), 6))),
 
+    // curation telemetry: vocabulary health (Zipf) report — hapax
+    // fraction + head coverage over one checkpointed counts pass
+    "q_vocab_report" -> ((s, dir) =>
+      graft.text.CorpusProfile
+        .vocabReport(tbl(s, dir, "documents"), "text", topK = 100)),
+
     // cleaning tier: C4-style scrub. The corpus itself is clean, so the
     // query injects deterministic URL/e-mail literals into each document
     // (both sides of the oracle build the same dirty string) — the
@@ -2777,6 +2783,22 @@ SELECT
         / (SELECT count(*) FROM base), 6) AS avg_doc_len,
   (SELECT count(DISTINCT t) FROM (SELECT unnest(toks) AS t FROM base)) AS vocab_size,
   (SELECT count(DISTINCT lang) FROM base) AS n_langs""",
+
+    // vocabulary report re-derived: same counts, same head tie-break
+    "q_vocab_report" ->
+      s"""WITH tok AS ($tokSql),
+c AS (SELECT token, count(*) AS n_w FROM tok GROUP BY 1),
+t AS (
+  SELECT count(*) AS vocab_size, CAST(sum(n_w) AS BIGINT) AS n_tokens,
+    sum(CASE WHEN n_w = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM c),
+h AS (
+  SELECT CAST(coalesce(sum(n_w), 0) AS BIGINT) AS head_mass
+  FROM (SELECT n_w FROM c ORDER BY n_w DESC, token LIMIT 100))
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size, n_tokens,
+  round(CAST(hapax AS DOUBLE) / vocab_size, 6) AS hapax_frac,
+  round(CAST(head_mass AS DOUBLE) / n_tokens, 6) AS head_coverage
+FROM t, h""",
 
     // Same scrub patterns (the portable Java/RE2 regex subset), same
     // injected literals, replace-all on both engines.

@@ -48,4 +48,48 @@ object CorpusProfile {
         col("vocab_size"),
         col("n_langs"))
   }
+
+  /** One-row vocabulary health report — the Zipf telemetry that tells a
+    * pipeline whether its tokenizer/corpus pairing is sane: vocabulary
+    * size, hapax-legomenon fraction (a spike means boilerplate/noise or a
+    * broken tokenizer), and head coverage (the mass of the `topK` most
+    * frequent types — how much of the corpus a stopword list would
+    * touch).
+    *
+    * Scale design: one tokenize pass into the token-keyed counts
+    * aggregate (vocabulary-scale, locally checkpointed); the summary is a
+    * 1-row aggregate over it, and the head mass is a bounded
+    * `TakeOrdered` (deterministic `count desc, token` ordering) into a
+    * second 1-row aggregate. Driver state: four scalars. */
+  def vocabReport(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 100,
+      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df
+      .select(explode(Tokenize.tokenize(col(textCol), model)).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(count(lit(1)).as("n_w"))
+      .localCheckpoint(true)
+    val head = counts
+      .orderBy(col("n_w").desc, col("token"))
+      .limit(topK)
+      .agg(coalesce(sum("n_w"), lit(0L)).as("head_mass"))
+    counts
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        coalesce(sum("n_w"), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("n_w") === 1, 1L).otherwise(0L)), lit(0L)).as("hapax"))
+      .crossJoin(head)
+      .select(
+        col("vocab_size"),
+        col("n_tokens"),
+        when(col("vocab_size") > 0,
+          round(col("hapax").cast("double") / col("vocab_size").cast("double"), 6))
+          .otherwise(lit(0.0)).as("hapax_frac"),
+        when(col("n_tokens") > 0,
+          round(col("head_mass").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("head_coverage"))
+  }
 }

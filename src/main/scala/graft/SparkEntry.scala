@@ -64,6 +64,10 @@ object SparkEntry {
   val TrigramL3 = 0.5
   val TrigramL2 = 0.3
   val CoocWindow = 3
+  // Per-doc token cap shared by the q_cooc_pmi closure AND its oracle SQL
+  // (toks[1:cap]) — an uncapped oracle would silently diverge on a corpus
+  // with one mega-document while the engine truncates.
+  val CoocMaxTokens = 1 << 17
   val MixRates = Map("en" -> 0.5, "zh" -> 0.75) // exact binary fractions:
   val MixDefault = 0.25 // rate*1000 truncates identically in both engines
   val MixTempFrac = 0.5 // q_domain_mix_temp target fraction (exact binary)
@@ -99,17 +103,25 @@ object SparkEntry {
       if (text == null) 0 else graft.text.PlainTokenizer.tokenize(text).length
     override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
       texts.map { t =>
-        if (t == null) Array.empty[Float]
-        else {
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-          Array.tabulate(dim) { d =>
-            var u = h
-            var k = 0
-            while (k < d) { u = java.lang.Long.divideUnsigned(u, 97L); k += 1 }
-            java.lang.Long.remainderUnsigned(u, 97L).toFloat
-          }
+        // Null hashes as '' (the oracle computes FNV of coalesce(text, ''))
+        // and the walk is per CODE POINT — Fnv1aExpr.run's iteration, the
+        // same sequence fnvSql's unicode(ch) folds — not UTF-16 units, so
+        // fixture and oracle stay equal on any corpus, nulls and
+        // supplementary-plane text included.
+        val str = if (t == null) "" else t
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < str.length) {
+          val cp = str.codePointAt(i)
+          h ^= cp
+          h *= 0x100000001b3L
+          i += Character.charCount(cp)
+        }
+        Array.tabulate(dim) { d =>
+          var u = h
+          var k = 0
+          while (k < d) { u = java.lang.Long.divideUnsigned(u, 97L); k += 1 }
+          java.lang.Long.remainderUnsigned(u, 97L).toFloat
         }
       }
   }
@@ -639,7 +651,8 @@ FROM graft_documents ORDER BY doc_id""")
     // built elementwise by shifted zip_with, no positions self-join
     "q_cooc_pmi" -> ((s, dir) =>
       graft.text.Collocations
-        .windowedPmi(tbl(s, dir, "documents"), "text", window = CoocWindow)
+        .windowedPmi(tbl(s, dir, "documents"), "text", window = CoocWindow,
+          maxTokensPerDoc = CoocMaxTokens)
         .withColumn("pmi", round(col("pmi"), 6))
         .orderBy("w1", "w2")),
 
@@ -1129,11 +1142,16 @@ FROM graft_documents ORDER BY doc_id""")
     // elementwise, so repeating them under the scorer's two scans costs
     // filter-at-scan-speed, never an extra shuffle or materialization.
     // The scored frame is locally checkpointed (the Collocations
-    // counts-literal pattern) because TWO actions consume it — the p90
-    // percentile and the returned band filter; without the checkpoint the
+    // counts-literal pattern) because TWO consumers read it — the p90
+    // selection and the returned band filter; without the checkpoint the
     // final scan would recompute the whole tokenize+broadcast-join scoring
     // pass, one avoidable corpus-scale traversal of the most expensive
-    // stage
+    // stage. The p90 itself is percentile_disc by DISTRIBUTED SORT
+    // SELECTION (ExactQuantile) — bits_per_token is a continuous double,
+    // and Spark's exact Percentile aggregate would funnel a value→count
+    // map of near-corpus cardinality into one task's buffer at 100×
+    // scale; the sort selection's driver traffic is numPartitions longs
+    // plus the one selected value, and the answer stays exact.
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val quality = TextAnalysis.qualityMetrics(col("text")).toMap
@@ -1143,8 +1161,7 @@ FROM graft_documents ORDER BY doc_id""")
       val scored = graft.text.LanguageModel
         .unigramCrossEntropy(gated, "text", "doc_id")
         .localCheckpoint(true)
-      val p90 = scored
-        .agg(expr("percentile(bits_per_token, 0.9)")).head().getDouble(0)
+      val p90 = graft.util.ExactQuantile.quantileDisc(scored, "bits_per_token", 0.9)
       scored
         .filter(col("bits_per_token") <= lit(p90))
         .select(col("doc_id"), col("n_tokens"), col("bits_per_token"))
@@ -1951,7 +1968,7 @@ FROM m ORDER BY w1, w2""",
     // formulations, one answer)
     "q_cooc_pmi" ->
       s"""WITH t AS (
-  SELECT doc_id, ${toksArrSql()} AS toks
+  SELECT doc_id, (${toksArrSql()})[1:$CoocMaxTokens] AS toks
   FROM documents),
 tok AS (
   SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
@@ -2433,8 +2450,9 @@ GROUP BY 1 ORDER BY 1""",
     // curation flagship fully re-derived: whitespace-token quality gate
     // (the qualitySql formulation), tokenizer-token dup fraction (the
     // repetition formulation), then the unigram LM trained on the GATED
-    // population and its own quantile_cont(0.9) band — three different
-    // tokenizations, exactly as the engine composes them
+    // population and its own quantile_disc(0.9) band (percentile_disc —
+    // the engine's distributed-sort selection semantics) — three
+    // different tokenizations, exactly as the engine composes them
     "q_curation_pipeline" ->
       s"""WITH wq AS (
   SELECT doc_id,
@@ -2458,7 +2476,7 @@ scored AS (
     round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
   FROM tok JOIN v USING (token)
   GROUP BY doc_id),
-thr AS (SELECT quantile_cont(bits_per_token, 0.9) AS p90 FROM scored)
+thr AS (SELECT quantile_disc(bits_per_token, 0.9) AS p90 FROM scored)
 SELECT doc_id, n_tokens, bits_per_token FROM scored
 WHERE bits_per_token <= (SELECT p90 FROM thr)
 ORDER BY doc_id""",

@@ -101,6 +101,10 @@ object Similarity {
         when(col("qn2") > 0 && col("cn2") > 0,
           idot(col("q_vec"), col("c_vec")).cast("double") /
             sqrt((col("qn2") * col("cn2")).cast("double"))))
+      // Zero-norm vectors (qn2/cn2 = 0) have no defined cosine: drop them
+      // outright rather than let null sims rank last and survive a
+      // short-of-k query — the oracle's WHERE q.n2 > 0 AND c.n2 > 0.
+      .filter(col("sim").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     val pruned = localTopKPerQuery(scored, k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

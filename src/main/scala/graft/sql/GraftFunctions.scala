@@ -47,8 +47,14 @@ object GraftFunctions {
     "sentence_count" -> columnFn(TextFunctions.sentenceCount),
     "lang_id" -> columnFn(TextAnalysis.langId),
     "doc_fingerprint" -> columnFn(TextAnalysis.fingerprint),
-    "fnv1a64" -> { exprs => Fnv1aExpr(exprs.head) },
-    "tokenize_plain" -> { exprs => TokenizeExpr(exprs.head, lowercase = true, removePunct = true) },
+    "fnv1a64" -> { exprs =>
+      require(exprs.length == 1, s"fnv1a64(text): got ${exprs.length} args")
+      Fnv1aExpr(exprs.head)
+    },
+    "tokenize_plain" -> { exprs =>
+      require(exprs.length == 1, s"tokenize_plain(text): got ${exprs.length} args")
+      TokenizeExpr(exprs.head, lowercase = true, removePunct = true)
+    },
     "shingle_keys" -> { exprs =>
       require(exprs.length == 2, s"shingle_keys(text, k): got ${exprs.length} args")
       ShingleKeysExpr(exprs.head, intLiteral(exprs(1), "k"))

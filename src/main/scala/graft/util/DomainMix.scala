@@ -77,7 +77,12 @@ object DomainMix {
       seed: String = "mixt:"): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
     val counts = df.groupBy(col(domainCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureSample: null $domainCol value — a null domain has " +
+            "no rate; filter or fill it before sampling")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     require(counts.nonEmpty, "temperatureSample: empty corpus")
     val domains = counts.keys.toSeq.sorted
     val nTotal = counts.values.sum.toDouble

@@ -275,6 +275,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no exact Percentile aggregate over a non-integral column anywhere") {
+    // Spark's exact Percentile merges a value→count map into ONE final
+    // buffer. Integral columns bound that map by the value range (word
+    // counts, lengths); a continuous double approaches one entry per row
+    // — corpus-cardinality state in a single task at 100 TB. Continuous
+    // quantiles must go through ExactQuantile's distributed sort
+    // selection instead (the r8 curation-pipeline finding).
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).queryExecution.optimizedPlan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case p: Percentile =>
+            assert(integral.contains(p.child.dataType),
+              s"$name: exact Percentile over non-integral ${p.child.dataType} " +
+                "(unbounded value→count buffer) — use ExactQuantile.quantileDisc")
+          case _ => ()
+        })
+      }
+    }
+  }
+
   test("filters push down to the parquet scan under derived text columns") {
     import org.apache.spark.sql.functions._
     val q = spark.read.parquet(s"$dir/documents.parquet")

@@ -78,6 +78,33 @@ object LanguageModel {
           6).as("bits_per_token"))
   }
 
+  /** The exploded `(id, pos, token, prev[, prev2])` adjacency stream from
+    * ONE tokenize pass: the Generate node consumes the token-array
+    * attribute from its child projection and passes it through, so the
+    * context lookups are `element_at` on the same array — elementwise, no
+    * per-doc window, no positions self-join. `element_at` is 1-based and
+    * `pos` 0-based, so `pos` indexes w_{i-1} and `pos - 1` indexes
+    * w_{i-2}. Package-private so plan specs can pin its one-scan shape. */
+  private[text] def adjacencyStream(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: String,
+      orders: Int): DataFrame = {
+    val base = df
+      .select(
+        col(idCol),
+        transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+          .as("__toks"))
+      .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("pos", "token")))
+      .withColumn("prev", when(col("pos") > 0, element_at(col("__toks"), col("pos"))))
+    val ordered =
+      if (orders >= 3)
+        base.withColumn("prev2", when(col("pos") > 1, element_at(col("__toks"), col("pos") - 1)))
+      else base
+    ordered.drop("__toks")
+  }
+
   /** Order-1 upgrade of [[unigramCrossEntropy]]: interpolated bigram
     * cross-entropy `p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·c(w)/N` (Jelinek &
     * Mercer interpolation — the first rung of the ladder toward the
@@ -101,30 +128,29 @@ object LanguageModel {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     import org.apache.spark.sql.expressions.Window
 
-    val vocab = df
-      .select(explode(Tokenize.tokenize(col(textCol), model)).as("t"))
-      .groupBy(col("t.token").as("token"))
+    // ONE tokenize pass feeds BOTH fits: the adjacency stream is locally
+    // checkpointed and the vocab/bigram counts are two aggregations over
+    // those blocks (was two independent tokenize scans). See
+    // [[trigramCrossEntropy]] for the storage trade-off note.
+    val fit = adjacencyStream(df, textCol, idCol, model, orders = 2)
+      .localCheckpoint(true)
+    val vocab = fit
+      .groupBy(col("token").as("token"))
       .agg(count(lit(1)).as("n_w"))
       .localCheckpoint(true)
     val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
 
     // (w1, w2, n_ab) with the left margin n_a = c(w1 ·) as a partitioned
     // window over the checkpointed counts
-    val bigrams = Collocations.bigramCounts(df, textCol, model)
+    val bigrams = fit
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("w1"), col("token").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
       .localCheckpoint(true)
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
 
-    // tokenize ONCE in the child projection; the Generate node above
-    // consumes the attribute and passes it through for the prev lookup
-    val stream = df
-      .select(
-        col(idCol),
-        transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
-          .as("__toks"))
-      .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("pos", "token")))
-      // element_at is 1-based; pos is 0-based, so `pos` indexes w_{i-1}
-      .withColumn("prev", when(col("pos") > 0, element_at(col("__toks"), col("pos"))))
-      .drop("__toks")
+    // the second (and last) corpus scan: the scoring stream
+    val stream = adjacencyStream(df, textCol, idCol, model, orders = 2)
 
     val pUni = col("n_w").cast("double") / lit(total.toDouble)
     val pBi = col("n_ab").cast("double") / col("n_a").cast("double")
@@ -156,7 +182,18 @@ object LanguageModel {
     * triple) keys: vocab³-bounded frames are even less broadcast-safe
     * than vocab², so each rides its own key-partitioned exchange, with
     * margins `c(·)` as partitioned windows over the checkpointed counts
-    * (never a global window). */
+    * (never a global window).
+    *
+    * Scan budget: TWO corpus tokenize passes per invocation. The vocab,
+    * bigram and trigram counts are three aggregations over ONE locally
+    * checkpointed adjacency stream (pass 1); the scoring stream is its
+    * own pass (pass 2). The checkpoint stores the token-stream-sized
+    * blocks between the three fit aggregations — a deliberate
+    * scans-for-storage trade (the Collocations counts-literal posture
+    * applied to a corpus-scale frame): at 100 TB re-tokenizing three
+    * times costs three full CPU passes, while the stream blocks spill to
+    * local disk and are released by the ContextCleaner when the fits
+    * finish. */
   def trigramCrossEntropy(
       df: DataFrame,
       textCol: String,
@@ -168,29 +205,22 @@ object LanguageModel {
       s"need λ₃, λ₂ >= 0 with λ₃+λ₂ <= 1, got $lambda3, $lambda2")
     import org.apache.spark.sql.expressions.Window
 
-    val vocab = df
-      .select(explode(Tokenize.tokenize(col(textCol), model)).as("t"))
-      .groupBy(col("t.token").as("token"))
+    val fit = adjacencyStream(df, textCol, idCol, model, orders = 3)
+      .localCheckpoint(true)
+    val vocab = fit
+      .groupBy(col("token").as("token"))
       .agg(count(lit(1)).as("n_w"))
       .localCheckpoint(true)
     val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
 
-    val bigrams = Collocations.bigramCounts(df, textCol, model)
+    val bigrams = fit
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("w1"), col("token").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
       .localCheckpoint(true)
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
 
-    // one tokenize pass feeds the trigram fit AND the scoring stream
-    def stream(frame: DataFrame): DataFrame = frame
-      .select(
-        col(idCol),
-        transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
-          .as("__toks"))
-      .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("pos", "token")))
-      .withColumn("prev", when(col("pos") > 0, element_at(col("__toks"), col("pos"))))
-      .withColumn("prev2", when(col("pos") > 1, element_at(col("__toks"), col("pos") - 1)))
-      .drop("__toks")
-
-    val trigrams = stream(df)
+    val trigrams = fit
       .filter(col("prev2").isNotNull)
       .groupBy(col("prev2").as("u"), col("prev").as("v"), col("token").as("w"))
       .agg(count(lit(1)).as("n_abc"))
@@ -206,7 +236,7 @@ object LanguageModel {
         lit(lambda2) * pBi + lit(1.0 - lambda2) * pUni)
       .otherwise(lit(lambda3) * pTri + lit(lambda2) * pBi + lit(lambda1) * pUni)
 
-    val s = stream(df)
+    val s = adjacencyStream(df, textCol, idCol, model, orders = 3)
     s.join(broadcast(vocab), "token")
       .join(bigrams,
         s("prev") === bigrams("w1") && s("token") === bigrams("w2"), "left")

@@ -80,6 +80,31 @@ class LanguageModelSpec extends SparkSpec {
     assert(bi(0) < uni(0))
   }
 
+  test("trigram scan budget is two: one shared fit stream, one scoring pass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // pass 1: the shared adjacency stream the three fits aggregate over —
+    // exactly one corpus scan, one tokenize
+    val fitStream = LanguageModel.adjacencyStream(
+      docs, "text", "doc_id", TokenizerModels.PlainWordsEn, orders = 3)
+    // (the tokenize EXPRESSION prints more than once per scan — the
+    // InferFiltersFromGenerate rule copies it into a pushed size>0
+    // filter — so the scan count, not the expression count, is the pin)
+    val fitPlan = fitStream.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(fitPlan).length === 1, fitPlan)
+    assert(fitPlan.contains("tokenize_plain_words"), fitPlan)
+    // pass 2: the returned scoring plan re-tokenizes once; every count
+    // frame reads checkpoint blocks (no second/third/fourth corpus scan —
+    // the r8 finding: four independent tokenize subtrees per invocation)
+    val scored = LanguageModel.trigramCrossEntropy(docs, "text", "doc_id")
+    val plan = scored.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("tokenize_plain_words"), plan)
+    assert(plan.contains("Scan ExistingRDD"), "count frames must read checkpoint blocks")
+    assert(plan.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library functions must not leave CacheManager entries behind")
+  }
+
   test("scoring joins the vocab broadcast; model blocks come from the checkpoint") {
     val docs = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
     val out = LanguageModel.unigramCrossEntropy(docs, "text", "doc_id")

@@ -17,6 +17,21 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     var failures = 0
+    // Per-query NDJSON sidecar: one line appended as each query's median
+    // lands, so a truncated capture (or a crashed later query) can never
+    // lose the completed head. The main BENCH_OUT file stays a single
+    // json.load-able total line; stdout mirrors both.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    val ndjsonPath = java.nio.file.Paths.get(outPath + ".ndjson")
+    try java.nio.file.Files.deleteIfExists(ndjsonPath)
+    catch { case _: Throwable => () }
+    def emitQueryLine(name: String, median: Option[Double]): Unit = {
+      val line = s"""{"query":"$name","sec":${median.fold("null")(_.toString)}}"""
+      println(line)
+      try java.nio.file.Files.writeString(ndjsonPath, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable => System.err.println(s"[bench] append $ndjsonPath failed: ${e.getMessage}") }
+    }
     // Median of `passes` timed runs per query: single-run walltimes on a
     // busy box swing ±70% (BENCH_r05 read 1.7× a clean run), which makes
     // round-over-round comparisons meaningless. The median of 3
@@ -48,7 +63,9 @@ object Bench {
       // a numeric -1.0 reads as a timing (or a huge speedup) to
       // round-over-round diff tooling; failure stays visible in
       // `failures` and stderr.
-      name -> (if (times.isEmpty) None else Some(times(times.length / 2)))
+      val median = if (times.isEmpty) None else Some(times(times.length / 2))
+      emitQueryLine(name, median)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
@@ -59,7 +76,6 @@ object Bench {
     // Also write the line to a file: the driver's stdout capture has
     // truncated the head of long lines before (BENCH_r07 parsed null), so
     // the round artifact gets a second, capture-independent source.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()

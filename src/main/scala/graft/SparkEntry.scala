@@ -774,6 +774,25 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("doc_id", "dim")
     }),
 
+    // §2.6 #13/#16's ENGINE path under the exact oracle: Embedders.embed —
+    // the real batch-32 mapPartitions engine every embedding consumer runs
+    // through — driven by the FnvDigitModel fixture, full vectors
+    // exploded. q_embed_cached checks the CACHE layer over this fixture;
+    // this row checks the engine itself (batching, row reassembly, null
+    // plumbing), so only the pseudo-MODEL remains rows-only by design
+    "q_embed_fixture" -> ((s, dir) => {
+      embedFixtureRegistered
+      graft.embed.Embedders
+        .embed(tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", modelId = EmbedFixtureModelId)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(
+          col("doc_id"),
+          col("dim").cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // §2.8 compiled_features(): the feature-probe surface as a relation
     // (this build compiles every reference feature in — the shim's whole
     // contract), oracle = the same shared constant
@@ -867,6 +886,20 @@ FROM graft_documents ORDER BY doc_id""")
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.Similarity
         .ivfTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
+          k = IvfK, nCells = IvfCells, nProbe = IvfProbe, seed = IvfSeed)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding serving stack COMPOSED: IVF cell routing (the trained
+    // float centroids) over int8-coded inverted lists with integer-dot
+    // re-rank — the two already-green tiers in the layout a real 100 TB
+    // ANN service runs; approximate only by routing, arithmetic exact,
+    // so the whole stack sits under the oracle (ivfInt8OracleSql)
+    "q_knn_ivf_int8" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.Similarity
+        .ivfInt8TopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
           k = IvfK, nCells = IvfCells, nProbe = IvfProbe, seed = IvfSeed)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
@@ -1024,6 +1057,25 @@ FROM graft_documents ORDER BY doc_id""")
       val losers = graft.dedup.Dedup
         .duplicateClusters(graft.dedup.Dedup
           .simHashNearDuplicates(docs, "text", "doc_id"))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // dedup tier end-to-end, fingerprint flavor: the winnow (MOSS) pipeline
+    // composed to its end use — fingerprint pairs → transitive clusters →
+    // left-anti survivors. Pair generation reads fingerprints only
+    // (~2/(w+1) of the shingle stream), cluster resolution reads pairs
+    // only, and the document text appears solely on the left-anti probe
+    // side: the corpus is never re-scanned past the one fingerprint pass
+    "q_winnow_survivors" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val losers = graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .winnowNearDuplicates(docs, "text", "doc_id",
+            shingleWords = WinnowK, window = WinnowW, minShared = 2))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       docs.join(losers, Seq("doc_id"), "left_anti")
@@ -1589,6 +1641,22 @@ s AS (
 SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.3 ORDER BY id_a, id_b"""
   }
 
+  /** The FnvDigitModel fixture re-derived in SQL — component d is base-97
+    * digit d of the text's unsigned FNV-1a 64 (HUGEINT division; exact
+    * integers, no float pooling to drift). Shared verbatim by
+    * q_embed_cached (the cache layer) and q_embed_fixture (the engine):
+    * one model, one math, one oracle. */
+  private def embedFixtureOracleSql: String = {
+    val dims = (0 until EmbedFixtureDim)
+      .map(d => s"($d, ${BigInt(97).pow(d)})").mkString(", ")
+    s"""WITH h AS (
+  SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
+dims(dim, p) AS (VALUES $dims)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+  CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
+FROM h CROSS JOIN dims ORDER BY doc_id, dim"""
+  }
+
   // --- unsigned-64 helpers for the splitmix feature oracle -------------
   private val U64 = "18446744073709551616" // 2^64
   private def toSigned64(e: String): String =
@@ -1758,14 +1826,17 @@ ORDER BY b.doc_id, c.topic_id"""
     Map("q_topic_coords" -> coords, "q_topic_assembly" -> assembly)
   }
 
-  private def ivfOracleSql(spark: SparkSession, dir: String): String = {
+  /** The CTE prefix both IVF oracles share: centroid literals (trained on
+    * the directory's own embeddings with the engine's code path), squared
+    * distances, cell assignment, and nProbe probing for the query set. */
+  private def ivfCtesSql(spark: SparkSession, dir: String): String = {
     val centroids = graft.similarity.Similarity.trainedCentroids(
       tbl(spark, dir, "embeddings"), "vec_id", "embedding",
       nCells = IvfCells, seed = IvfSeed, sampleSize = IvfSampleSize)
     val vals = centroids.zipWithIndex
       .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n  ")
-    s"""WITH cent(cell, cv) AS (VALUES
+    s"""cent(cell, cv) AS (VALUES
   $vals),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
 d AS (
@@ -1781,7 +1852,11 @@ probe AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM d WHERE vec_id < $IvfQueryMax)
-  WHERE rn <= $IvfProbe),
+  WHERE rn <= $IvfProbe)"""
+  }
+
+  private def ivfOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${ivfCtesSql(spark, dir)},
 s AS (
   SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
     list_cosine_similarity(vq.vec, vn.vec) AS sim
@@ -1794,7 +1869,36 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM s)
 WHERE rank <= $IvfK ORDER BY query_id, rank"""
-  }
+
+  /** IVF × int8 re-derived: the same cell assignment/probing as
+    * [[ivfOracleSql]] (float geometry), the same quantization as the
+    * q_knn_int8 oracle, scale-free integer-dot cosine in the re-rank. */
+  private def ivfInt8OracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${ivfCtesSql(spark, dir)},
+sc AS (
+  SELECT vec_id, vec,
+    list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+  FROM v),
+qz AS (
+  SELECT vec_id,
+    CASE WHEN scale > 0.0
+         THEN list_transform(vec, x -> CAST(greatest(-127, least(127, CAST(round(x / scale) AS INT))) AS DOUBLE))
+         ELSE list_transform(vec, x -> CAST(0 AS DOUBLE)) END AS qv
+  FROM sc),
+n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS n2 FROM qz),
+s AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+    list_inner_product(nq.qv, nc.qv) / sqrt(nq.n2 * nc.n2) AS sim
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+  JOIN n nq ON nq.vec_id = p.vec_id
+  JOIN n nc ON nc.vec_id = a.vec_id
+  WHERE nq.n2 > 0 AND nc.n2 > 0)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s)
+WHERE rank <= $IvfK ORDER BY query_id, rank"""
 
   /** The full oracle map for one sf directory: the static [[oracleSql]]
     * entries plus the data-dependent ones (IVF centroids are trained on
@@ -1802,7 +1906,10 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
     * Verify dumps THIS map — the DuckDB side of every check still runs
     * entirely from the dumped SQL. */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
-    oracleSql + ("q_knn_ivf" -> ivfOracleSql(spark, dir)) ++ topicOracleSql(spark, dir)
+    oracleSql +
+      ("q_knn_ivf" -> ivfOracleSql(spark, dir)) +
+      ("q_knn_ivf_int8" -> ivfInt8OracleSql(spark, dir)) ++
+      topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (see
@@ -2267,6 +2374,26 @@ SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
 ORDER BY d.doc_id""",
 
+    // the winnow pipeline's end use re-derived: fingerprint-set pairs
+    // (the q_winnow_pairs edge condition), recursive-CTE components,
+    // min-id representative survives
+    "q_winnow_survivors" ->
+      s"""WITH RECURSIVE ${winnowCtes(WinnowK, WinnowW)},
+dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT dd.doc_id, dd.lang FROM documents dd
+WHERE dd.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+ORDER BY dd.doc_id""",
+
     // exact integer packing arithmetic re-derived over the same token
     // counts; constants shared with the closure (SeqPackBudget/Shards)
     "q_seq_pack" ->
@@ -2533,16 +2660,11 @@ WHERE gate < t ORDER BY doc_id""",
     // embedding cache over the FnvDigitModel fixture: component d is
     // base-97 digit d of the text's unsigned FNV-1a 64, re-derived with
     // HUGEINT division (exact integers — no float pooling to drift)
-    "q_embed_cached" -> {
-      val dims = (0 until EmbedFixtureDim)
-        .map(d => s"($d, ${BigInt(97).pow(d)})").mkString(", ")
-      s"""WITH h AS (
-  SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
-dims(dim, p) AS (VALUES $dims)
-SELECT doc_id, CAST(dim AS BIGINT) AS dim,
-  CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
-FROM h CROSS JOIN dims ORDER BY doc_id, dim"""
-    },
+    "q_embed_cached" -> embedFixtureOracleSql,
+
+    // the embed ENGINE answers the same fixture re-derivation as the
+    // cache layer over it — by construction (one model, one math)
+    "q_embed_fixture" -> embedFixtureOracleSql,
 
     "q_features" -> {
       val vals = graft.Features.compiledFeatures.toSeq.sorted

@@ -1,6 +1,6 @@
 package graft.embed
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Symmetric per-vector int8 quantization — the storage/serving layout
@@ -18,24 +18,29 @@ import org.apache.spark.sql.functions._
   * pins the dequantized cosine against the exact one. */
 object VectorQuant {
 
-  /** `(id, scale, qvec)` — the per-vector scale (double) and the int8
-    * codes as `array<int>` (Spark has no int8 array; the codes are all
-    * in [−127, 127], the storage layer narrows them). */
+  /** `(id, scale, qvec[, keep...])` — the per-vector scale (double) and
+    * the int8 codes as `array<int>` (Spark has no int8 array; the codes
+    * are all in [−127, 127], the storage layer narrows them). `keep`
+    * columns ride along unchanged, so a caller can quantize a frame that
+    * already carries routing metadata (an IVF cell id) without a join
+    * back — the whole program stays one elementwise scan. */
   def quantizeInt8(
       df: DataFrame,
       vecCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      keep: Seq[Column] = Nil): DataFrame = {
     val xs = transform(col(vecCol), x => x.cast("double"))
     val maxAbs = array_max(transform(xs, x => abs(x)))
     val scale = maxAbs / lit(127.0)
     df.select(
-      col(idCol),
-      scale.as("scale"),
-      when(maxAbs > 0.0,
-        transform(xs, x =>
-          greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
-        .otherwise(transform(xs, _ => lit(0)))
-        .as("qvec"))
+      Seq(
+        col(idCol),
+        scale.as("scale"),
+        when(maxAbs > 0.0,
+          transform(xs, x =>
+            greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
+          .otherwise(transform(xs, _ => lit(0)))
+          .as("qvec")) ++ keep: _*)
   }
 
   /** Dequantize back to doubles: `x̂_i = q_i · scale`. */

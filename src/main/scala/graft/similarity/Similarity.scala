@@ -426,6 +426,69 @@ object Similarity {
     trainCentroids(sample, nCells, seed)
   }
 
+  /** IVF × int8: the composed serving stack a production ANN service
+    * actually deploys at 100 TB — the seeded coarse quantizer routes by
+    * FLOAT geometry (tiny centroid table, regenerated on executors via
+    * the broadcast-free UDF closure, assignment exactly as [[ivfTopK]]),
+    * while the inverted lists hold 4×-smaller symmetric int8 codes and
+    * the re-rank runs pure INTEGER dot products with scales cancelling
+    * in cosine ([[int8TopK]]'s exact arithmetic). Quantization rides the
+    * same elementwise scan that assigns cells (zero extra shuffle —
+    * `VectorQuant.quantizeInt8`'s keep-columns path); candidates come
+    * from the one cell-keyed join; the exact per-partition top-k prune
+    * bounds the ranking exchange. Approximate only by cell routing —
+    * the scored similarities themselves are bit-reproducible, so the
+    * whole stack sits under the exact oracle. */
+  def ivfInt8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 3,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): DataFrame = {
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+    val assignCell = udf { v: Seq[Float] => nearestCell(v.toArray, centroids) }
+    val probeCells = udf { v: Seq[Float] => nearestCells(v.toArray, centroids, nProbe) }
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+
+    val lists = graft.embed.VectorQuant
+      .quantizeInt8(
+        corpus.select(col(idCol), col(vecCol), assignCell(col(vecCol)).as("cell")),
+        vecCol, idCol, keep = Seq(col("cell")))
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("c_vec"), col("cell"))
+      .withColumn("cn2", idot(col("c_vec"), col("c_vec")))
+    val probes = broadcast(
+      graft.embed.VectorQuant
+        .quantizeInt8(
+          queries.select(col(idCol), col(vecCol), probeCells(col(vecCol)).as("cells")),
+          vecCol, idCol, keep = Seq(col("cells")))
+        .select(col(idCol).as("query_id"), col("qvec").as("q_vec"),
+          explode(col("cells")).as("cell"))
+        .withColumn("qn2", idot(col("q_vec"), col("q_vec"))))
+    // each corpus vector lives in exactly ONE cell and probed cells are
+    // distinct, so (query, neighbor) pairs are unique by construction —
+    // no dedup exchange needed before the prune
+    val scored = lists
+      .join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        when(col("qn2") > 0 && col("cn2") > 0,
+          idot(col("q_vec"), col("c_vec")).cast("double") /
+            sqrt((col("qn2") * col("cn2")).cast("double"))))
+      .filter(col("sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pruned = localTopKPerQuery(scored, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,

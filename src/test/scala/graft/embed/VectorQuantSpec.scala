@@ -50,6 +50,41 @@ class VectorQuantSpec extends SparkSpec {
     }
   }
 
+  test("keep columns ride the quantize scan unchanged") {
+    val docs = Seq(
+      (0L, Seq(1.27f, 0.0f), "a"),
+      (1L, Seq(0.0f, 2.54f), "b")).toDF("vec_id", "embedding", "tag")
+    val out = VectorQuant
+      .quantizeInt8(docs, "embedding", "vec_id", keep = Seq(col("tag")))
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getString(3)).toSeq === Seq("a", "b"))
+    assert(out(0).getSeq[Int](2) === Seq(127, 0))
+  }
+
+  test("ivfInt8TopK with all cells probed equals int8TopK exactly") {
+    // probing every cell makes routing lossless: the composed stack must
+    // then reproduce the flat int8 ranking bit-for-bit
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val flat = graft.similarity.Similarity.int8TopK(qs, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ivf = graft.similarity.Similarity
+      .ivfInt8TopK(qs, emb, k = 10, nCells = 4, nProbe = 4, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sorted.toSeq === flat.sorted.toSeq)
+  }
+
+  test("ivfInt8TopK is deterministic and returns k rows per query under partial probing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+    def run() = graft.similarity.Similarity
+      .ivfInt8TopK(qs, emb, k = 5, nCells = 8, nProbe = 3, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val a = run()
+    assert(a.toSeq === run().toSeq)
+    assert(a.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("int8 top-k recall is perfect when the corpus HAS neighborhood structure") {
     import spark.implicits._
     // 3 well-separated clusters of 8 members each: separation >> int8 error

@@ -160,9 +160,17 @@ object PlainBackend extends TokenizerBackend {
 object TokenizerModels {
   val PlainWordsEn = "native:plain_words_en"
 
-  /** id → supported language codes. */
+  /** Bundled offline zh word-segmentation backend ([[ZhDictBackend]]) —
+    * the zero-egress stand-in for the `lindera:*` zh ids: word-level
+    * segmentation from a shipped dictionary resource, loaded lazily on
+    * first resolve (no network, no model artifact). */
+  val ZhDict = "local:zh-dict"
+
+  /** id → supported language codes. The reference's 8 predefined ids
+    * (`polars_text/models.py:22-57`) plus the bundled [[ZhDict]]. */
   val inventory: Map[String, Seq[String]] = Map(
     PlainWordsEn -> Seq("en"),
+    ZhDict -> Seq("zh"),
     "huggingface:bert-base-uncased" -> Seq("en"),
     "lindera:cc-cedict" -> Seq("zh"),
     "lindera:jieba" -> Seq("zh"),
@@ -175,6 +183,16 @@ object TokenizerModels {
     new java.util.concurrent.ConcurrentHashMap[String, TokenizerBackend]()
   registry.put(PlainWordsEn, PlainBackend)
 
+  private lazy val zhDictLoaded: Unit = {
+    val in = getClass.getResourceAsStream("/graft/zh_dict.txt")
+    // (Predef.require — this object's own require(model) shadows it)
+    Predef.require(in != null, "zh_dict.txt bundled dictionary missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try registry.put(ZhDict, new ZhDictBackend(ZhDictSegmenter.fromFreqText(src.getLines())))
+    finally src.close()
+    ()
+  }
+
   /** Register (or replace) a backend under `id`. */
   def register(id: String, backend: TokenizerBackend): Unit = { registry.put(id, backend); () }
 
@@ -182,6 +200,7 @@ object TokenizerModels {
     * unloaded ids fail with distinct messages (the reference's
     * `ensure_tokenizer_for_model` contract). */
   def resolve(model: String): TokenizerBackend = {
+    if (model == ZhDict) zhDictLoaded // idempotent bundled load
     val found = registry.get(model)
     if (found != null) found
     else if (!inventory.contains(model))
@@ -191,6 +210,7 @@ object TokenizerModels {
       throw new UnsupportedOperationException(
         s"tokenizer model '$model' requires a network-fetched backend, " +
           "unavailable in this offline build; use " + PlainWordsEn +
+          (if (inventory(model).contains("zh")) s" or the bundled $ZhDict" else "") +
           " or register an offline backend via TokenizerModels.register")
   }
 

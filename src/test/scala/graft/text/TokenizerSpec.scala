@@ -73,9 +73,11 @@ class TokenizerSpec extends AnyFunSuite {
   }
 
   test("model registry inventory") {
-    assert(TokenizerModels.inventory.size == 8)
+    // the reference's 8 predefined ids plus the bundled local:zh-dict
+    assert(TokenizerModels.inventory.size == 9)
     assertThrows[IllegalArgumentException](TokenizerModels.require("nope:model"))
     assertThrows[UnsupportedOperationException](TokenizerModels.require("lindera:jieba"))
     TokenizerModels.require(TokenizerModels.PlainWordsEn)
+    TokenizerModels.require(TokenizerModels.ZhDict) // bundled, loads offline
   }
 }

@@ -275,6 +275,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("winnow survivors: text rides only the left-anti probe side") {
+    // same posture as q_neardup_survivors: losers come from checkpointed
+    // cluster labels, the corpus text appears once, on the anti-join probe
+    val plan = finalPlan(SparkEntry.queries("q_winnow_survivors")(spark, dir))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+  }
+
+  test("IVF x int8: broadcast-only probe join, quantize rides the cell-assignment scan") {
+    val df = SparkEntry.queries("q_knn_ivf_int8")(spark, dir)
+    assertNoGlobalWindow(df, "q_knn_ivf_int8")
+    val plan = finalPlan(df)
+    // corpus lists: ONE scan that both assigns cells and quantizes (the
+    // keep-columns path — no join back); probes broadcast; the only hash
+    // exchange is the per-query ranking window after the local prune
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(count(plan, "FileScan parquet") == 2, plan) // corpus + bounded query side
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+  }
+
   test("no exact Percentile aggregate over a non-integral column anywhere") {
     // Spark's exact Percentile merges a value→count map into ONE final
     // buffer. Integral columns bound that map by the value range (word

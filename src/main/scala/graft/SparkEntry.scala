@@ -63,6 +63,12 @@ object SparkEntry {
   // where the difference is not an exact binary fraction
   val TrigramL3 = 0.5
   val TrigramL2 = 0.3
+  // Bloom decontamination config shared by the q_decontaminate_bloom
+  // closure and its oracle: n-gram size, power-of-two bit count (must
+  // divide 2^64 — the signed/unsigned fold argument), hash count.
+  val BloomN = 3
+  val BloomM = 1 << 16
+  val BloomK = 3
   val CoocWindow = 3
   // Per-doc token cap shared by the q_cooc_pmi closure AND its oracle SQL
   // (toks[1:cap]) — an uncapped oracle would silently diverge on a corpus
@@ -974,6 +980,23 @@ FROM graft_documents ORDER BY doc_id""")
           docs.filter(col("lang") =!= "en"),
           docs.filter(col("lang") === "en"),
           "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // curation, the JOIN-FREE decontamination gate: the eval split's
+    // n-grams fit an m-bit Bloom set (one bounded aggregation, <= m/64
+    // longs to the driver) and the training scan probes the bitset
+    // LITERAL elementwise — zero exchanges where the exact overlap pays
+    // a gram-keyed one. Deterministic seeded positions make the flag set
+    // (false positives included) exactly re-derivable by the oracle; no
+    // false negatives by construction (spec-pinned vs the exact join)
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bloom = graft.dedup.BloomDecontaminate.fitBloom(
+        docs.filter(col("lang") === "en"), "text", BloomN, BloomM, BloomK)
+      graft.dedup.BloomDecontaminate
+        .probe(docs.filter(col("lang") =!= "en"), "text", "doc_id",
+          bloom, BloomN, BloomM, BloomK)
         .orderBy("doc_id")
     }),
 
@@ -2199,6 +2222,47 @@ test AS (SELECT DISTINCT doc_id, gram FROM g WHERE lang = 'en')
 SELECT t.doc_id, count(*) AS n_hits
 FROM test t JOIN train USING (gram)
 GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""",
+
+    // the Bloom gate fully re-derived: same signed shingle keys, same
+    // "j:key" seeded positions mod m (power of two — signed/unsigned
+    // folds agree), bit membership as a position-set semi-join; false
+    // positives reproduce exactly because every position is deterministic
+    "q_decontaminate_bloom" ->
+      s"""WITH ev AS (
+  SELECT ${toksArrSql()} AS toks FROM documents WHERE lang = 'en'),
+eg AS (
+  SELECT unnest(list_transform(range(0, greatest(len(toks) - $BloomN + 1, 0)),
+    i -> array_to_string(toks[i+1:i+$BloomN], ' '))) AS gram
+  FROM ev),
+ek AS (SELECT DISTINCT CAST(${toSigned64(fnvSql("gram"))} AS VARCHAR) AS ks FROM eg),
+js AS (SELECT unnest(range(0, $BloomK)) AS j),
+ep AS (
+  SELECT DISTINCT CAST(${fnvSql("CAST(j AS VARCHAR) || ':' || ks")} % $BloomM AS BIGINT) AS pos
+  FROM ek CROSS JOIN js),
+tr AS (
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents WHERE lang <> 'en'),
+tg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, greatest(len(toks) - $BloomN + 1, 0)),
+      i -> array_to_string(toks[i+1:i+$BloomN], ' '))) AS gram
+  FROM tr),
+tk AS (SELECT doc_id, CAST(${toSigned64(fnvSql("gram"))} AS VARCHAR) AS ks FROM tg),
+dp AS (
+  SELECT ks, count(*) FILTER (WHERE pos IN (SELECT pos FROM ep)) = $BloomK AS flagged
+  FROM (
+    SELECT du.ks, CAST(${fnvSql("CAST(j AS VARCHAR) || ':' || du.ks")} % $BloomM AS BIGINT) AS pos
+    FROM (SELECT DISTINCT ks FROM tk) du CROSS JOIN js)
+  GROUP BY ks),
+a AS (
+  SELECT tk.doc_id, count(*) AS n_grams,
+    count(CASE WHEN dp.flagged THEN 1 END) AS n_flagged
+  FROM tk JOIN dp USING (ks) GROUP BY 1)
+SELECT t.doc_id,
+  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(a.n_flagged, 0) AS BIGINT) AS n_flagged,
+  coalesce(a.n_flagged, 0) > 0 AS contaminated
+FROM tr t LEFT JOIN a USING (doc_id)
+ORDER BY t.doc_id""",
 
     // the contamination matrix re-derived as a distinct-key self-join
     // over the same FNV shingle keys the engine aggregates

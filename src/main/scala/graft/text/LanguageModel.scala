@@ -130,9 +130,11 @@ object LanguageModel {
 
     // ONE tokenize pass feeds BOTH fits: the adjacency stream is locally
     // checkpointed and the vocab/bigram counts are two aggregations over
-    // those blocks (was two independent tokenize scans). See
-    // [[trigramCrossEntropy]] for the storage trade-off note.
+    // those blocks (was two independent tokenize scans). Only the columns
+    // the fits aggregate are checkpointed — id/pos stay out of the
+    // blocks. See [[trigramCrossEntropy]] for the storage trade-off note.
     val fit = adjacencyStream(df, textCol, idCol, model, orders = 2)
+      .select(col("token"), col("prev"))
       .localCheckpoint(true)
     val vocab = fit
       .groupBy(col("token").as("token"))
@@ -205,7 +207,10 @@ object LanguageModel {
       s"need λ₃, λ₂ >= 0 with λ₃+λ₂ <= 1, got $lambda3, $lambda2")
     import org.apache.spark.sql.expressions.Window
 
+    // the fit aggregations key on (token, prev, prev2) only — id/pos
+    // stay out of the checkpointed blocks
     val fit = adjacencyStream(df, textCol, idCol, model, orders = 3)
+      .select(col("token"), col("prev"), col("prev2"))
       .localCheckpoint(true)
     val vocab = fit
       .groupBy(col("token").as("token"))

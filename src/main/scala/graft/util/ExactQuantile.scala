@@ -65,6 +65,9 @@ object ExactQuantile {
         before += c
       }
       // Job 2: the one selected row from the one partition that holds it.
+      require(localOffset <= Int.MaxValue,
+        s"quantileDisc: selected partition holds > Int.MaxValue rows " +
+          s"(offset $localOffset) — raise spark.sql.shuffle.partitions")
       val offset = localOffset
       sorted
         .mapPartitionsWithIndex((i, it) =>

@@ -1124,6 +1124,49 @@ FROM graft_documents ORDER BY doc_id""")
         .unigramCrossEntropy(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // quality tier: the Gopher/MassiveWeb rule bundle (Rae et al. 2021
+    // A1.1) — word-count band, mean word length, symbol ratio, bullet/
+    // ellipsis line fractions, alpha-word fraction, distinct-stop-word
+    // floor, and the conjunction keep flag; pure elementwise Column
+    // program over whitespace words and lines (scan speed, no model)
+    "q_gopher_rules" -> ((s, dir) => {
+      val m = graft.text.GopherRules.metrics(col("text")).toMap
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          m("n_words").as("n_words"),
+          round(m("mean_word_len"), 6).as("mean_word_len"),
+          round(m("symbol_ratio"), 6).as("symbol_ratio"),
+          round(m("bullet_frac"), 6).as("bullet_frac"),
+          round(m("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(m("alpha_frac"), 6).as("alpha_frac"),
+          m("stop_hits").as("stop_hits"),
+          m("keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // curation tier: CCNet's head/middle/tail split — per-LANGUAGE
+    // perplexity terciles (Wenzek et al. 2020 §4.3) via ntile over a
+    // lang-PARTITIONED window totally ordered by (rounded score, doc_id);
+    // the one exchange beyond scoring is the doc-keyed lang join
+    "q_ccnet_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, dir, "documents")
+      val scored = graft.text.LanguageModel
+        .unigramCrossEntropy(docs, "text", "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("bits_per_token"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, "doc_id")
+        .withColumn("tercile", ntile(3).over(w))
+        .select(
+          col("doc_id"), col("lang"), col("bits_per_token"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // curation tier, artifact lifecycle: fit the unigram model ONCE,
     // persist it as a parquet artifact, load it back, score with the
     // loaded model — the train-once / score-many posture real pipelines
@@ -2486,6 +2529,65 @@ SELECT doc_id, count(*) AS n_tokens,
   round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
 FROM tok JOIN v USING (token)
 GROUP BY doc_id ORDER BY doc_id""",
+
+    // the Gopher rule bundle re-derived: same whitespace words/lines,
+    // same ratios, same conjunction (stop list inlined from the shared
+    // constant)
+    "q_gopher_rules" -> {
+      val stops = graft.text.GopherRules.GopherStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), s -> s <> '') AS words,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'), l -> trim(l) <> '') AS lines,
+    coalesce(text, '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS DOUBLE)
+      / greatest(len(words), 1) AS mean_word_len,
+    (CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
+      + CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3)
+      / greatest(len(words), 1) AS symbol_ratio,
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•‣▪])'))) AS DOUBLE)
+      / greatest(len(lines), 1) AS bullet_frac,
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+      / greatest(len(lines), 1) AS ellipsis_frac,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / greatest(len(words), 1) AS alpha_frac,
+    CAST(len(list_intersect(list_transform(words, x -> lower(x)), $stops)) AS BIGINT) AS stop_hits
+  FROM w)
+SELECT doc_id, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(ellipsis_frac, 6) AS ellipsis_frac,
+  round(alpha_frac, 6) AS alpha_frac,
+  stop_hits,
+  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+FROM m ORDER BY doc_id"""
+    },
+
+    // CCNet terciles re-derived: the q_perplexity scoring CTE feeding
+    // the same lang-partitioned ntile over the same total order
+    "q_ccnet_buckets" ->
+      s"""WITH tok AS ($tokSql),
+v AS (SELECT token, count(*) AS n_w FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(n_w) AS DOUBLE) AS n FROM v),
+scored AS (
+  SELECT doc_id, round(-sum(log2(CAST(n_w AS DOUBLE) / (SELECT n FROM tot))) / count(*), 6) AS bits_per_token
+  FROM tok JOIN v USING (token)
+  GROUP BY doc_id),
+b AS (
+  SELECT d.doc_id, d.lang, s.bits_per_token,
+    ntile(3) OVER (PARTITION BY d.lang ORDER BY s.bits_per_token, d.doc_id) AS tercile
+  FROM documents d JOIN scored s USING (doc_id))
+SELECT doc_id, lang, bits_per_token,
+  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id""",
 
     // saved == fresh: the artifact round-trip answers the q_perplexity oracle
     "q_perplexity_saved" ->

@@ -149,7 +149,9 @@ object Dedup {
   // ------------------------------------------------------------- minhash
 
   /** Per-document MinHash signatures: `(id, signature: Array[Long])`.
-    * Deterministic for a fixed seed. Elementwise — no shuffle. */
+    * Deterministic for a fixed seed. Elementwise — no shuffle; the
+    * signature is the codegen'd [[MinHashExpr]], so the fingerprint scan
+    * stays inside whole-stage codegen (no ScalaUDF converter stack). */
   def minHashSignatures(
       df: DataFrame,
       textCol: String,
@@ -157,8 +159,11 @@ object Dedup {
       numHashes: Int = 128,
       shingleSize: Int = 3,
       seed: Long = 42L): DataFrame = {
-    val f = udf { text: String => minHashSignature(text, numHashes, shingleSize, seed) }
-    df.select(col(idCol).as("id"), f(col(textCol)).as("signature"))
+    val sig = org.apache.spark.sql.graft.Bridge.column(
+      MinHashExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col(textCol)),
+        numHashes, shingleSize, seed))
+    df.select(col(idCol).as("id"), sig.as("signature"))
   }
 
   /** `(band, band_hash)` keys for one signature column. */
@@ -270,10 +275,13 @@ object Dedup {
     fp
   }
 
-  /** Per-document SimHash fingerprints: `(id, simhash)`. */
+  /** Per-document SimHash fingerprints: `(id, simhash)` — the codegen'd
+    * [[SimHashExpr]], same whole-stage-codegen argument as
+    * [[minHashSignatures]]. */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val f = udf { text: String => simHash64(text) }
-    df.select(col(idCol).as("id"), f(col(textCol)).as("simhash"))
+    val fp = org.apache.spark.sql.graft.Bridge.column(
+      SimHashExpr(org.apache.spark.sql.graft.Bridge.expression(col(textCol))))
+    df.select(col(idCol).as("id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxDistance` (≤ 3 for

@@ -92,14 +92,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(rollup, "FileScan parquet") == 1, rollup)
   }
 
-  test("simhash near-dups scan and fingerprint the corpus once") {
+  test("simhash near-dups scan and fingerprint the corpus once, codegen'd") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val pairs = graft.dedup.Dedup.simHashNearDuplicates(docs, "text", "doc_id")
     val plan = finalPlan(pairs)
     assert(count(plan, "FileScan parquet") == 1, plan)
+    // the fingerprint is the native simhash64 expression, not a UDF
+    assert(plan.contains("simhash64"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
   }
 
-  test("minhash LSH pairs scan and sign the corpus once, join-free") {
+  test("minhash LSH pairs scan and sign the corpus once, join-free, codegen'd signature") {
     val plan = finalPlan(SparkEntry.queries("q_minhash_pairs")(spark, dir))
     assert(count(plan, "FileScan parquet") == 1, plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
@@ -107,6 +110,9 @@ class PlanShapeSpec extends SparkSpec {
     // map-side verify: the dedup aggregate carries the score, not arrays
     assert(!plan.contains("SortAggregate"),
       "pair dedup must be a hash aggregate (no array buffers)")
+    // the signature itself is the native expression (banding stays a
+    // small-array UDF — 32 values per doc, not the hot path)
+    assert(plan.contains("minhash_signature"), plan)
   }
 
   test("bigram PMI: partitioned margin windows over one checkpointed counts pass; total is a literal") {

@@ -39,6 +39,13 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
   }
 
+  /** INT literals widen — SQL `42` parses as INT, `42L` as BIGINT. */
+  private def longLiteral(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   /** All registrations, name → builder. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "clean_text" -> columnFn(TextFunctions.cleanText),
@@ -58,6 +65,18 @@ object GraftFunctions {
     "shingle_keys" -> { exprs =>
       require(exprs.length == 2, s"shingle_keys(text, k): got ${exprs.length} args")
       ShingleKeysExpr(exprs.head, intLiteral(exprs(1), "k"))
+    },
+    "simhash64" -> { exprs =>
+      require(exprs.length == 1, s"simhash64(text): got ${exprs.length} args")
+      graft.dedup.SimHashExpr(exprs.head)
+    },
+    "minhash_signature" -> { exprs =>
+      require(exprs.length == 4,
+        s"minhash_signature(text, numHashes, shingleSize, seed): got ${exprs.length} args")
+      graft.dedup.MinHashExpr(exprs.head,
+        intLiteral(exprs(1), "numHashes"),
+        intLiteral(exprs(2), "shingleSize"),
+        longLiteral(exprs(3), "seed"))
     })
 
   /** Idempotently register every function on `spark`'s session registry. */

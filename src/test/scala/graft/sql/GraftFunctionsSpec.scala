@@ -31,6 +31,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(0) == "a" && r.getInt(1) == 3)
   }
 
+  test("fingerprint expressions are SQL-callable and equal the Scala API") {
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gf_fp")
+    val viaSql = spark.sql(
+      """SELECT simhash64(text) AS fp,
+           minhash_signature(text, 32, 3, 42) AS sig FROM gf_fp""").head()
+    val viaApi = graft.dedup.Dedup.simHashes(docs, "text", "doc_id").head().getLong(1)
+    val sigApi = graft.dedup.Dedup
+      .minHashSignatures(docs, "text", "doc_id", numHashes = 32, shingleSize = 3, seed = 42L)
+      .head().getSeq[Long](1)
+    assert(viaSql.getLong(0) === viaApi)
+    assert(viaSql.getSeq[Long](1) === sigApi)
+  }
+
   test("registration is idempotent and arity is checked") {
     GraftFunctions.register(spark) // second call must not throw
     val e = intercept[Exception] {

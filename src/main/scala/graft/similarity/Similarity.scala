@@ -151,6 +151,9 @@ object Similarity {
   /** Deterministic pseudo-Gaussian hyperplane component for
     * (table, bit, dim) derived from the seed — executors regenerate the
     * same planes with no broadcast state. */
+  private[similarity] def planeComponentPublic(seed: Long, table: Int, bit: Int, d: Int): Double =
+    planeComponent(seed, table, bit, d)
+
   private def planeComponent(seed: Long, table: Int, bit: Int, d: Int): Double = {
     var h = seed ^ (table * 0x9e3779b97f4a7c15L) ^ (bit * 0xbf58476d1ce4e5b9L) ^ (d * 0x94d049bb133111ebL)
     h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
@@ -197,6 +200,12 @@ object Similarity {
   /** Candidate pairs from L sign-LSH tables: `(query_id, neighbor_id,
     * q_vec, c_vec)`, deduplicated, self-pairs removed. Shared by
     * [[lshTopK]] and the embedding-cosine dedup operator. */
+  /** The codegen'd [[LshBucketsExpr]] as a Column — per-executor plane
+    * cache, no ScalaUDF converter stack in the bucketing scan. */
+  private def bucketsCol(vec: Column, tables: Int, bits: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      LshBucketsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), tables, bits, seed))
+
   def lshCandidates(
       queries: DataFrame,
       corpus: DataFrame,
@@ -205,11 +214,10 @@ object Similarity {
       tables: Int,
       bits: Int,
       seed: Long): DataFrame = {
-    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .withColumn("tb", explode(bucketize(col(vec))))
-        .select(col(id), col(vec), col("tb._1").as("table"), col("tb._2").as("bucket"))
+        .withColumn("tb", explode(bucketsCol(col(vec), tables, bits, seed)))
+        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
     withBuckets(queries, "query_id", "q_vec")
       .join(withBuckets(corpus, "neighbor_id", "c_vec"), Seq("table", "bucket"))
@@ -233,10 +241,9 @@ object Similarity {
       bits: Int,
       seed: Long,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
-    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("tb", explode(bucketize(col("vec"))))
-      .select(col("id"), col("vec"), col("tb._1").as("table"), col("tb._2").as("bucket"))
+      .withColumn("tb", explode(bucketsCol(col("vec"), tables, bits, seed)))
+      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     graft.util.PostingLists
       .pairs(graft.util.PostingLists.members(
         bucketed, Seq(col("table"), col("bucket")), struct(col("id"), col("vec")), maxBucket))
@@ -261,7 +268,6 @@ object Similarity {
       bits: Int,
       seed: Long,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
-    val bucketize = udf { vec: Seq[Float] => lshBuckets(vec, tables, bits, seed) }
     // L2 norm computed ONCE per vector before bucketing (8 bytes of
     // payload) instead of twice per candidate pair — the verify step then
     // costs one dot product per pair, a 3x FLOP cut on the hot path. Same
@@ -270,8 +276,8 @@ object Similarity {
     val vd = transform(col("vec"), x => x.cast("double"))
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", sqrt(aggregate(vd, lit(0.0), (acc, v) => acc + v * v)))
-      .withColumn("tb", explode(bucketize(col("vec"))))
-      .select(col("id"), col("vec"), col("norm"), col("tb._1").as("table"), col("tb._2").as("bucket"))
+      .withColumn("tb", explode(bucketsCol(col("vec"), tables, bits, seed)))
+      .select(col("id"), col("vec"), col("norm"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val dot = aggregate(
       zip_with(
         transform(col("a.vec"), x => x.cast("double")),

@@ -96,6 +96,18 @@ class TokenizerRegistrySpec extends SparkSpec {
     assert(out == Seq("spark", "##s", "run", "##s", "fast"))
   }
 
+  test("bundled zh backend runs through the Column API with exact offsets") {
+    val out = Seq("今天天气很好 Python 编程").toDF("text")
+      .select(explode(Tokenize.tokenize(col("text"), TokenizerModels.ZhDict)).as("t"))
+      .select($"t.token", $"t.start", $"t.end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1) ==
+      Seq("今天", "天气", "很好", "python", "编程"))
+    // code-point offsets: Han chars count 1 each; 'python' spans 7..13
+    assert(out.head == ("今天", 0L, 2L))
+    assert(out(3) == ("python", 7L, 13L))
+  }
+
   test("hosted HF id fails fast; unknown id names itself") {
     val e = intercept[UnsupportedOperationException] {
       Tokenize.tokenize(col("text"), "huggingface:bert-base-uncased")

@@ -281,6 +281,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup: one scan, join-free posting lists, codegen'd buckets") {
+    val plan = finalPlan(SparkEntry.queries("q_embed_neardup")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(!plan.contains("Join"), "pairs expand inside posting lists, never by join")
+    assert(plan.contains("lsh_buckets"), plan)
+    assert(!plan.contains("ScalaUDF"), "bucketing must be the native expression")
+  }
+
   test("winnow survivors: text rides only the left-anti probe side") {
     // same posture as q_neardup_survivors: losers come from checkpointed
     // cluster labels, the corpus text appears once, on the anti-join probe

@@ -369,7 +369,7 @@ object Similarity {
     d
   }
 
-  private def nearestCell(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+  private[similarity] def nearestCell(v: Array[Float], centroids: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
@@ -380,7 +380,7 @@ object Similarity {
     best
   }
 
-  private def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Seq[Int] =
+  private[similarity] def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Seq[Int] =
     centroids.indices
       .map(c => (c, dist2(v, centroids(c))))
       .sortBy(_._2) // stable: ties keep ascending cell id
@@ -456,21 +456,23 @@ object Similarity {
       seed: Long = 42L,
       sampleSize: Int = 10000): DataFrame = {
     val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
-    val assignCell = udf { v: Seq[Float] => nearestCell(v.toArray, centroids) }
-    val probeCells = udf { v: Seq[Float] => nearestCells(v.toArray, centroids, nProbe) }
+    def cells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
 
     val lists = graft.embed.VectorQuant
       .quantizeInt8(
-        corpus.select(col(idCol), col(vecCol), assignCell(col(vecCol)).as("cell")),
+        corpus.select(col(idCol), col(vecCol),
+          element_at(cells(col(vecCol), 1), 1).as("cell")),
         vecCol, idCol, keep = Seq(col("cell")))
       .select(col(idCol).as("neighbor_id"), col("qvec").as("c_vec"), col("cell"))
       .withColumn("cn2", idot(col("c_vec"), col("c_vec")))
     val probes = broadcast(
       graft.embed.VectorQuant
         .quantizeInt8(
-          queries.select(col(idCol), col(vecCol), probeCells(col(vecCol)).as("cells")),
+          queries.select(col(idCol), col(vecCol), cells(col(vecCol), nProbe).as("cells")),
           vecCol, idCol, keep = Seq(col("cells")))
         .select(col(idCol).as("query_id"), col("qvec").as("q_vec"),
           explode(col("cells")).as("cell"))
@@ -506,18 +508,18 @@ object Similarity {
       seed: Long = 42L,
       sampleSize: Int = 10000): DataFrame = {
     val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
-
-    val assignCell = udf { v: Seq[Float] => nearestCell(v.toArray, centroids) }
-    val probeCells = udf { v: Seq[Float] => nearestCells(v.toArray, centroids, nProbe) }
+    def cells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
 
     val lists = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"),
-      assignCell(col(vecCol)).as("cell"))
+      element_at(cells(col(vecCol), 1), 1).as("cell"))
     val probes = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).as("q_vec"),
-      explode(probeCells(col(vecCol))).as("cell"))
+      explode(cells(col(vecCol), nProbe)).as("cell"))
     val candidates = probes
       .join(lists, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -917,13 +917,12 @@ FROM graft_documents ORDER BY doc_id""")
     // fits under the cap with anything else), so the word-packing path is
     // SQL-recomputable; the paragraph/sentence recursion is spec-tested
     "q_chunking" -> ((s, dir) => {
-      val chunkTexts = udf { text: String =>
-        graft.topic.Chunking
-          .chunkDocument(0L, text, graft.topic.Chunking.Config(maxTokens = 16, overlap = 4))
-          .map(_.text)
-      }
+      val chunkTexts = org.apache.spark.sql.graft.Bridge.column(
+        graft.topic.ChunkTextsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("text")),
+          maxTokens = 16, overlap = 4, modelId = ""))
       tbl(s, dir, "documents")
-        .select(col("doc_id"), posexplode(chunkTexts(col("text"))).as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), posexplode(chunkTexts).as(Seq("chunk_idx", "chunk_text")))
         .withColumn("chunk_idx", col("chunk_idx").cast("long"))
         .orderBy("doc_id", "chunk_idx")
     }),

@@ -111,18 +111,15 @@ object TopicModeling {
       coalesce(col(textCol), lit("")).as("text"))
 
     // 1. chunking — distributed; the sizer resolves the executor-singleton
-    //    model (never serialized in the closure). Persisted and materialized
-    //    here so the UDF pass runs exactly once; every later stage reads the
-    //    cached rows.
-    val modelId = cfg.modelId
-    val chunkCfg = cfg.chunking
-    val chunkUdf = udf { text: String =>
-      Chunking
-        .chunkDocument(0L, text, chunkCfg, t => EmbedderRegistry.ensure(modelId).countTokens(t))
-        .map(_.text)
-    }
+    //    model inside the codegen'd expression's helper (never serialized
+    //    in a closure). Persisted and materialized here so the chunking
+    //    pass runs exactly once; every later stage reads the cached rows.
+    val chunkCol = org.apache.spark.sql.graft.Bridge.column(
+      ChunkTextsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("text")),
+        cfg.chunking.maxTokens, cfg.chunking.overlap, cfg.modelId))
     val chunks = base
-      .select(col("doc_id"), col("corpus"), posexplode(chunkUdf(col("text"))).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("corpus"), posexplode(chunkCol).as(Seq("chunk_idx", "chunk_text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       timed("chunking") { chunks.count() } // materialize the one chunking pass

@@ -3,7 +3,6 @@ package graft.text
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** One KWIC (keyword-in-context) match. Field set and order mirror the
   * reference's 7-field struct
@@ -133,16 +132,11 @@ object Concordance {
       numRightTokens: Int = 5,
       regex: Boolean = false,
       caseSensitive: Boolean = false): Column = {
-    if (searchWord == null || searchWord.isEmpty) {
-      val empty = udf { (_: String) => Vector.empty[ConcordanceMatch] }
-      return empty(c)
-    }
-    // Compiled once here; serialized into the task closure (Pattern is
-    // Serializable) so executors never recompile per row.
-    val compiled = compilePattern(searchWord, regex, caseSensitive)
-    val f = udf { text: String =>
-      concordance(text, compiled, numLeftTokens, numRightTokens)
-    }
-    f(c)
+    // The codegen'd [[ConcordanceExpr]] — pattern compiled once per
+    // expression (never per row), no case-class encoder round-trip.
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(ConcordanceExpr(
+      Bridge.expression(c), searchWord, numLeftTokens, numRightTokens,
+      regex, caseSensitive))
   }
 }

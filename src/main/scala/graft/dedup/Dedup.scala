@@ -166,17 +166,12 @@ object Dedup {
     df.select(col(idCol).as("id"), sig.as("signature"))
   }
 
-  /** `(band, band_hash)` keys for one signature column. */
-  private def bandHashes(sig: Column, bands: Int): Column = {
-    val f = udf { (s: Seq[Long], nBands: Int) =>
-      val rows = math.max(1, s.length / nBands)
-      (0 until nBands).map { b =>
-        val slice = s.slice(b * rows, (b + 1) * rows)
-        (b, fnv1a64(slice.mkString(",")))
-      }
-    }
-    f(sig, lit(bands))
-  }
+  /** `(band, band_hash)` keys for one signature column — the codegen'd
+    * [[BandHashesExpr]] (bit-identical to the UDF-era
+    * `fnv1a64(slice.mkString(","))` keys). */
+  private def bandHashes(sig: Column, bands: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BandHashesExpr(org.apache.spark.sql.graft.Bridge.expression(sig), bands))
 
   /** LSH banding: explode each signature into `bands` band-hashes, shuffle
     * on `(band, band_hash)`, and emit candidate pairs from within each
@@ -193,7 +188,7 @@ object Dedup {
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val buckets = signatures
       .select(col("id"), explode(bandHashes(col("signature"), bands)).as("bh"))
-      .select(col("id"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.band_hash").as("bucket"))
     graft.util.PostingLists
       .pairs(graft.util.PostingLists.members(
         buckets, Seq(col("band"), col("bucket")), struct(col("id")), maxBucket))
@@ -236,7 +231,7 @@ object Dedup {
         .otherwise(lit(0.0))
     val banded = sigs
       .select(col("id"), col("signature"), explode(bandHashes(col("signature"), bands)).as("bh"))
-      .select(col("id"), col("signature"), col("bh._1").as("band"), col("bh._2").as("bucket"))
+      .select(col("id"), col("signature"), col("bh.band").as("band"), col("bh.band_hash").as("bucket"))
     // Estimate and threshold BEFORE the dedup shuffle: every collision of
     // a pair computes the same estimate, so filtering map-side shrinks the
     // exchange to the qualifying (id_a, id_b, est) triples — the signature

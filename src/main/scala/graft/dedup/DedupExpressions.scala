@@ -108,3 +108,89 @@ object SimHashExpr {
   def run(s: UTF8String): Long =
     Dedup.simHash64(if (s == null) null else s.toString)
 }
+
+/** Native Catalyst expression for LSH band hashes: `array<long>` MinHash
+  * signature → `array<struct<band int, band_hash long>>`, one struct per
+  * band, hash = FNV-1a of the band's comma-joined signature slice — the
+  * exact string the UDF-era `bandHashes` hashed, so keys (and therefore
+  * buckets, pairs, and the oracle) are bit-identical.
+  *
+  * Last of the fingerprint-family UDF conversions: the LSH pairs scan now
+  * carries no ScalaUDF anywhere (plan-pinned) — the converter stack and
+  * the codegen break it forced on the explode projection are gone. */
+case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bands > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires bands > 0")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("band_hash", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "lsh_band_hashes"
+
+  override def eval(input: InternalRow): Any =
+    BandHashesExpr.run(child.eval(input).asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val helper = BandHashesExpr.getClass.getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $helper.MODULE$$.run(${childGen.isNull} ? null : ${childGen.value}, $bands);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+}
+
+object BandHashesExpr {
+  /** Shared by interpreted `eval` and generated code. Null signatures
+    * band nowhere (empty array) — unreachable from [[Dedup]] (signatures
+    * are non-nullable), kept for expression-level totality. */
+  def run(sig: ArrayData, bands: Int): ArrayData = {
+    if (sig == null) return new GenericArrayData(Array.empty[Any])
+    val n = sig.numElements()
+    val rows = math.max(1, n / bands)
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val from = math.min(b * rows, n)
+      val until = math.min((b + 1) * rows, n)
+      // FNV-1a over the band slice's "v0,v1,..." decimal join — the
+      // UDF-era slice.mkString(",") contract, char for char
+      val sb = new java.lang.StringBuilder(rows * 20)
+      var i = from
+      while (i < until) {
+        if (i > from) sb.append(',')
+        sb.append(sig.getLong(i))
+        i += 1
+      }
+      val s = sb
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < s.length()) {
+        h ^= s.charAt(j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](b, h))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

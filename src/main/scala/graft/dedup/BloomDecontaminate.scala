@@ -64,10 +64,18 @@ object BloomDecontaminate {
     arr
   }
 
+  /** Largest bitset carried as a plan literal: 2^20 bits = 128 KiB of
+    * words. Above this the bitset rides a broadcast variable consumed by
+    * the native [[BloomFlaggedExpr]] — identical flags, no giant literal
+    * serialized into every task's plan (and through codegen). */
+  val LiteralMaxBits: Int = 1 << 20
+
   /** Probe: `(id, n_grams, n_flagged, contaminated)` per training
-    * document — pure elementwise Column algebra (the bitset is a single
-    * array literal in the plan; the bit test is the native `getbit`),
-    * so the gate runs at scan speed with zero exchanges. */
+    * document — elementwise, zero exchanges, at scan speed in both
+    * regimes. Small bitsets (≤ `literalMaxBits`) are pure Column algebra
+    * over a single array literal and the native `getbit`; large bitsets
+    * are broadcast once per executor and probed by the codegen'd
+    * [[BloomFlaggedExpr]] with bit-identical hash positions. */
   def probe(
       df: DataFrame,
       textCol: String,
@@ -75,24 +83,35 @@ object BloomDecontaminate {
       bloom: Array[Long],
       n: Int = 3,
       mBits: Int = 1 << 16,
-      numHashes: Int = 3): DataFrame = {
+      numHashes: Int = 3,
+      literalMaxBits: Int = LiteralMaxBits): DataFrame = {
     require(bloom.length == mBits / 64,
       s"bloom has ${bloom.length} words, expected ${mBits / 64} for mBits=$mBits")
-    val bloomLit = typedLit(bloom.toSeq)
-    def hit(key: Column): Column =
-      (0 until numHashes)
-        .map { j =>
-          val pos = position(key, j, mBits)
-          call_function("getbit",
-            element_at(bloomLit, (pos / lit(64L)).cast("int") + lit(1)),
-            (pos % lit(64L)).cast("int")) === lit(1)
-        }
-        .reduce(_ && _)
-    df.select(col(idCol), TextAnalysis.shingleKeys(col(textCol), n).as("__keys"))
+    val keyed = df.select(col(idCol), TextAnalysis.shingleKeys(col(textCol), n).as("__keys"))
+    val flagged: Column =
+      if (mBits <= literalMaxBits) {
+        val bloomLit = typedLit(bloom.toSeq)
+        def hit(key: Column): Column =
+          (0 until numHashes)
+            .map { j =>
+              val pos = position(key, j, mBits)
+              call_function("getbit",
+                element_at(bloomLit, (pos / lit(64L)).cast("int") + lit(1)),
+                (pos % lit(64L)).cast("int")) === lit(1)
+            }
+            .reduce(_ && _)
+        size(filter(col("__keys"), hit _)).cast("long")
+      } else {
+        val bc = df.sparkSession.sparkContext.broadcast(bloom)
+        org.apache.spark.sql.graft.Bridge.column(
+          BloomFlaggedExpr(
+            org.apache.spark.sql.graft.Bridge.expression(col("__keys")), bc, mBits, numHashes))
+      }
+    keyed
       .select(
         col(idCol),
         size(col("__keys")).cast("long").as("n_grams"),
-        size(filter(col("__keys"), hit _)).cast("long").as("n_flagged"))
+        flagged.as("n_flagged"))
       .withColumn("contaminated", col("n_flagged") > 0)
   }
 }

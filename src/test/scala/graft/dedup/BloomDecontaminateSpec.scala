@@ -61,6 +61,39 @@ class BloomDecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("broadcast path flags identically to the literal path, bit for bit") {
+    // a 2^21-bit set is above LiteralMaxBits → broadcast + BloomFlaggedExpr;
+    // forcing literalMaxBits high runs the same config through the literal
+    // Column algebra. The two must agree on every row.
+    val en = docs.filter(col("lang") === "en")
+    val rest = docs.filter(col("lang") =!= "en")
+    val m = 1 << 21
+    val bloom = BloomDecontaminate.fitBloom(en, "text", n = 3, mBits = m)
+    val viaBroadcast = BloomDecontaminate
+      .probe(rest, "text", "doc_id", bloom, n = 3, mBits = m)
+      .orderBy("doc_id").collect().toSeq
+    val viaLiteral = BloomDecontaminate
+      .probe(rest, "text", "doc_id", bloom, n = 3, mBits = m, literalMaxBits = m)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaBroadcast === viaLiteral)
+    assert(viaBroadcast.exists(_.getBoolean(3)), "fixture should flag something")
+  }
+
+  test("large-m probe plan carries no bitset literal and stays scan-speed") {
+    val en = docs.filter(col("lang") === "en")
+    val m = 1 << 21
+    val bloom = BloomDecontaminate.fitBloom(en, "text", n = 3, mBits = m)
+    val probe = BloomDecontaminate
+      .probe(docs.filter(col("lang") =!= "en"), "text", "doc_id", bloom, n = 3, mBits = m)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_flagged"), plan)
+    // the literal path's signature pieces must be absent: no getbit over
+    // an element_at into a plan-embedded array
+    assert(!plan.contains("getbit"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("probe plan is scan-speed: no join, no shuffle, no UDF") {
     val en = docs.filter(col("lang") === "en")
     val bloom = BloomDecontaminate.fitBloom(en, "text", n = 3)

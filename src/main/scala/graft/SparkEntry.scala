@@ -2547,11 +2547,12 @@ m AS (
     CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS DOUBLE)
       / greatest(len(words), 1) AS mean_word_len,
     (CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
-      + CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3)
+      + CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3
+      + CAST(length(t) - length(replace(t, '…', '')) AS DOUBLE))
       / greatest(len(words), 1) AS symbol_ratio,
     CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•‣▪])'))) AS DOUBLE)
       / greatest(len(lines), 1) AS bullet_frac,
-    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
       / greatest(len(lines), 1) AS ellipsis_frac,
     CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
       / greatest(len(words), 1) AS alpha_frac,

@@ -1,7 +1,5 @@
 package graft.similarity
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -70,19 +68,32 @@ object LshBucketsExpr {
 
   /** `planes((t*bits + b)*dim + d)` — flat, cached per executor JVM.
     * Components come from the same generator the oracle inlines
-    * ([[Similarity.lshPlanes]]), so caching changes cost, never values. */
-  private val planeCache = new ConcurrentHashMap[(Int, Int, Long, Int), Array[Double]]()
+    * ([[Similarity.lshPlanes]]), so caching changes cost, never values.
+    * BOUNDED (access-order LRU, [[MaxCachedConfigs]] entries): a
+    * long-lived executor serving many (tables, bits, seed, dim) configs
+    * must not accumulate tables×bits×dim doubles per key forever — each
+    * entry is cheap to regenerate deterministically on re-miss. */
+  private val MaxCachedConfigs = 8
+  private val planeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Int, Int, Long, Int), Array[Double]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            eldest: java.util.Map.Entry[(Int, Int, Long, Int), Array[Double]]): Boolean =
+          size() > MaxCachedConfigs
+      })
 
   private def planes(tables: Int, bits: Int, seed: Long, dim: Int): Array[Double] =
-    planeCache.computeIfAbsent((tables, bits, seed, dim), { _ =>
-      val arr = new Array[Double](tables * bits * dim)
-      var i = 0
-      for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim) {
-        arr(i) = Similarity.planeComponentPublic(seed, t, b, d)
-        i += 1
-      }
-      arr
-    })
+    planeCache.synchronized {
+      planeCache.computeIfAbsent((tables, bits, seed, dim), { _ =>
+        val arr = new Array[Double](tables * bits * dim)
+        var i = 0
+        for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim) {
+          arr(i) = Similarity.planeComponentPublic(seed, t, b, d)
+          i += 1
+        }
+        arr
+      })
+    }
 
   /** Shared by interpreted `eval` and generated code. Null or empty
     * vectors bucket nowhere (empty array) — the UDF-era contract. */

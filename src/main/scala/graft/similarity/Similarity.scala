@@ -454,7 +454,13 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 3,
       seed: Long = 42L,
-      sampleSize: Int = 10000): DataFrame = {
+      sampleSize: Int = 10000,
+      /** The probe side is queries × nProbe rows with full int8 vectors;
+        * the broadcast hint is right for the serving contract (a bounded
+        * query batch) but would OOM a corpus-sized query set — pass
+        * `false` there to let the planner (and AQE) pick the strategy
+        * from actual sizes, as [[ivfTopK]] does. */
+      broadcastQueries: Boolean = true): DataFrame = {
     val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
     def cells(vec: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(
@@ -469,14 +475,14 @@ object Similarity {
         vecCol, idCol, keep = Seq(col("cell")))
       .select(col(idCol).as("neighbor_id"), col("qvec").as("c_vec"), col("cell"))
       .withColumn("cn2", idot(col("c_vec"), col("c_vec")))
-    val probes = broadcast(
-      graft.embed.VectorQuant
-        .quantizeInt8(
-          queries.select(col(idCol), col(vecCol), cells(col(vecCol), nProbe).as("cells")),
-          vecCol, idCol, keep = Seq(col("cells")))
-        .select(col(idCol).as("query_id"), col("qvec").as("q_vec"),
-          explode(col("cells")).as("cell"))
-        .withColumn("qn2", idot(col("q_vec"), col("q_vec"))))
+    val probesBase = graft.embed.VectorQuant
+      .quantizeInt8(
+        queries.select(col(idCol), col(vecCol), cells(col(vecCol), nProbe).as("cells")),
+        vecCol, idCol, keep = Seq(col("cells")))
+      .select(col(idCol).as("query_id"), col("qvec").as("q_vec"),
+        explode(col("cells")).as("cell"))
+      .withColumn("qn2", idot(col("q_vec"), col("q_vec")))
+    val probes = if (broadcastQueries) broadcast(probesBase) else probesBase
     // each corpus vector lives in exactly ONE cell and probed cells are
     // distinct, so (query, neighbor) pairs are unique by construction —
     // no dedup exchange needed before the prune

@@ -49,15 +49,18 @@ object GopherRules {
 
     val meanWordLen =
       aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / safeWords
-    // symbols: '#' occurrences + '...' occurrences (each '...' is one)
+    // symbols: '#' occurrences + ellipsis occurrences — both the ASCII
+    // "..." (one symbol per triple) and the single-char U+2026 "…",
+    // which Gopher A1.1 counts the same way
     val hashes = length(notNull(c)) - length(regexp_replace(notNull(c), "#", ""))
     val ellipses =
-      (length(notNull(c)) - length(regexp_replace(notNull(c), "\\.\\.\\.", ""))) / lit(3)
+      (length(notNull(c)) - length(regexp_replace(notNull(c), "\\.\\.\\.", ""))) / lit(3) +
+        (length(notNull(c)) - length(regexp_replace(notNull(c), "…", "")))
     val symbolRatio = (hashes + ellipses).cast("double") / safeWords
     val bulletFrac =
       size(filter(lines, l => trim(l).rlike("^([-*•‣▪])"))).cast("double") / safeLines
     val ellipsisFrac =
-      size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / safeLines
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / safeLines
     val alphaFrac =
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / safeWords
     val stopHits = size(

@@ -46,6 +46,14 @@ class GopherRulesSpec extends SparkSpec {
     assert(m("keep") === false)
   }
 
+  test("U+2026 ellipsis counts as a symbol and as a line ender, like '...'") {
+    // two words, one '…' + one '...' symbol → symbol_ratio 2/2; both
+    // lines end in an ellipsis (one ASCII, one Unicode) → ellipsis_frac 1
+    val m = run("wait…\nmore...")
+    assert(math.abs(m("symbol_ratio").asInstanceOf[Double] - 1.0) < 1e-9, m)
+    assert(math.abs(m("ellipsis_frac").asInstanceOf[Double] - 1.0) < 1e-9, m)
+  }
+
   test("null and empty text produce zeroed metrics, keep = false") {
     for (t <- Seq(null.asInstanceOf[String], "", "   ")) {
       val m = run(t)

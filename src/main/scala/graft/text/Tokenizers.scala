@@ -160,17 +160,23 @@ object PlainBackend extends TokenizerBackend {
 object TokenizerModels {
   val PlainWordsEn = "native:plain_words_en"
 
-  /** Bundled offline zh word-segmentation backend ([[ZhDictBackend]]) —
-    * the zero-egress stand-in for the `lindera:*` zh ids: word-level
-    * segmentation from a shipped dictionary resource, loaded lazily on
-    * first resolve (no network, no model artifact). */
+  /** Bundled offline word-segmentation backends ([[DictSegBackend]]) —
+    * the zero-egress stand-ins for the `lindera:*` zh/ja/ko ids:
+    * word-level (zh/ja) / morpheme-level (ko) segmentation from shipped
+    * dictionary resources, loaded lazily on first resolve (no network,
+    * no model artifact). */
   val ZhDict = "local:zh-dict"
+  val JaDict = "local:ja-dict"
+  val KoDict = "local:ko-dict"
 
   /** id → supported language codes. The reference's 8 predefined ids
-    * (`polars_text/models.py:22-57`) plus the bundled [[ZhDict]]. */
+    * (`polars_text/models.py:22-57`) plus the bundled [[ZhDict]],
+    * [[JaDict]], [[KoDict]]. */
   val inventory: Map[String, Seq[String]] = Map(
     PlainWordsEn -> Seq("en"),
     ZhDict -> Seq("zh"),
+    JaDict -> Seq("ja"),
+    KoDict -> Seq("ko"),
     "huggingface:bert-base-uncased" -> Seq("en"),
     "lindera:cc-cedict" -> Seq("zh"),
     "lindera:jieba" -> Seq("zh"),
@@ -183,15 +189,22 @@ object TokenizerModels {
     new java.util.concurrent.ConcurrentHashMap[String, TokenizerBackend]()
   registry.put(PlainWordsEn, PlainBackend)
 
-  private lazy val zhDictLoaded: Unit = {
-    val in = getClass.getResourceAsStream("/graft/zh_dict.txt")
+  /** Lazy bundled load. `putIfAbsent`, not `put`: a user backend
+    * registered under the same id BEFORE the first resolve wins — the
+    * register-or-replace contract says the bundled default must never
+    * silently overwrite an explicit registration. */
+  private def loadBundled(id: String, resource: String, inRun: Int => Boolean): Unit = {
+    val in = getClass.getResourceAsStream(resource)
     // (Predef.require — this object's own require(model) shadows it)
-    Predef.require(in != null, "zh_dict.txt bundled dictionary missing from resources")
+    Predef.require(in != null, s"$resource bundled dictionary missing from resources")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try registry.put(ZhDict, new ZhDictBackend(ZhDictSegmenter.fromFreqText(src.getLines())))
+    try registry.putIfAbsent(id, new DictSegBackend(ZhDictSegmenter.fromFreqText(src.getLines()), inRun))
     finally src.close()
     ()
   }
+  private lazy val zhDictLoaded: Unit = loadBundled(ZhDict, "/graft/zh_dict.txt", ZhDictSegmenter.isHan)
+  private lazy val jaDictLoaded: Unit = loadBundled(JaDict, "/graft/ja_dict.txt", ZhDictSegmenter.isJa)
+  private lazy val koDictLoaded: Unit = loadBundled(KoDict, "/graft/ko_dict.txt", ZhDictSegmenter.isHangul)
 
   /** Register (or replace) a backend under `id`. */
   def register(id: String, backend: TokenizerBackend): Unit = { registry.put(id, backend); () }
@@ -200,18 +213,27 @@ object TokenizerModels {
     * unloaded ids fail with distinct messages (the reference's
     * `ensure_tokenizer_for_model` contract). */
   def resolve(model: String): TokenizerBackend = {
-    if (model == ZhDict) zhDictLoaded // idempotent bundled load
+    // idempotent bundled loads
+    if (model == ZhDict) zhDictLoaded
+    else if (model == JaDict) jaDictLoaded
+    else if (model == KoDict) koDictLoaded
     val found = registry.get(model)
     if (found != null) found
     else if (!inventory.contains(model))
       throw new IllegalArgumentException(
         s"unknown tokenizer model '$model'; known: ${(inventory.keys ++ loadedModels).toSeq.distinct.sorted.mkString(", ")}")
-    else
+    else {
+      val langs = inventory(model)
+      val bundled =
+        if (langs.contains("zh")) s" or the bundled $ZhDict"
+        else if (langs.contains("ja")) s" or the bundled $JaDict"
+        else if (langs.contains("ko")) s" or the bundled $KoDict"
+        else ""
       throw new UnsupportedOperationException(
         s"tokenizer model '$model' requires a network-fetched backend, " +
-          "unavailable in this offline build; use " + PlainWordsEn +
-          (if (inventory(model).contains("zh")) s" or the bundled $ZhDict" else "") +
+          "unavailable in this offline build; use " + PlainWordsEn + bundled +
           " or register an offline backend via TokenizerModels.register")
+    }
   }
 
   /** Idempotent warm-load (`prefetch_model` parity). */

@@ -85,6 +85,22 @@ object ZhDictSegmenter {
   @inline def isHan(cp: Int): Boolean =
     Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN
 
+  /** The Japanese segmentable class: Han + Hiragana + Katakana as ONE run
+    * class (Japanese words routinely span scripts — 食べる, 買った), plus
+    * U+30FC (the katakana prolonged-sound mark, script=Common — without it
+    * トートバッグ would split mid-word). */
+  @inline def isJa(cp: Int): Boolean = {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN ||
+    sc == Character.UnicodeScript.HIRAGANA ||
+    sc == Character.UnicodeScript.KATAKANA ||
+    cp == 0x30FC
+  }
+
+  /** The Korean segmentable class: Hangul (syllables + jamo). */
+  @inline def isHangul(cp: Int): Boolean =
+    Character.UnicodeScript.of(cp) == Character.UnicodeScript.HANGUL
+
   def containsHan(s: String): Boolean = {
     var i = 0
     while (i < s.length) {
@@ -110,20 +126,49 @@ object ZhDictSegmenter {
   }
 }
 
-/** The `local:zh-dict` backend: PlainTokenizer's boundary pass (Unicode
-  * whitespace split + punctuation isolation + special-token drop, with
-  * code-point offsets) refines every Han-bearing segment through the
-  * dictionary segmenter — Latin/digit segments pass through untouched,
-  * so mixed zh/en text keeps English words intact
-  * (`tests/test_jieba_chinese.py:73-77`) and the English-default
-  * pipeline is unaffected. */
-final class ZhDictBackend(segmenter: ZhDictSegmenter) extends TokenizerBackend {
+/** The `local:{zh,ja,ko}-dict` backends: PlainTokenizer's boundary pass
+  * (Unicode whitespace split + punctuation isolation + special-token
+  * drop, with code-point offsets) refines every token by splitting it
+  * into maximal runs of the target script class (`inRun`); target runs go
+  * through the dictionary segmenter, other runs pass through INTACT — so
+  * mixed-script tokens with no separator ("API中文") keep their Latin
+  * segment whole and segment only the CJK span, and mixed zh/en text
+  * keeps English words intact (`tests/test_jieba_chinese.py:73-77`). The
+  * English-default pipeline is unaffected. */
+final class DictSegBackend(segmenter: ZhDictSegmenter, inRun: Int => Boolean) extends TokenizerBackend {
   override def tokenize(text: String, lowercase: Boolean, removePunct: Boolean): Vector[Token] =
-    PlainTokenizer.tokenize(text, lowercase, removePunct).flatMap { t =>
-      if (ZhDictSegmenter.containsHan(t.token))
-        segmenter.cut(t.token).map { case (w, s0, e0) =>
-          Token(w, t.start + s0, t.start + e0)
+    PlainTokenizer.tokenize(text, lowercase, removePunct).flatMap(splitRuns)
+
+  /** Split one boundary-pass token into maximal `inRun`/non-`inRun` runs;
+    * `cut` the target runs, emit the rest unchanged. Offsets stay global
+    * code-point indices (run start + the segmenter's local offsets). */
+  private def splitRuns(t: Token): Vector[Token] = {
+    val s = t.token
+    val out = Vector.newBuilder[Token]
+    var i = 0 // UTF-16 index of the current run's start
+    var runStartCp = 0 // code-point index of the current run's start
+    var cpIdx = 0
+    var runIsTarget = s.nonEmpty && inRun(s.codePointAt(0))
+    var j = 0 // UTF-16 cursor
+    def emit(endUtf16: Int, endCp: Int): Unit = {
+      val run = s.substring(i, endUtf16)
+      if (runIsTarget)
+        segmenter.cut(run).foreach { case (w, s0, e0) =>
+          out += Token(w, t.start + runStartCp + s0, t.start + runStartCp + e0)
         }
-      else Vector(t)
+      else out += Token(run, t.start + runStartCp, t.start + endCp)
     }
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      val isTarget = inRun(cp)
+      if (isTarget != runIsTarget) {
+        emit(j, cpIdx)
+        i = j; runStartCp = cpIdx; runIsTarget = isTarget
+      }
+      j += Character.charCount(cp)
+      cpIdx += 1
+    }
+    if (s.nonEmpty) emit(s.length, cpIdx)
+    out.result()
+  }
 }

@@ -73,11 +73,13 @@ class TokenizerSpec extends AnyFunSuite {
   }
 
   test("model registry inventory") {
-    // the reference's 8 predefined ids plus the bundled local:zh-dict
-    assert(TokenizerModels.inventory.size == 9)
+    // the reference's 8 predefined ids plus the bundled local:{zh,ja,ko}-dict
+    assert(TokenizerModels.inventory.size == 11)
     assertThrows[IllegalArgumentException](TokenizerModels.require("nope:model"))
     assertThrows[UnsupportedOperationException](TokenizerModels.require("lindera:jieba"))
     TokenizerModels.require(TokenizerModels.PlainWordsEn)
     TokenizerModels.require(TokenizerModels.ZhDict) // bundled, loads offline
+    TokenizerModels.require(TokenizerModels.JaDict)
+    TokenizerModels.require(TokenizerModels.KoDict)
   }
 }

@@ -108,6 +108,21 @@ class TokenizerRegistrySpec extends SparkSpec {
     assert(out(3) == ("python", 7L, 13L))
   }
 
+  test("bundled ja/ko backends run through the Column API with exact offsets") {
+    val ja = Seq("関西国際空港で Python を使う").toDF("text")
+      .select(explode(Tokenize.tokenize(col("text"), TokenizerModels.JaDict)).as("t"))
+      .select($"t.token", $"t.start", $"t.end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ja.map(_._1) == Seq("関西", "国際", "空港", "で", "python", "を", "使う"))
+    assert(ja.head == ("関西", 0L, 2L))
+    assert(ja(4) == ("python", 8L, 14L))
+
+    val ko = Seq("한국어 분석은 재미있다").toDF("text")
+      .select(explode(Tokenize.tokenize(col("text"), TokenizerModels.KoDict)).as("t"))
+      .select($"t.token").as[String].collect().toSeq
+    assert(ko == Seq("한국어", "분석", "은", "재미있다"), ko)
+  }
+
   test("hosted HF id fails fast; unknown id names itself") {
     val e = intercept[UnsupportedOperationException] {
       Tokenize.tokenize(col("text"), "huggingface:bert-base-uncased")

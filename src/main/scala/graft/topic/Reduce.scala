@@ -24,7 +24,40 @@ object Reduce {
     * `MIN_POINTS_FOR_REDUCTION`, `reduce.rs:40-43`). */
   val MinPointsForReduction = 12
 
+  /** A fitted reduction: the sample mean and the top-k principal
+    * components. Serializable so it can ride a broadcast variable to the
+    * executors — `project` is a pure function of one embedding row, which
+    * is what lets the over-cap topic path fit on a bounded sample and
+    * project every chunk distributed ([[TopicModeling]]). */
+  final case class Basis(mean: Array[Double], components: Array[Array[Double]]) extends Serializable {
+    def k: Int = components.length
+    /** Project one row: `(p - mean) · componentsᵀ`, the exact arithmetic
+      * (Double accumulation, ascending-j order) of [[reduce]]'s output
+      * loop — `reduce(points, k, seed)(i) == fit(points, k, seed)
+      * .project(points(i))` bitwise. */
+    def project(p: Array[Float]): Array[Float] = {
+      val out = new Array[Float](components.length)
+      var c = 0
+      while (c < components.length) {
+        val v = components(c)
+        var s = 0.0
+        var j = 0
+        while (j < v.length) { s += (p(j) - mean(j)) * v(j); j += 1 }
+        out(c) = s.toFloat
+        c += 1
+      }
+      out
+    }
+  }
+
   def reduce(points: Array[Array[Float]], outputDims: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val basis = fit(points, outputDims, seed)
+    points.map(basis.project)
+  }
+
+  /** Fit the mean + top-k power-iteration basis on `points` without
+    * projecting them (the sample-fit half of sample-fit-then-project). */
+  def fit(points: Array[Array[Float]], outputDims: Int, seed: Long = 42L): Basis = {
     val n = points.length
     require(n >= MinPointsForReduction, s"reduce called with $n points; need at least $MinPointsForReduction")
     val dim = points.head.length
@@ -87,7 +120,7 @@ object Reduce {
       if (v(maxIdx) < 0) { j = 0; while (j < dim) { v(j) = -v(j); j += 1 } }
     }
 
-    Array.tabulate(n, k)((i, c) => dot(x(i), basis(c)).toFloat)
+    Basis(mean, basis)
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {

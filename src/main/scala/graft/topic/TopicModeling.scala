@@ -13,28 +13,68 @@ import graft.text.TokenizerModels
   * (`/root/reference/src/topic_modeling/mod.rs:148-152`). */
 final case class StageTiming(stage: String, elapsed_ms: Double)
 
+/** The broadcastable fit of the over-cap topic path: the sample-fitted
+  * reduction basis plus the sample clusters' centroids and radii in the
+  * reduced space. `assign` is a pure function of one reduced point, so
+  * label assignment for every non-sample chunk runs distributed
+  * (elementwise) instead of on the driver. */
+final case class ChunkAssignModel(
+    basis: Reduce.Basis,
+    clusterDims: Int,
+    centroids: Array[Array[Double]],
+    radii: Array[Double])
+    extends Serializable {
+
+  /** Nearest centroid among clusters whose sample radius contains the
+    * point (strict `<` → ties break to the lowest cluster id); noise
+    * (`-1`) when the point lies beyond every cluster's radius. Radii are
+    * the max sample-member distance to their own centroid, so every
+    * sample member lands in SOME cluster — sample DBSCAN noise may be
+    * absorbed by a nearby cluster, a documented over-cap semantic. */
+  def assign(red: Array[Float]): Int = {
+    var best = Cluster.OutlierLabel
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var s = 0.0
+      var j = 0
+      while (j < clusterDims) { val d = red(j) - ctr(j); s += d * d; j += 1 }
+      val dist = math.sqrt(s)
+      if (dist <= radii(c) && dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 /** Full topic-modeling pipeline as a `DataFrame => DataFrames` transform
   * (reference `/root/reference/src/topic_modeling/mod.rs:209-399` and row
   * assembly `plugin.rs:98-294`).
   *
   * Staging (SURVEY §3.2): chunking and embedding are distributed
   * (`posexplode` + `mapPartitions`); the reduce/cluster stages are the
-  * genuinely global, small-data steps — the `[n_chunks × dim]` matrix is
-  * collected to the driver (the explicit barrier that Polars'
-  * `is_elementwise=False` expresses). c-TF-IDF, rollup and the per-document
-  * assembly are distributed algebra again. Nothing corpus-sized lives on
-  * the driver except the chunk embedding matrix and the `(doc_id,
-  * chunk_idx, label)` triples that ride along with it.
+  * genuinely global, small-data steps. Below `Config.maxDriverChunks` the
+  * `[n_chunks × dim]` matrix is collected to the driver (the explicit
+  * barrier that Polars' `is_elementwise=False` expresses) and the labels
+  * ride back as a LocalRelation — bitwise the pre-cap behavior. '''Above
+  * the cap the barrier is bounded''': a deterministic hash-ordered
+  * TakeOrdered collects exactly `maxDriverChunks` sample rows, the
+  * reduction basis is fitted and the sample clustered driver-side, and
+  * the fitted [[ChunkAssignModel]] is broadcast so EVERY chunk (sample
+  * included) is projected and cluster-assigned distributed — the driver
+  * never holds more than the cap, at any corpus size. c-TF-IDF, rollup
+  * and the per-document assembly are distributed algebra in both paths.
   *
   * Plan shape (the 100 TB contract): the chunk frame is persisted
   * (MEMORY_AND_DISK) and materialized exactly once, in the `chunking`
-  * stage; the embedding collect and the c-TF-IDF aggregation read that one
-  * materialization, and the rollup/assembly stages are rebuilt from the
-  * already-collected label triples — so the lazy `documents` plan handed
-  * back to the caller contains NO chunking/embedding subtree and every
-  * expensive map stage runs once per pipeline, not once per action. The
-  * persist is released in a `finally` before returning (all dependents are
-  * eager).
+  * stage. Exact path: the embedding collect and the c-TF-IDF aggregation
+  * read that one materialization, and the rollup/assembly stages are
+  * rebuilt from the already-collected label triples. Sampled path: the
+  * embed+project+assign pass is `localCheckpoint`ed once, so the four
+  * downstream consumers (c-TF-IDF, rollup, coords, assembly) read
+  * checkpoint blocks — the lazy `documents` plan handed back to the
+  * caller contains NO chunking/embedding subtree in either path.
   *
   * Deviations (documented): PaCMAP → seeded PCA ([[Reduce]]), HDBSCAN →
   * deterministic DBSCAN ([[Cluster]]) — the `hdbscan` stage-timing key is
@@ -54,7 +94,12 @@ object TopicModeling {
       topK: Int = 10,
       vectorizerModel: String = TokenizerModels.PlainWordsEn,
       lowercase: Boolean = true,
-      stopwords: Set[String] = Set.empty)
+      stopwords: Set[String] = Set.empty,
+      /** Driver-barrier cap: the maximum number of chunk embeddings ever
+        * collected to the driver. Corpora at or below it take the exact
+        * collect-reduce-cluster path; above it, fit-on-sample +
+        * distributed projection (see the object scaladoc). */
+      maxDriverChunks: Int = 100000)
 
   /** `documents`: one row per input doc —
     * `doc_id, corpus, dominant_topic, topic_distribution, representative_words, x, y, n_topics, n_chunks, stage_timings_ms`.
@@ -66,7 +111,8 @@ object TopicModeling {
     * is the pipeline's data-dependent "trained config": an external
     * checker can re-derive the coords centroids ([[Coords]] = groupBy-avg)
     * and the per-document assembly join from these points alone, the
-    * `trainedCentroids` pattern applied to topic modeling. */
+    * `trainedCentroids` pattern applied to topic modeling. Over the cap it
+    * covers the SAMPLE chunks only (bounded by `maxDriverChunks`). */
   final case class Output(
       documents: DataFrame,
       topics: DataFrame,
@@ -74,6 +120,19 @@ object TopicModeling {
       nTopics: Int,
       stageTimings: Seq[(String, Double)],
       chunkPoints: Seq[(Long, Int, Int, Float, Float)])
+
+  /** The over-cap barrier's sample frame: hash-ordered top-`cap` over the
+    * embedded chunks. `orderBy` + `limit` compiles to a TakeOrdered — a
+    * distributed top-k whose driver-side result is exactly `cap` rows at
+    * any corpus size (the plan-shape pin for "chunk embeddings never
+    * exceed the sample bound on the driver"). xxhash64 order is
+    * content-independent (uniform over chunks); `(doc_id, chunk_idx)`
+    * breaks ties totally, so the sample is deterministic. */
+  private[graft] def sampleFrame(embedded: DataFrame, cap: Int): DataFrame =
+    embedded
+      .select(col("doc_id"), col("chunk_idx"), col("emb"))
+      .orderBy(xxhash64(col("doc_id"), col("chunk_idx")), col("doc_id"), col("chunk_idx"))
+      .limit(cap)
 
   /** Run the pipeline. '''`docs` must be a deterministic frame''': cluster
     * labels are collected from one evaluation of the chunk subtree and
@@ -91,6 +150,9 @@ object TopicModeling {
       docIdCol: String = "doc_id",
       corpusCol: Option[String] = None,
       cfg: Config = Config()): Output = {
+    require(
+      cfg.maxDriverChunks >= Reduce.MinPointsForReduction,
+      s"maxDriverChunks=${cfg.maxDriverChunks} below the minimum reducible sample (${Reduce.MinPointsForReduction})")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -122,70 +184,189 @@ object TopicModeling {
       .select(col("doc_id"), col("corpus"), posexplode(chunkCol).as(Seq("chunk_idx", "chunk_text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      timed("chunking") { chunks.count() } // materialize the one chunking pass
+      val nChunksTotal = timed("chunking") { chunks.count() } // materialize the one chunking pass
 
       // 2. embedding — mapPartitions batch engine over the cached chunks
       val embedded = graft.embed.Embedders.embed(chunks, "chunk_text", "emb", cfg.modelId)
 
-      // 3. the global barrier: [n_chunks × dim] to the driver, ordered.
-      //    The corpus id rides along (4 bytes/chunk) so the assembly stage
-      //    never has to re-scan the input frame for doc→corpus pairs.
-      val collected = timed("embedding") {
-        embedded
-          .select(col("doc_id"), col("corpus"), col("chunk_idx"), col("emb"))
-          .orderBy("doc_id", "chunk_idx")
-          .as[(Long, Int, Int, Seq[Float])]
-          .collect()
-      }
-      val nChunks = collected.length
-      val matrix = collected.map(_._4.toArray)
-
-      // 4. reduce + cluster (numeric guard identical to mod.rs:262-301)
-      val (labels, nTopics, topicCoords, chunk2d): (Array[Int], Int, Array[(Float, Float)], Array[Array[Float]]) =
-        if (nChunks == 0) (Array.empty, 0, Array.empty, Array.empty)
-        else if (nChunks < Reduce.MinPointsForReduction)
-          (Array.fill(nChunks)(0), 1, Array((0.0f, 0.0f)), Array.fill(nChunks)(Array(0.0f, 0.0f)))
-        else {
-          val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
-          val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
-          // PCA components are computed sequentially with deflation from a
-          // per-component RNG stream, so the first two columns of the k-dim
-          // reduction ARE the 2-dim reduction — slice instead of re-running
-          // the power iteration (halves the driver-side PCA cost; bitwise
-          // identical to Reduce.reduce(matrix, 2, seed))
-          val twoD = timed("reduce_coordinates") {
-            if (cfg.reduceDims >= 2) reduced.map(r => Array(r(0), r(1)))
-            else Reduce.reduce(matrix, 2, cfg.seed)
+      val (nChunks, nTopics, keywordsInput, labelDf, chunkCounts, corpusOf, topicCoords, chunkPoints)
+          : (Long, Int, DataFrame, DataFrame, Map[Int, Int], DataFrame, Array[(Float, Float)], Seq[(Long, Int, Int, Float, Float)]) =
+        if (nChunksTotal <= cfg.maxDriverChunks) {
+          // ---- exact path (≤ cap): full collect, driver reduce+cluster ----
+          // 3. the global barrier: [n_chunks × dim] to the driver, ordered.
+          //    The corpus id rides along (4 bytes/chunk) so the assembly stage
+          //    never has to re-scan the input frame for doc→corpus pairs.
+          val collected = timed("embedding") {
+            embedded
+              .select(col("doc_id"), col("corpus"), col("chunk_idx"), col("emb"))
+              .orderBy("doc_id", "chunk_idx")
+              .as[(Long, Int, Int, Seq[Float])]
+              .collect()
           }
-          val coords = timed("topic_coordinates") {
-            val sums = Array.fill(result.nTopics)((0.0, 0.0, 0))
-            twoD.zip(result.labels).foreach { case (pt, l) =>
-              if (l >= 0) sums(l) = (sums(l)._1 + pt(0), sums(l)._2 + pt(1), sums(l)._3 + 1)
+          val n = collected.length
+          val matrix = collected.map(_._4.toArray)
+
+          // 4. reduce + cluster (numeric guard identical to mod.rs:262-301)
+          val (labels, nT, coords, chunk2d): (Array[Int], Int, Array[(Float, Float)], Array[Array[Float]]) =
+            if (n == 0) (Array.empty, 0, Array.empty, Array.empty)
+            else if (n < Reduce.MinPointsForReduction)
+              (Array.fill(n)(0), 1, Array((0.0f, 0.0f)), Array.fill(n)(Array(0.0f, 0.0f)))
+            else {
+              val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
+              val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
+              // PCA components are computed sequentially with deflation from a
+              // per-component RNG stream, so the first two columns of the k-dim
+              // reduction ARE the 2-dim reduction — slice instead of re-running
+              // the power iteration (halves the driver-side PCA cost; bitwise
+              // identical to Reduce.reduce(matrix, 2, seed))
+              val twoD = timed("reduce_coordinates") {
+                if (cfg.reduceDims >= 2) reduced.map(r => Array(r(0), r(1)))
+                else Reduce.reduce(matrix, 2, cfg.seed)
+              }
+              val cds = timed("topic_coordinates") {
+                val sums = Array.fill(result.nTopics)((0.0, 0.0, 0))
+                twoD.zip(result.labels).foreach { case (pt, l) =>
+                  if (l >= 0) sums(l) = (sums(l)._1 + pt(0), sums(l)._2 + pt(1), sums(l)._3 + 1)
+                }
+                sums.map { case (sx, sy, c) => if (c == 0) (0.0f, 0.0f) else ((sx / c).toFloat, (sy / c).toFloat) }
+              }
+              (result.labels, result.nTopics, cds, twoD)
             }
-            sums.map { case (sx, sy, c) => if (c == 0) (0.0f, 0.0f) else ((sx / c).toFloat, (sy / c).toFloat) }
+
+          // the per-chunk (label, 2-D point) export (see Output.chunkPoints)
+          val pts: Seq[(Long, Int, Int, Float, Float)] =
+            collected.indices.map { i =>
+              val (d, _, c, _) = collected(i)
+              (d, c, labels(i), chunk2d(i)(0), chunk2d(i)(1))
+            }.toSeq
+
+          // 5. labels re-join the cached chunk frame by (doc_id, chunk_idx) —
+          //    only for c-TF-IDF, which needs the chunk texts; the rollup and
+          //    assembly stages below run off `lblDf` alone (driver triples),
+          //    so no later action re-derives the chunk subtree.
+          val labelRows = collected.zip(labels).map { case ((d, _, c, _), l) => (d, c, l) }.toSeq
+          val lblDf = labelRows.toDF("doc_id", "chunk_idx", "label")
+          val labeled = chunks.join(lblDf, Seq("doc_id", "chunk_idx"))
+
+          val counts = labels.filter(_ >= 0).groupBy(identity).view.mapValues(_.length).toMap
+          // doc → corpus from the barrier rows (LocalRelation): the soft-size
+          // aggregation only concerns documents WITH chunks, so no action here
+          // re-derives the input frame
+          val cOf = collected.map(t => (t._1, t._2)).distinct.toSeq.toDF("doc_id", "corpus")
+          (n.toLong, nT, labeled, lblDf, counts, cOf, coords, pts)
+        } else {
+          // ---- sampled path (> cap): bounded barrier, distributed assign ----
+          // 3'. the BOUNDED barrier: a deterministic hash-ordered top-`cap`
+          //     sample. orderBy+limit compiles to TakeOrdered — a distributed
+          //     top-k whose driver-side result is exactly `cap` rows, never
+          //     the corpus. xxhash64 order is content-independent (uniform
+          //     over chunks) and (doc_id, chunk_idx) breaks ties totally.
+          val cap = cfg.maxDriverChunks
+          val sampled = timed("embedding") {
+            sampleFrame(embedded, cap)
+              .as[(Long, Int, Seq[Float])]
+              .collect()
+              .sortBy(t => (t._1, t._2))
           }
-          (result.labels, result.nTopics, coords, twoD)
+          val sampleMatrix = sampled.map(_._3.toArray)
+
+          // 4'. fit on the sample: PCA basis (first two components double as
+          //     the 2-D coordinates, same slicing argument as the exact path),
+          //     then cluster the reduced sample and freeze each cluster as
+          //     (centroid, max-member radius) in the reduced space.
+          val kFit = math.max(2, cfg.reduceDims)
+          val (basis, reducedSample) = timed("reduce_clustering") {
+            val b = Reduce.fit(sampleMatrix, kFit, cfg.seed)
+            (b, sampleMatrix.map(b.project))
+          }
+          val model = timed("hdbscan") {
+            val clusterDims = math.min(math.max(cfg.reduceDims, 1), basis.k)
+            val clusterInput =
+              if (clusterDims == basis.k) reducedSample else reducedSample.map(_.take(clusterDims))
+            val result = Cluster.cluster(clusterInput, cfg.cluster)
+            val sums = Array.fill(result.nTopics)(new Array[Double](clusterDims))
+            val cnts = new Array[Int](result.nTopics)
+            var i = 0
+            while (i < clusterInput.length) {
+              val l = result.labels(i)
+              if (l >= 0) {
+                val s = sums(l); val p = clusterInput(i)
+                var j = 0
+                while (j < clusterDims) { s(j) += p(j); j += 1 }
+                cnts(l) += 1
+              }
+              i += 1
+            }
+            val centroids = sums.zip(cnts).map { case (s, c) => s.map(_ / math.max(c, 1)) }
+            val radii = new Array[Double](result.nTopics)
+            i = 0
+            while (i < clusterInput.length) {
+              val l = result.labels(i)
+              if (l >= 0) {
+                val ctr = centroids(l); val p = clusterInput(i)
+                var s = 0.0; var j = 0
+                while (j < clusterDims) { val d = p(j) - ctr(j); s += d * d; j += 1 }
+                val dist = math.sqrt(s)
+                if (dist > radii(l)) radii(l) = dist
+              }
+              i += 1
+            }
+            ChunkAssignModel(basis, clusterDims, centroids, radii)
+          }
+          val nT = model.centroids.length
+
+          // 5'. broadcast the fit; project + assign EVERY chunk distributed
+          //     (elementwise matrix-vector per row — no shuffle), then cut
+          //     lineage with one eager localCheckpoint so the four downstream
+          //     consumers read checkpoint blocks, not the embed subtree.
+          val bcModel = spark.sparkContext.broadcast(model)
+          val assignUdf = udf { (emb: scala.collection.Seq[Float]) =>
+            val m = bcModel.value
+            val red = m.basis.project(emb.toArray)
+            (m.assign(red), red(0), if (red.length > 1) red(1) else 0.0f)
+          }
+          val labeledAll = timed("reduce_coordinates") {
+            embedded
+              .withColumn("asg", assignUdf(col("emb")))
+              .select(
+                col("doc_id"), col("corpus"), col("chunk_idx"), col("chunk_text"),
+                col("asg._1").as("label"), col("asg._2").as("x"), col("asg._3").as("y"))
+              .localCheckpoint()
+          }
+
+          // 6'. per-topic chunk counts + coordinate centroids: one small
+          //     aggregation (nTopics rows) over the checkpointed pass
+          val (counts, coords) = timed("topic_coordinates") {
+            val rows = labeledAll
+              .filter(col("label") >= 0)
+              .groupBy(col("label"))
+              .agg(count(lit(1)).as("cnt"), avg(col("x")).as("cx"), avg(col("y")).as("cy"))
+              .as[(Int, Long, Double, Double)]
+              .collect()
+            val cm = rows.map(r => r._1 -> r._2.toInt).toMap
+            val cds = Array.fill(nT)((0.0f, 0.0f))
+            rows.foreach(r => cds(r._1) = (r._3.toFloat, r._4.toFloat))
+            (cm, cds)
+          }
+
+          // the bounded chunkPoints export: the sample, through the SAME
+          // assignment the distributed pass applies
+          val pts: Seq[(Long, Int, Int, Float, Float)] =
+            sampled.indices.map { i =>
+              val (d, c, _) = sampled(i)
+              val red = reducedSample(i)
+              (d, c, model.assign(red), red(0), if (red.length > 1) red(1) else 0.0f)
+            }.toSeq
+
+          val lblDf = labeledAll.select(col("doc_id"), col("chunk_idx"), col("label"))
+          val cOf = chunks.select(col("doc_id"), col("corpus")).distinct()
+          (nChunksTotal, nT, labeledAll, lblDf, counts, cOf, coords, pts)
         }
-
-      // the per-chunk (label, 2-D point) export (see Output.chunkPoints)
-      val chunkPoints: Seq[(Long, Int, Int, Float, Float)] =
-        collected.indices.map { i =>
-          val (d, _, c, _) = collected(i)
-          (d, c, labels(i), chunk2d(i)(0), chunk2d(i)(1))
-        }.toSeq
-
-      // 5. labels re-join the cached chunk frame by (doc_id, chunk_idx) —
-      //    only for c-TF-IDF, which needs the chunk texts; the rollup and
-      //    assembly stages below run off `labelDf` alone (driver triples),
-      //    so no later action re-derives the chunk subtree.
-      val labelRows = collected.zip(labels).map { case ((d, _, c, _), l) => (d, c, l) }.toSeq
-      val labelDf = labelRows.toDF("doc_id", "chunk_idx", "label")
-      val labeled = chunks.join(labelDf, Seq("doc_id", "chunk_idx"))
 
       // 6. c-TF-IDF over non-outlier chunks, distributed
       val termCounts = timed("ctfidf_count_terms") {
         Ctfidf.countTopicTerms(
-          labeled.filter(col("label") >= 0),
+          keywordsInput.filter(col("label") >= 0),
           "chunk_text",
           col("label"),
           cfg.vectorizerModel,
@@ -213,11 +394,6 @@ object TopicModeling {
       val dist = timed("rollup") { Rollup.rollup(labelDf.select(col("doc_id"), col("label"))) }
 
       val output = timed("assemble_topics") {
-        val chunkCounts = labels.filter(_ >= 0).groupBy(identity).view.mapValues(_.length).toMap
-        // doc → corpus from the barrier rows (LocalRelation): the soft-size
-        // aggregation only concerns documents WITH chunks, so no action here
-        // re-derives the input frame
-        val corpusOf = collected.map(t => (t._1, t._2)).distinct.toSeq.toDF("doc_id", "corpus")
         val sizes = Rollup
           .corpusTopicSizes(dist, corpusOf)
           .as[(Int, Int, Double)]
@@ -273,7 +449,7 @@ object TopicModeling {
             coalesce(col("topic_x"), lit(0.0f)).as("x"),
             coalesce(col("topic_y"), lit(0.0f)).as("y"),
             lit(nTopics).as("n_topics"),
-            lit(nChunks.toLong).as("n_chunks"))
+            lit(nChunks).as("n_chunks"))
         (topicsDf, documents)
       }
       timings += "total" -> (System.nanoTime() - totalStart) / 1e6
@@ -286,7 +462,7 @@ object TopicModeling {
         "stage_timings_ms",
         typedLit(allTimings.map { case (s, e) => StageTiming(s, e) }))
 
-      Output(documentsWithTimings, output._1, nChunks.toLong, nTopics, allTimings, chunkPoints)
+      Output(documentsWithTimings, output._1, nChunks, nTopics, allTimings, chunkPoints)
     } finally {
       chunks.unpersist()
     }

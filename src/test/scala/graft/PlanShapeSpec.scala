@@ -110,9 +110,11 @@ class PlanShapeSpec extends SparkSpec {
     // map-side verify: the dedup aggregate carries the score, not arrays
     assert(!plan.contains("SortAggregate"),
       "pair dedup must be a hash aggregate (no array buffers)")
-    // the signature itself is the native expression (banding stays a
-    // small-array UDF — 32 values per doc, not the hot path)
+    // signature AND banding are native expressions — the whole LSH pairs
+    // scan carries no ScalaUDF converter stack anywhere
     assert(plan.contains("minhash_signature"), plan)
+    assert(plan.contains("lsh_band_hashes"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
   }
 
   test("bigram PMI: partitioned margin windows over one checkpointed counts pass; total is a literal") {
@@ -341,5 +343,19 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("doc_id"), graft.text.TextFunctions.cleanText(col("text")).as("cleaned"))
     val plan = finalPlan(q)
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
+  }
+
+  test("topic over-cap barrier is a TakeOrdered: the driver never holds more than the cap") {
+    import org.apache.spark.sql.functions._
+    // the same frame TopicModeling's sampled path collects — its physical
+    // plan must be a TakeOrdered(AndProject) (distributed top-k, bounded
+    // driver result), never a global Sort + CollectLimit over the corpus
+    val embedded = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), lit(0).as("chunk_idx"), col("embedding").as("emb"))
+    val sample = graft.topic.TopicModeling.sampleFrame(embedded, 100)
+    val plan = finalPlan(sample)
+    assert(plan.contains("TakeOrdered"), s"sample barrier lost its TakeOrdered shape:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"sample barrier grew a global sort exchange:\n$plan")
   }
 }

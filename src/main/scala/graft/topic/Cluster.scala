@@ -3,16 +3,19 @@ package graft.topic
 /** Driver-side density clustering of reduced chunk embeddings.
   *
   * The reference uses HDBSCAN
-  * (`/root/reference/src/topic_modeling/cluster.rs:62-94`); no JVM HDBSCAN
-  * exists here, so this build substitutes '''deterministic DBSCAN with an
-  * auto-derived eps''' (median k-th-nearest-neighbor distance). Like
-  * HDBSCAN it is density-based, leaves genuinely off-topic points as noise
-  * (`-1`) instead of forcing membership, and is deterministic given
-  * identical input; unlike HDBSCAN it uses a single density level. This is
-  * a documented deviation — the pipeline contract the rest of the stages
-  * rely on (noise label `-1`, contiguous labels `0..nTopics`, determinism)
-  * is preserved and tested with the reference's own fixtures (blob
-  * separation, single point, empty input).
+  * (`/root/reference/src/topic_modeling/cluster.rs:62-94`). The default
+  * path (no explicit eps) is now the faithful counterpart: a true
+  * condensed-tree HDBSCAN ([[Hdbscan]] — Campello, Moulavi & Sander 2013)
+  * that handles variable-density corpora a single density level cannot
+  * split. Passing `Config.eps = Some(e)` pins the earlier deterministic
+  * single-level DBSCAN instead — kept because a pinned density level is a
+  * useful probing tool and because the oracle-checked topic queries pin
+  * eps for a stable label structure on the tiny test corpus. Both paths
+  * honor the pipeline contract the rest of the stages rely on: noise
+  * label `-1`, contiguous labels `0..nTopics` in order of first
+  * appearance, `minClusterSize` respected, determinism given identical
+  * input — tested with the reference's own fixtures (blob separation,
+  * varying-density blobs, single point, empty input).
   */
 object Cluster {
 
@@ -26,14 +29,23 @@ object Cluster {
     val n = points.length
     if (n < 2) return Result(Array.fill(n)(0), if (n == 0) 0 else 1)
 
-    val minPts = math.max(2, math.min(cfg.minClusterSize, n))
-    // KD-tree over the ≤5-dim reduced points: autoEps and every DBSCAN
-    // region query run in ~O(log n) instead of O(n), turning the stage
-    // from quadratic to n·log n at large chunk counts (measured 1.48 s →
-    // ~0.1 s at 5k points). Range results come back in ascending index
-    // order, so labels are identical to the linear-scan formulation.
+    cfg.eps match {
+      case None    => Hdbscan.cluster(points, cfg.minClusterSize)
+      case Some(e) => dbscan(points, cfg.minClusterSize, e)
+    }
+  }
+
+  /** Single-density-level DBSCAN at a pinned eps (the pre-HDBSCAN path,
+    * reachable only via `Config.eps = Some(e)`). */
+  private def dbscan(points: Array[Array[Float]], minClusterSize: Int, eps: Double): Result = {
+    val n = points.length
+    val minPts = math.max(2, math.min(minClusterSize, n))
+    // KD-tree over the ≤5-dim reduced points: every DBSCAN region query
+    // runs in ~O(log n) instead of O(n), turning the stage from quadratic
+    // to n·log n at large chunk counts (measured 1.48 s → ~0.1 s at 5k
+    // points). Range results come back in ascending index order, so
+    // labels are identical to the linear-scan formulation.
     val tree = new KdTree(points)
-    val eps = cfg.eps.getOrElse(autoEps(tree, n, minPts))
 
     val labels = Array.fill(n)(Int.MinValue) // unvisited
     var nextLabel = 0
@@ -77,17 +89,5 @@ object Cluster {
       t += 1
     }
     Result(labels, remap.size)
-  }
-
-  /** eps heuristic: median distance to the (minPts-1)-th nearest neighbor,
-    * scaled up slightly so core points connect across blob interiors.
-    * Exact — the tree returns the same k-th distance a full sorted
-    * distance array yields. */
-  private def autoEps(tree: KdTree, n: Int, minPts: Int): Double = {
-    val k = math.min(minPts - 1, n - 1)
-    val kth = Array.tabulate(n)(i => tree.kthNeighborDistance(i, k))
-    java.util.Arrays.sort(kth)
-    val median = kth(n / 2)
-    math.max(median * 1.5, 1e-12)
   }
 }

@@ -46,6 +46,18 @@ class ReduceClusterSpec extends AnyFunSuite {
     assert(five.map(r => Seq(r(0), r(1))).toSeq == two.map(_.toSeq).toSeq)
   }
 
+  test("fit + project reproduces reduce bitwise (the sample-fit contract)") {
+    val rnd = new scala.util.Random(23)
+    val pts = Array.fill(25)(Array.fill(10)(rnd.nextGaussian().toFloat))
+    val direct = Reduce.reduce(pts, 4, seed = 11L)
+    val basis = Reduce.fit(pts, 4, seed = 11L)
+    val projected = pts.map(basis.project)
+    assert(direct.zip(projected).forall { case (a, b) => a.sameElements(b) })
+    // out-of-sample rows project without refitting
+    val fresh = Array.fill(10)(rnd.nextGaussian().toFloat)
+    assert(basis.project(fresh).length == 4)
+  }
+
   test("kd-tree range and kth-neighbor queries equal the brute-force scan") {
     val rnd = new scala.util.Random(31)
     val pts = Array.fill(300)(Array.fill(5)(rnd.nextGaussian().toFloat))
@@ -89,6 +101,62 @@ class ReduceClusterSpec extends AnyFunSuite {
     val a = Cluster.cluster(pts, Cluster.Config(minClusterSize = 4))
     val b = Cluster.cluster(pts, Cluster.Config(minClusterSize = 4))
     assert(a.labels.sameElements(b.labels) && a.nTopics == b.nTopics)
+  }
+
+  /** The case a single density level cannot split (the r9 DBSCAN
+    * stand-in's documented limitation): a tight blob (σ=0.05) and a loose
+    * blob (σ=2.0) 40× apart in scale. Any one eps either fragments the
+    * loose blob to noise or cannot tell tight-blob structure from it;
+    * HDBSCAN's condensed tree recovers both. */
+  private def varyingDensityBlobs(): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(41)
+    val tight = Array.fill(30)(Array(
+      (rnd.nextGaussian() * 0.05).toFloat,
+      (rnd.nextGaussian() * 0.05).toFloat))
+    val loose = Array.fill(30)(Array(
+      (30.0 + rnd.nextGaussian() * 2.0).toFloat,
+      (rnd.nextGaussian() * 2.0).toFloat))
+    tight ++ loose
+  }
+
+  test("hdbscan separates varying-density blobs a single eps cannot") {
+    val pts = varyingDensityBlobs()
+    val res = Cluster.cluster(pts, Cluster.Config(minClusterSize = 8))
+    assert(res.nTopics == 2, s"nTopics=${res.nTopics} labels=${res.labels.toSeq}")
+    // each blob maps (mostly) to one label; the two labels differ
+    def dominant(r: Range): Int =
+      r.map(res.labels).filter(_ >= 0).groupBy(identity).maxBy(_._2.size)._1
+    val lt = dominant(0 until 30)
+    val ll = dominant(30 until 60)
+    assert(lt != ll)
+    // ≥80% of each blob lands in its dominant cluster
+    assert((0 until 30).count(i => res.labels(i) == lt) >= 24)
+    assert((30 until 60).count(i => res.labels(i) == ll) >= 24)
+
+    // contrast: an eps tuned to the tight blob (DBSCAN pinned path)
+    // drops the entire loose blob to noise
+    val pinned = Cluster.cluster(pts, Cluster.Config(minClusterSize = 8, eps = Some(0.2)))
+    assert((30 until 60).forall(i => pinned.labels(i) == Cluster.OutlierLabel))
+  }
+
+  test("hdbscan: duplicate points (zero distances) stay finite and cluster") {
+    val pts = Array.fill(12)(Array(1.0f, 1.0f)) ++
+      Array.fill(12)(Array(9.0f, 9.0f)) ++ Array.fill(2)(Array(5.0f, 5.0f))
+    val res = Cluster.cluster(pts, Cluster.Config(minClusterSize = 6))
+    assert(res.nTopics == 2, s"labels=${res.labels.toSeq}")
+    assert(res.labels.take(12).distinct.length == 1)
+    assert(res.labels.slice(12, 24).distinct.length == 1)
+  }
+
+  test("hdbscan: one homogeneous blob yields zero topics (no single-cluster)") {
+    // allow_single_cluster=false posture: the condensed root is never
+    // selected, so an unstructured corpus reports no topics rather than
+    // one all-encompassing pseudo-topic
+    val rnd = new scala.util.Random(17)
+    val pts = Array.fill(40)(Array(rnd.nextGaussian().toFloat, rnd.nextGaussian().toFloat))
+    val res = Cluster.cluster(pts, Cluster.Config(minClusterSize = 10))
+    assert(res.nTopics == 0, s"nTopics=${res.nTopics}")
+    assert(res.labels.forall(_ == Cluster.OutlierLabel))
   }
 }
 
@@ -196,6 +264,101 @@ class TopicModelingSpec extends SparkSpec {
     // stable across runs or the q_topic_coords/assembly oracles would race
     // their own engine queries
     assert(a.chunkPoints == b.chunkPoints)
+  }
+
+  test("over-cap path: bounded barrier, coherent distributed assignment") {
+    // 24 docs / 24 chunks with the cap at 16 → the sampled path runs: the
+    // driver holds at most 16 embeddings, the other 8 chunks are labeled
+    // by the broadcast ChunkAssignModel on the executors
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val cfg = TopicModeling.Config(
+      cluster = Cluster.Config(minClusterSize = 4),
+      maxDriverChunks = 16)
+    val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
+
+    // the barrier is bounded: chunkPoints covers the sample only
+    assert(out.nChunks == 24)
+    assert(out.chunkPoints.length == 16, s"sample size ${out.chunkPoints.length}")
+    assert(out.nTopics >= 1)
+
+    val documents = out.documents.orderBy("doc_id").collect()
+    assert(documents.length == 24)
+    // every document got a valid dominant topic (no chunkless docs here)
+    documents.foreach { r =>
+      val dom = r.getAs[Int]("dominant_topic")
+      assert(dom >= -1 && dom < out.nTopics, s"dominant $dom")
+      val distSum = r.getAs[scala.collection.Seq[Row]]("topic_distribution").map(_.getDouble(1)).sum
+      assert(math.abs(distSum - 1.0) < 1e-9)
+    }
+    // the disjoint vocabularies still separate when both groups have
+    // enough sample mass to form clusters: group purity on the dominant
+    // topics of docs whose topic is non-noise
+    if (out.nTopics >= 2) {
+      val doms = documents.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("dominant_topic")).toMap
+      val gA = (0L until 12L).map(doms).filter(_ >= 0).toSet
+      val gB = (12L until 24L).map(doms).filter(_ >= 0).toSet
+      assert((gA intersect gB).isEmpty, s"groups overlap: $doms")
+    }
+
+    // stage-timing keys keep full reference parity in the sampled path
+    val referenceKeys = Seq("embedder_load", "chunking", "embedding", "reduce_clustering",
+      "hdbscan", "reduce_coordinates", "topic_coordinates", "ctfidf_count_terms",
+      "ctfidf_scores", "rollup", "assemble_topics", "total")
+    assert(out.stageTimings.map(_._1) == referenceKeys)
+
+    // chunking/embedding subtree must not leak into the returned lazy plan
+    // (the sampled path localCheckpoints the assign pass)
+    val planStr = out.documents.queryExecution.optimizedPlan.toString
+    assert(!planStr.toLowerCase.contains("posexplode"), s"chunking subtree leaked:\n$planStr")
+  }
+
+  test("over-cap path is deterministic across runs") {
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val cfg = TopicModeling.Config(
+      cluster = Cluster.Config(minClusterSize = 4),
+      maxDriverChunks = 16)
+    val a = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
+    val b = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfg)
+    assert(a.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq ==
+      b.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq)
+    assert(a.topics.orderBy("id").collect().toSeq == b.topics.orderBy("id").collect().toSeq)
+    assert(a.chunkPoints == b.chunkPoints)
+  }
+
+  test("cap at or above the corpus leaves the exact path bit-identical") {
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val small = TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4), maxDriverChunks = 24)
+    val huge = TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4), maxDriverChunks = 1000000)
+    val a = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), small)
+    val b = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), huge)
+    assert(a.chunkPoints == b.chunkPoints)
+    assert(a.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq ==
+      b.documents.drop("stage_timings_ms").orderBy("doc_id").collect().toSeq)
+  }
+
+  test("cap below the minimum reducible sample is rejected") {
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    intercept[IllegalArgumentException] {
+      TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+        TopicModeling.Config(maxDriverChunks = Reduce.MinPointsForReduction - 1))
+    }
+  }
+
+  test("assign model: nearest-in-radius labels, noise beyond every radius") {
+    val basis = Reduce.Basis(Array(0.0, 0.0), Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val m = ChunkAssignModel(
+      basis, clusterDims = 2,
+      centroids = Array(Array(0.0, 0.0), Array(10.0, 0.0)),
+      radii = Array(1.0, 2.0))
+    assert(m.assign(Array(0.5f, 0.0f)) == 0)
+    assert(m.assign(Array(9.0f, 0.0f)) == 1)
+    // within cluster 1's radius only, though equidistant logic favors it
+    assert(m.assign(Array(8.5f, 0.0f)) == 1)
+    // beyond both radii → noise
+    assert(m.assign(Array(5.0f, 0.0f)) == Cluster.OutlierLabel)
+    // empty model → everything is noise
+    val empty = ChunkAssignModel(basis, 2, Array.empty, Array.empty)
+    assert(empty.assign(Array(0.0f, 0.0f)) == Cluster.OutlierLabel)
   }
 
   test("chunkPoints aligns with the assembled documents") {

@@ -160,16 +160,22 @@ object EmbedderRegistry {
 
   private val registry = new ConcurrentHashMap[String, EmbeddingModel]()
 
-  /** Resolve a model id to a loader. Only the pseudo family is loadable in
-    * this offline build; `onnx:*` ids fail fast with a clear message. */
+  /** Resolve a model id to a loader. The pseudo family always loads;
+    * `onnx:*` loads through [[OnnxRuntimeGate]] when a LOCAL runtime +
+    * model + vocab are configured (never the network), and otherwise
+    * fails fast with the concrete missing preconditions. */
   private def load(id: String): EmbeddingModel = id match {
     case s if s.startsWith("pseudo:hash-projection-") =>
       val dim = s.stripPrefix("pseudo:hash-projection-").toInt
       HashProjectionModel(dim)
+    case s if s.startsWith("onnx:") && OnnxRuntimeGate.available =>
+      OnnxEmbeddingModel.fromEnv()
     case other =>
       throw new UnsupportedOperationException(
-        s"embedder '$other' requires a network-fetched ONNX model, unavailable " +
-          s"in this offline build; use $DefaultModelId")
+        s"embedder '$other' requires an ONNX model, unavailable in this " +
+          s"zero-egress build (${OnnxRuntimeGate.unavailableReason}); " +
+          s"use $DefaultModelId, or configure a local runtime via " +
+          s"${OnnxRuntimeGate.ModelPathEnv}/${OnnxRuntimeGate.VocabPathEnv}")
   }
 
   def ensure(id: String = DefaultModelId): EmbeddingModel =

@@ -86,6 +86,10 @@ object SparkEntry {
   val IvfProbe = 3
   val IvfK = 10
   val IvfQueryMax = 5 // query set = vec_id < IvfQueryMax
+  // q_semdedup: the synthetic embeddings are hash-random (max pairwise
+  // cosine ~0.5), so the semantic-duplicate threshold sits where the
+  // corpus has real pair structure; production corpora use ~0.95+
+  val SemDedupThreshold = 0.4
   private lazy val wordPieceRegistered: Unit = {
     val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
     require(in != null, "wordpiece_vocab.txt fixture missing from resources")
@@ -896,6 +900,20 @@ FROM graft_documents ORDER BY doc_id""")
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
+
+    // LLM-pipeline: SemDeDup (Abbas et al. 2023) — semantic near-dup
+    // pruning: k-means cells bound the pairwise comparisons, components
+    // over within-cell cosine >= threshold, keep the member least
+    // similar to its cell centroid. Same trained centroids as q_knn_ivf;
+    // the oracle re-derives every decision from the exported centroid
+    // literals (semDedupOracleSql)
+    "q_semdedup" -> ((s, dir) =>
+      graft.similarity.Similarity
+        .semDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = SemDedupThreshold, nCells = IvfCells, seed = IvfSeed,
+          sampleSize = IvfSampleSize)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
 
     // embedding serving stack COMPOSED: IVF cell routing (the trained
     // float centroids) over int8-coded inverted lists with integer-dot
@@ -1965,6 +1983,35 @@ SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
   FROM s)
 WHERE rank <= $IvfK ORDER BY query_id, rank"""
 
+  /** SemDeDup re-derived: same cell assignment as [[ivfOracleSql]], then
+    * within-cell pairs at `round(cos, 6) >= threshold`, recursive
+    * connected components, keep-lowest-centroid-similarity (id
+    * tiebreak) — every decision from the exported centroid literals. */
+  private def semDedupOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH RECURSIVE ${ivfCtesSql(spark, dir)},
+csim AS (
+  SELECT a.vec_id, round(list_cosine_similarity(v.vec, c.cv), 6) AS csim
+  FROM assign a JOIN v ON v.vec_id = a.vec_id JOIN cent c ON c.cell = a.cell),
+prs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= $SemDedupThreshold),
+sym AS (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+losers AS (
+  SELECT id FROM (
+    SELECT l.id,
+      row_number() OVER (PARTITION BY l.cluster_id ORDER BY cs.csim, l.id) AS rn
+    FROM lab l JOIN csim cs ON cs.vec_id = l.id)
+  WHERE rn > 1)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id FROM losers) ORDER BY e.vec_id"""
+
   /** The full oracle map for one sf directory: the static [[oracleSql]]
     * entries plus the data-dependent ones (IVF centroids are trained on
     * the directory's own tables before being inlined as SQL literals).
@@ -1973,7 +2020,8 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
     oracleSql +
       ("q_knn_ivf" -> ivfOracleSql(spark, dir)) +
-      ("q_knn_ivf_int8" -> ivfInt8OracleSql(spark, dir)) ++
+      ("q_knn_ivf_int8" -> ivfInt8OracleSql(spark, dir)) +
+      ("q_semdedup" -> semDedupOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

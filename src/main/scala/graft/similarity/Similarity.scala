@@ -533,4 +533,73 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     rerank(candidates, k)
   }
+
+  /** SemDeDup (Abbas, Tirumala, Simig, Ganguli & Morcos 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540) — semantic near-duplicate pruning
+    * over an embedding column:
+    *
+    *   1. k-means-partition the embedding space (the IVF coarse
+    *      quantizer: seeded sample, seeded Lloyd, [[trainedCentroids]]);
+    *   2. compare pairs ONLY within a cell (the paper's within-cluster
+    *      restriction is what makes the quadratic affordable — `nCells`
+    *      bounds per-cell pair counts, the paper runs ~100k clusters at
+    *      web scale);
+    *   3. connected components over pairs with `cosine >= threshold`
+    *      (label propagation, [[graft.dedup.Dedup.duplicateClusters]]);
+    *   4. per component keep the member LEAST similar to its cell
+    *      centroid (the paper's keep-low-centroid-similarity rule —
+    *      retains the least prototypical example; ties break on
+    *      ascending id), drop the rest via ONE id-keyed left-anti join.
+    *
+    * Returns the survivor rows of `corpus` (all columns). Deterministic
+    * end to end; similarities are rounded to 6 decimals BEFORE the
+    * threshold and the keep ordering so an external checker reproduces
+    * every decision from the exported centroid literals.
+    *
+    * Scale: one elementwise scan assigns cells + centroid similarity
+    * (codegen'd [[NearestCellsExpr]] routing, broadcast centroid join);
+    * the pair join shuffles ids+vectors once on cell; components touch
+    * ids only; full rows travel only through the final left-anti probe. */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.85,
+      nCells: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+    def cellOf(vec: Column): Column = element_at(
+      org.apache.spark.sql.graft.Bridge.column(
+        NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, 1)),
+      1)
+
+    import spark.implicits._
+    val centFrame = broadcast(
+      centroids.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
+    // one scan: cell assignment + rounded centroid similarity per row
+    val assigned = corpus
+      .select(col(idCol).as("sd_id"), col(vecCol).as("sd_vec"))
+      .withColumn("cell", cellOf(col("sd_vec")))
+      .join(centFrame, Seq("cell"))
+      .select(col("sd_id"), col("sd_vec"), col("cell"),
+        round(cosine(col("sd_vec"), col("cv")), 6).as("csim"))
+
+    val pairs = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.sd_id") < col("b.sd_id"))
+      .filter(round(cosine(col("a.sd_vec"), col("b.sd_vec")), 6) >= threshold)
+      .select(col("a.sd_id").as("id_a"), col("b.sd_id").as("id_b"))
+
+    val members = graft.dedup.Dedup.duplicateClusters(pairs)
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("csim").asc, col("doc_id").asc)
+    val losers = members
+      .join(assigned.select(col("sd_id").as("doc_id"), col("csim")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -345,6 +345,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
   }
 
+  test("semdedup pair generation is cell-keyed, never all-pairs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.similarity.Similarity
+      .semDedup(emb, "vec_id", "embedding", threshold = 0.4, nCells = 8, seed = 42L)
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // cell routing is the codegen'd expression, not a UDF converter stack
+    assert(plan.contains("nearest_cells"), plan)
+  }
+
   test("topic over-cap barrier is a TakeOrdered: the driver never holds more than the cap") {
     import org.apache.spark.sql.functions._
     // the same frame TopicModeling's sampled path collects — its physical

@@ -134,6 +134,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall — quantizer sample missed the tail clusters")
   }
 
+  test("semdedup: drops within-cell semantic dupes, keeps the least prototypical") {
+    // two tight clusters of near-identical vectors + one isolated point:
+    // each cluster collapses to ONE survivor; the isolated point survives
+    val corpus = (clustered(12, 2, 8, seed = 9L) :+ ((99L, unit(Array.fill(8)(0.7f)))))
+      .toDF("vec_id", "embedding")
+    val survivors = Similarity
+      .semDedup(corpus, "vec_id", "embedding", threshold = 0.9, nCells = 4, seed = 42L)
+      .select("vec_id").as[Long].collect().sorted
+    assert(survivors.contains(99L))
+    assert(survivors.length < 13, s"nothing deduped: ${survivors.toSeq}")
+    // deterministic
+    val again = Similarity
+      .semDedup(corpus, "vec_id", "embedding", threshold = 0.9, nCells = 4, seed = 42L)
+      .select("vec_id").as[Long].collect().sorted
+    assert(survivors.toSeq == again.toSeq)
+    // raising the threshold above any pairwise sim keeps everyone
+    val all = Similarity
+      .semDedup(corpus, "vec_id", "embedding", threshold = 1.1, nCells = 4, seed = 42L)
+      .count()
+    assert(all == 13)
+  }
+
   test("cosine handles empty and mismatched arrays as null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),

@@ -431,6 +431,36 @@ FROM graft_documents ORDER BY doc_id""")
       s.table("graft_stream_curation").orderBy("doc_id")
     }),
 
+    // streaming tier: EXACT DEDUP as a stream — the ingest-side gate a
+    // training pipeline runs before anything stateful downstream. The
+    // source is doubled by a stateless explode (the sf corpus has no
+    // exact dupes), so dropDuplicatesWithinWatermark provably halves it;
+    // output carries only dup-invariant columns (hash + char count), so
+    // the surviving-arrival race is immaterial and the batch DISTINCT
+    // oracle is exact
+    "q_stream_dedup" -> ((s, dir) => {
+      val schema = tbl(s, dir, "documents").schema
+      val doubled = s.readStream.schema(schema)
+        .parquet(stagedDir(s"$dir/documents.parquet"))
+        .withColumn("copy", explode(array(lit(1), lit(2))))
+        .withColumn("ets", to_timestamp(lit("2026-01-01 00:00:00")))
+      val survivors = graft.streaming.TextStream
+        .streamingExactDedup(doubled, "text", "ets")
+        .select(
+          col("content_hash"),
+          graft.text.TextFunctions.charCount(col("text")).as("char_cnt"))
+      s.catalog.dropTempView("graft_stream_dedup")
+      val q = survivors.writeStream
+        .format("memory")
+        .queryName("graft_stream_dedup")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_dedup").orderBy("content_hash")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -3105,6 +3135,13 @@ ORDER BY c.doc_id, c.topic_id""",
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
     "q_stream_curation" -> streamCurationSql,
+
+    // streaming exact dedup == batch DISTINCT on normalized content: the
+    // survivor SET is order-free even though which arrival survives is not
+    "q_stream_dedup" ->
+      """SELECT sha256(t) AS content_hash, CAST(length(t) AS BIGINT) AS char_cnt
+FROM (SELECT DISTINCT coalesce(text, '') AS t FROM documents)
+ORDER BY content_hash""",
 
     // the SQL-surface composite: clean + word count + tokenize length +
     // lang-id re-derived from their individually-green formulations

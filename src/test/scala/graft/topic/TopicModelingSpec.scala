@@ -148,6 +148,32 @@ class ReduceClusterSpec extends AnyFunSuite {
     assert(res.labels.slice(12, 24).distinct.length == 1)
   }
 
+  test("hdbscan invariants on random inputs: contiguous labels, min sizes, permutation-stable") {
+    for (seed <- Seq(1, 7, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(40)
+      val pts = Array.fill(n)(Array.fill(3)(rnd.nextGaussian().toFloat * (1 + seed)))
+      val m = 4 + rnd.nextInt(4)
+      val res = Cluster.cluster(pts, Cluster.Config(minClusterSize = m))
+      val pos = res.labels.filter(_ >= 0)
+      assert(pos.isEmpty && res.nTopics == 0 || pos.toSet == (0 until res.nTopics).toSet,
+        s"labels not contiguous (seed $seed): ${res.labels.toSeq}")
+      // a selected cluster's membership can never undercut minClusterSize
+      pos.groupBy(identity).foreach { case (l, g) =>
+        assert(g.length >= m, s"cluster $l size ${g.length} < $m (seed $seed)")
+      }
+      // determinism: bit-identical on re-run. (Permutation EQUIVARIANCE is
+      // deliberately NOT asserted: mutual-reachability ties — every edge
+      // dominated by one point's core distance shares its weight — make
+      // MST selection index-order-dependent, in this and every standard
+      // HDBSCAN implementation; the pinned contract is determinism for a
+      // given input order.)
+      val res2 = Cluster.cluster(pts, Cluster.Config(minClusterSize = m))
+      assert(res2.nTopics == res.nTopics && res2.labels.sameElements(res.labels),
+        s"not deterministic (seed $seed)")
+    }
+  }
+
   test("hdbscan: one homogeneous blob yields zero topics (no single-cluster)") {
     // allow_single_cluster=false posture: the condensed root is never
     // selected, so an unstructured corpus reports no topics rather than

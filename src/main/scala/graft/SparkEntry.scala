@@ -90,6 +90,8 @@ object SparkEntry {
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
   val SemDedupThreshold = 0.4
+  // q_edit_pairs: Levenshtein cutoff (shared with the oracle SQL)
+  val EditMaxDistance = 32
   private lazy val wordPieceRegistered: Unit = {
     val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
     require(in != null, "wordpiece_vocab.txt fixture missing from resources")
@@ -882,6 +884,15 @@ FROM graft_documents ORDER BY doc_id""")
           concat_ws("|", col("lang"), col("source")),
           threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // LLM-pipeline: exact edit-distance near-dup pairs — the short-text
+    // dedup tier; bucketed + length-banded candidates (never all-pairs),
+    // banded codegen'd levenshtein(threshold) DP
+    "q_edit_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .editDistancePairs(tbl(s, dir, "documents"), "text", "doc_id",
+          concat_ws("|", col("lang"), col("source")), maxDistance = EditMaxDistance)
         .orderBy("id_a", "id_b")),
 
     // LLM-pipeline: exact cosine top-10 for a broadcast query set; the
@@ -3069,6 +3080,19 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+ORDER BY id_a, id_b""",
+
+    // DuckDB computes the full unbanded DP; the length band makes the
+    // threshold filter equivalent to Spark's early-exit banded variant
+    "q_edit_pairs" ->
+      s"""WITH d AS (
+  SELECT doc_id, concat_ws('|', lang, source) AS bucket, coalesce(text, '') AS t
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE abs(length(a.t) - length(b.t)) <= $EditMaxDistance
+  AND levenshtein(a.t, b.t) <= $EditMaxDistance
 ORDER BY id_a, id_b""",
 
     // Cosine in double precision on both sides: float→double is exact and

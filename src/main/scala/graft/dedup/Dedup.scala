@@ -428,6 +428,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Edit-distance near-duplicate pairs — the short-text dedup tier
+    * (exact Levenshtein catches the reorderings and typo-variants that
+    * token-set Jaccard scores as identical and MinHash never surfaces).
+    *
+    * Scale: candidates are BUCKETED (`bucket`, e.g. lang|source or an LSH
+    * band at web scale — never all-pairs) and LENGTH-BANDED inside the
+    * bucket: `|len_a − len_b| <= maxDistance` is a necessary condition
+    * for `lev <= maxDistance`, so the quadratic DP runs only on pairs
+    * that can possibly qualify. The DP itself is Spark's codegen'd
+    * `levenshtein(l, r, threshold)` — banded O(len·k), early-exit −1
+    * above the threshold. One shuffle on the bucket key; text travels
+    * into the bucket exchange once. */
+  def editDistancePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bucket: Column,
+      maxDistance: Int): DataFrame = {
+    val side = df
+      .select(col(idCol).as("id"), bucket.as("bucket"), coalesce(col(textCol), lit("")).as("t"))
+      .filter(col("bucket").isNotNull)
+      .withColumn("len", length(col("t")))
+    val a = side.select(col("id").as("id_a"), col("bucket"), col("t").as("t_a"), col("len").as("len_a"))
+    val b = side.select(col("id").as("id_b"), col("bucket"), col("t").as("t_b"), col("len").as("len_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDistance)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDistance))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   // -------------------------------------------------- cluster resolution
 
   /** Transitive duplicate clusters from a near-dup pair list: connected

@@ -103,4 +103,31 @@ class DedupSpec extends SparkSpec {
       .toSeq
     assert(out == Seq((1L, 2L, 0.6)))
   }
+
+  test("edit-distance pairs: typo variants pair up, reorderings score > 0, buckets isolate") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "g1"),
+      (2L, "the quikc brown fox jumps over the lazy dog", "g1"), // transposition: dist 2
+      (3L, "the quick brown fox jumps over the dog lazy", "g1"), // same tokens, reordered (dist 8)
+      (4L, "the quick brown fox jumps over the lazy dog", "g2"), // exact copy, other bucket
+      (5L, "completely unrelated text about spark plans!", "g1")
+    ).toDF("doc_id", "text", "grp")
+    val out = Dedup
+      .editDistancePairs(df, "text", "doc_id", col("grp"), maxDistance = 30)
+      .as[(Long, Long, Long)]
+      .collect()
+      .sorted
+      .toSeq
+    // (1,2) typo pair; (1,3)/(2,3) reordering distances ≤ 30; never cross-bucket
+    assert(out.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(out.find(p => p._1 == 1L && p._2 == 2L).get._3 == 2L)
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
+    // Jaccard scores the reordering as identical (1.0); edit distance
+    // tells them apart — the tier's reason to exist
+    val j = Dedup.jaccardPairs(df.filter(col("doc_id").isin(1L, 3L)), "text", "doc_id",
+      col("grp"), threshold = 0.0).as[(Long, Long, Double)].collect()
+    assert(j.toSeq == Seq((1L, 3L, 1.0)))
+    assert(out.find(p => p._1 == 1L && p._2 == 3L).get._3 > 0L)
+  }
 }

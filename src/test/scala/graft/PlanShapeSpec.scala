@@ -352,8 +352,10 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(q)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // cell routing is the codegen'd expression, not a UDF converter stack
+    // cell routing AND pair scoring are codegen'd expressions — the
+    // higher-order-function cosine was a 17x interpreted bottleneck here
     assert(plan.contains("nearest_cells"), plan)
+    assert(plan.contains("cosine_sim"), plan)
   }
 
   test("topic over-cap barrier is a TakeOrdered: the driver never holds more than the cap") {

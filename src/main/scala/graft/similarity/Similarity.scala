@@ -35,6 +35,16 @@ object Similarity {
     when(size(a) === size(b) && size(a) > 0 && na > 0 && nb > 0, dot / (na * nb))
   }
 
+  /** [[cosine]] as the native fused-loop expression — bit-identical
+    * doubles (same left-to-right folds, same null contract), but inside
+    * whole-stage codegen where the higher-order-function formulation is
+    * CodegenFallback (interpreted, boxed). Use on any many-row path;
+    * `array<float>` inputs only. */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(CosineSimExpr(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Exact top-k neighbors for every query vector.
     *
     * `queries` must be broadcast-small; `corpus` is scanned once. Output:
@@ -60,7 +70,7 @@ object Similarity {
     val scored = c
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", cosineFast(col("q_vec"), col("c_vec")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     val pruned = localTopKPerQuery(scored, k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
@@ -268,34 +278,24 @@ object Similarity {
       bits: Int,
       seed: Long,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
-    // L2 norm computed ONCE per vector before bucketing (8 bytes of
-    // payload) instead of twice per candidate pair — the verify step then
-    // costs one dot product per pair, a 3x FLOP cut on the hot path. Same
-    // doubles as [[cosine]]: identical left-to-right folds, divided in
-    // the same order.
-    val vd = transform(col("vec"), x => x.cast("double"))
+    // Per-pair scoring is the fused codegen'd [[cosineFast]] — same
+    // doubles as [[cosine]] (identical left-to-right folds, same null
+    // guard), one loop per pair inside whole-stage codegen. This
+    // replaces the norm-hoisting + HOF-dot formulation: hoisting saved
+    // FLOPs but every pair still detoured through interpreted
+    // CodegenFallback eval, which dominated; the native loop wins and
+    // the posting-list payload drops the extra norm field.
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("norm", sqrt(aggregate(vd, lit(0.0), (acc, v) => acc + v * v)))
       .withColumn("tb", explode(bucketsCol(col("vec"), tables, bits, seed)))
-      .select(col("id"), col("vec"), col("norm"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val dot = aggregate(
-      zip_with(
-        transform(col("a.vec"), x => x.cast("double")),
-        transform(col("b.vec"), x => x.cast("double")),
-        (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v)
+      .select(col("id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     graft.util.PostingLists
       .pairs(graft.util.PostingLists.members(
         bucketed, Seq(col("table"), col("bucket")),
-        struct(col("id"), col("vec"), col("norm")), maxBucket))
+        struct(col("id"), col("vec")), maxBucket))
       .select(
         col("a.id").as("query_id"),
         col("b.id").as("neighbor_id"),
-        when(
-          size(col("a.vec")) === size(col("b.vec")) && size(col("a.vec")) > 0 &&
-            col("a.norm") > 0 && col("b.norm") > 0,
-          dot / (col("a.norm") * col("b.norm"))).as("sim"))
+        cosineFast(col("a.vec"), col("b.vec")).as("sim"))
   }
 
   /** Approximate top-k: candidates from L sign-LSH tables (bucket-keyed
@@ -316,7 +316,7 @@ object Similarity {
   private def rerank(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     candidates
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", cosineFast(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
@@ -575,14 +575,6 @@ object Similarity {
       org.apache.spark.sql.graft.Bridge.column(
         NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, 1)),
       1)
-    // codegen'd fused cosine — the pair stage scores |cell|²/2 rows per
-    // cell, where the CodegenFallback higher-order-function formulation
-    // was the whole operator's bottleneck (17 s → ~1 s at sf0.1)
-    def ncos(a: Column, b: Column): Column =
-      org.apache.spark.sql.graft.Bridge.column(CosineSimExpr(
-        org.apache.spark.sql.graft.Bridge.expression(a),
-        org.apache.spark.sql.graft.Bridge.expression(b)))
-
     import spark.implicits._
     val centFrame = broadcast(
       centroids.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
@@ -592,12 +584,12 @@ object Similarity {
       .withColumn("cell", cellOf(col("sd_vec")))
       .join(centFrame, Seq("cell"))
       .select(col("sd_id"), col("sd_vec"), col("cell"),
-        round(ncos(col("sd_vec"), col("cv")), 6).as("csim"))
+        round(cosineFast(col("sd_vec"), col("cv")), 6).as("csim"))
 
     val pairs = assigned.alias("a")
       .join(assigned.alias("b"),
         col("a.cell") === col("b.cell") && col("a.sd_id") < col("b.sd_id"))
-      .filter(round(ncos(col("a.sd_vec"), col("b.sd_vec")), 6) >= threshold)
+      .filter(round(cosineFast(col("a.sd_vec"), col("b.sd_vec")), 6) >= threshold)
       .select(col("a.sd_id").as("id_a"), col("b.sd_id").as("id_b"))
 
     val members = graft.dedup.Dedup.duplicateClusters(pairs)

@@ -60,6 +60,71 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer dot product over `array<int>` codes — the int8 serving
+  * tier's inner loop ([[Similarity.int8TopK]] / `ivfInt8TopK`). Exact
+  * long arithmetic (codes ≤ 127 ⇒ products ≤ 16129, sums far inside
+  * long range), identical to the `aggregate(zip_with(...))` Column
+  * formulation it replaces — including null-out on length mismatch or a
+  * null element — but inside whole-stage codegen instead of interpreted
+  * CodegenFallback eval per candidate pair. */
+case class IntDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int>, array<int>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "int_dot"
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input).asInstanceOf[ArrayData]
+    if (a == null) return null
+    val b = right.eval(input).asInstanceOf[ArrayData]
+    if (b == null) return null
+    IntDotExpr.run(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = IntDotExpr.getClass.getName
+    val r = ctx.freshName("dotRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object $r = $helper.MODULE$$.run($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDotExpr {
+  /** Shared by interpreted `eval` and generated code. Null on length
+    * mismatch or any null element — `zip_with`'s pad-with-null followed
+    * by `aggregate`'s null propagation, the Column contract. */
+  def run(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += (a.getInt(i) * b.getInt(i)).toLong
+      i += 1
+    }
+    Long.box(dot)
+  }
+}
+
 object CosineSimExpr {
   /** Shared by interpreted `eval` and generated code. Returns a boxed
     * Double, or null for mismatched/empty arrays or a zero norm — the

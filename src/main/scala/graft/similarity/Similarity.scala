@@ -45,6 +45,14 @@ object Similarity {
       org.apache.spark.sql.graft.Bridge.expression(a),
       org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Exact integer dot over `array<int>` codes as the native fused-loop
+    * expression ([[IntDotExpr]]) — same longs as the
+    * `aggregate(zip_with(...))` formulation, inside codegen. */
+  def intDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(IntDotExpr(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Exact top-k neighbors for every query vector.
     *
     * `queries` must be broadcast-small; `corpus` is scanned once. Output:
@@ -96,8 +104,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 10): DataFrame = {
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    def idot(a: Column, b: Column): Column = intDot(a, b)
     def codes(df: DataFrame, idName: String, vecName: String, n2Name: String) =
       graft.embed.VectorQuant.quantizeInt8(df, vecCol, idCol)
         .select(col(idCol).as(idName), col("qvec").as(vecName))
@@ -465,8 +472,7 @@ object Similarity {
     def cells(vec: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(
         NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    def idot(a: Column, b: Column): Column = intDot(a, b)
 
     val lists = graft.embed.VectorQuant
       .quantizeInt8(

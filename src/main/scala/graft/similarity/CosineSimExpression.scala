@@ -66,7 +66,10 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   * long range), identical to the `aggregate(zip_with(...))` Column
   * formulation it replaces — including null-out on length mismatch or a
   * null element — but inside whole-stage codegen instead of interpreted
-  * CodegenFallback eval per candidate pair. */
+  * CodegenFallback eval per candidate pair. One documented divergence
+  * OUTSIDE the int8 domain: on a 32-bit product overflow ANSI mode makes
+  * the Column formulation throw, while this loop wraps — unreachable for
+  * quantized codes, spec-pinned equal on the full ±127 domain. */
 case class IntDotExpr(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

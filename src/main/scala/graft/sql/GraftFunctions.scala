@@ -77,6 +77,18 @@ object GraftFunctions {
         intLiteral(exprs(1), "numHashes"),
         intLiteral(exprs(2), "shingleSize"),
         longLiteral(exprs(3), "seed"))
+    },
+    "lsh_band_hashes" -> { exprs =>
+      require(exprs.length == 2, s"lsh_band_hashes(signature, bands): got ${exprs.length} args")
+      graft.dedup.BandHashesExpr(exprs.head, intLiteral(exprs(1), "bands"))
+    },
+    "cosine_sim" -> { exprs =>
+      require(exprs.length == 2, s"cosine_sim(a, b): got ${exprs.length} args")
+      graft.similarity.CosineSimExpr(exprs.head, exprs(1))
+    },
+    "int_dot" -> { exprs =>
+      require(exprs.length == 2, s"int_dot(a, b): got ${exprs.length} args")
+      graft.similarity.IntDotExpr(exprs.head, exprs(1))
     })
 
   /** Idempotently register every function on `spark`'s session registry. */

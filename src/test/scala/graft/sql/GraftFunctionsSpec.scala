@@ -46,6 +46,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](1) === sigApi)
   }
 
+  test("similarity expressions are SQL-callable and equal the Scala API") {
+    val r = spark.sql(
+      """SELECT round(cosine_sim(array(3.0F, 4.0F), array(3.0F, 4.0F)), 9) AS cs,
+           cosine_sim(array(0.0F, 0.0F), array(1.0F, 1.0F)) AS zn,
+           int_dot(array(1, 2, 3), array(4, 5, 6)) AS d,
+           lsh_band_hashes(minhash_signature('a b c d e f g', 8, 2, 42), 4) AS bands""")
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.isNullAt(1)) // zero norm → null, the Column-API contract
+    assert(r.getLong(2) == 32L)
+    assert(r.getSeq[org.apache.spark.sql.Row](3).length == 4)
+  }
+
   test("registration is idempotent and arity is checked") {
     GraftFunctions.register(spark) // second call must not throw
     val e = intercept[Exception] {

@@ -29,18 +29,18 @@ object VectorQuant {
       vecCol: String,
       idCol: String,
       keep: Seq[Column] = Nil): DataFrame = {
-    val xs = transform(col(vecCol), x => x.cast("double"))
-    val maxAbs = array_max(transform(xs, x => abs(x)))
-    val scale = maxAbs / lit(127.0)
+    // one fused codegen'd loop per vector ([[QuantizeInt8Expr]]) — the
+    // HOF Column program this replaces ran CodegenFallback-interpreted
+    // on every corpus row of the serving scans; field values identical
+    // (spec- and oracle-pinned). Codegen subexpression elimination
+    // collapses the two field reads to one evaluation.
+    val q = org.apache.spark.sql.graft.Bridge.column(
+      QuantizeInt8Expr(org.apache.spark.sql.graft.Bridge.expression(col(vecCol))))
     df.select(
       Seq(
         col(idCol),
-        scale.as("scale"),
-        when(maxAbs > 0.0,
-          transform(xs, x =>
-            greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
-          .otherwise(transform(xs, _ => lit(0)))
-          .as("qvec")) ++ keep: _*)
+        q.getField("scale").as("scale"),
+        q.getField("qvec").as("qvec")) ++ keep: _*)
   }
 
   /** Dequantize back to doubles: `x̂_i = q_i · scale`. */

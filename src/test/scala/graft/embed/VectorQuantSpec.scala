@@ -16,6 +16,32 @@ class VectorQuantSpec extends SparkSpec {
     assert(out(1).getDouble(1) == 0.0 && out(1).getSeq[Int](2).forall(_ == 0))
   }
 
+  test("native quantize expression equals the HOF Column program bitwise") {
+    // the replaced formulation, kept here as the reference implementation
+    def hofQuantize(df: org.apache.spark.sql.DataFrame) = {
+      val xs = transform(col("embedding"), x => x.cast("double"))
+      val maxAbs = array_max(transform(xs, x => abs(x)))
+      val scale = maxAbs / lit(127.0)
+      df.select(
+        col("vec_id"),
+        scale.as("scale"),
+        when(maxAbs > 0.0,
+          transform(xs, x =>
+            greatest(lit(-127), least(lit(127), round(x / scale).cast("int")))))
+          .otherwise(transform(xs, _ => lit(0)))
+          .as("qvec"))
+    }
+    val rnd = new scala.util.Random(13)
+    val docs = ((0L until 300L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat))) ++ Seq(
+      (900L, Seq.empty[Float]), //            scale null, empty codes
+      (901L, Seq(0.0f, 0.0f)), //             zero vector
+      (902L, null))).toDF("vec_id", "embedding")
+    val a = VectorQuant.quantizeInt8(docs, "embedding", "vec_id").orderBy("vec_id").collect()
+    val b = hofQuantize(docs).orderBy("vec_id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"native $x != hof $y") }
+  }
+
   test("dequantized cosine stays within int8 tolerance of the exact one") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val q = VectorQuant.dequantize(VectorQuant.quantizeInt8(emb, "embedding", "vec_id"))

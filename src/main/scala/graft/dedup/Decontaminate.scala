@@ -43,7 +43,7 @@ object Decontaminate {
     if (TokenizerModels.resolve(model) eq graft.text.PlainBackend)
       graft.text.TextAnalysis.shingleKeys(col(textCol), n)
     else {
-      val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+      val toks = Tokenize.tokenStrings(col(textCol), model)
       transform(ngrams(toks, n), g => graft.text.TextAnalysis.fnv1a64(g))
     }
 

@@ -39,7 +39,7 @@ object SpanDedup {
       spanWords: Int = 10,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
-    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    val toks = Tokenize.tokenStrings(col(textCol), model)
     // last span index = floor((n-1)/k); guard n = 0 — Spark's sequence()
     // RUNS BACKWARDS for start > stop, so sequence(0, -1) is [0, -1],
     // not empty
@@ -102,7 +102,7 @@ object SpanDedup {
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     require(shingleWords > 0, s"shingleWords must be positive, got $shingleWords")
     val k = shingleWords
-    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    val toks = Tokenize.tokenStrings(col(textCol), model)
 
     // (id, start, key) for offsets 0..n-k; docs shorter than k contribute
     // no shingle rows.
@@ -155,7 +155,7 @@ object SpanDedup {
       org.apache.spark.sql.graft.Bridge.column(
         ShingleKeysExpr(org.apache.spark.sql.graft.Bridge.expression(col(textCol)), k))
     else {
-      val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+      val toks = Tokenize.tokenStrings(col(textCol), model)
       when(size(toks) >= k,
         transform(
           sequence(lit(0), size(toks) - lit(k)),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,19 +45,19 @@ object Collocations {
   def bigramCounts(
       df: DataFrame,
       textCol: String,
-      model: String = TokenizerModels.PlainWordsEn): DataFrame = {
-    val pairType = "array<struct<w1:string,w2:string>>"
-    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
-    df.select(toks.as("__toks"))
-      .select(explode(when(size(col("__toks")) > 1,
-        zip_with(
-          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast(pairType))).as("p"))
+      model: String = TokenizerModels.PlainWordsEn): DataFrame =
+    df.select(explode(
+        adjacentPairs(Tokenize.tokenStrings(col(textCol), model), 1, Int.MaxValue)).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-  }
+
+  /** The pair list as the fused native expression ([[AdjacentPairsExpr]])
+    * — the `flatten(transform(sequence, d => zip_with(slice, slice)))`
+    * Column program it replaces ran CodegenFallback-interpreted per
+    * document row; pair values and order are identical. */
+  private def adjacentPairs(toks: Column, window: Int, maxTokens: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(AdjacentPairsExpr(
+      org.apache.spark.sql.graft.Bridge.expression(toks), window, maxTokens))
 
   /** Pointwise mutual information per adjacent bigram:
     * `pmi = ln(n_ab * N / (n_a * n_b))` with margins `n_a = Σ_b n_ab`,
@@ -102,19 +102,8 @@ object Collocations {
       maxTokensPerDoc: Int = 1 << 17): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(maxTokensPerDoc >= 2, s"maxTokensPerDoc must be >= 2, got $maxTokensPerDoc")
-    val pairType = "array<struct<w1:string,w2:string>>"
-    val toks = slice(
-      transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token")),
-      1, maxTokensPerDoc)
-    df.select(toks.as("__toks"))
-      .select(explode(flatten(transform(
-        sequence(lit(1), lit(window)),
-        d => when(size(col("__toks")) > d,
-          zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - d),
-            slice(col("__toks"), d + lit(1), size(col("__toks")) - d),
-            (a, b) => struct(a.as("w1"), b.as("w2"))))
-          .otherwise(array().cast(pairType))))).as("p"))
+    df.select(explode(
+        adjacentPairs(Tokenize.tokenStrings(col(textCol), model), window, maxTokensPerDoc)).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
   }

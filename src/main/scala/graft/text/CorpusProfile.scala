@@ -24,8 +24,7 @@ object CorpusProfile {
       textCol: String,
       langCol: Option[String] = None,
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
-    val toks: Column = transform(
-      Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    val toks: Column = Tokenize.tokenStrings(col(textCol), model)
     val langAgg: Column = langCol match {
       case Some(l) => countDistinct(col(l)).as("n_langs")
       case None => lit(0L).as("n_langs")

@@ -52,7 +52,7 @@ object Importance {
         if (TokenizerModels.resolve(model) eq PlainBackend)
           TextAnalysis.shingleKeys(col(textCol), 2)
         else {
-          val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+          val toks = Tokenize.tokenStrings(col(textCol), model)
           when(size(toks) > 1,
             zip_with(
               slice(toks, lit(1), size(toks) - 1),

@@ -94,7 +94,7 @@ object LanguageModel {
     val base = df
       .select(
         col(idCol),
-        transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+        Tokenize.tokenStrings(col(textCol), model)
           .as("__toks"))
       .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("pos", "token")))
       .withColumn("prev", when(col("pos") > 0, element_at(col("__toks"), col("pos"))))

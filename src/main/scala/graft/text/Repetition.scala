@@ -56,7 +56,7 @@ object Repetition {
   def repetitionMetrics(
       textCol: Column,
       model: String = TokenizerModels.PlainWordsEn): Seq[(String, Column)] = {
-    val toks = transform(Tokenize.tokenize(textCol, model), t => t.getField("token"))
+    val toks = Tokenize.tokenStrings(textCol, model)
     val n = size(toks)
     val nDistinct = size(array_distinct(toks))
     val bigrams = zip_with(

@@ -252,6 +252,21 @@ object TokenizerModels {
   * so Catalyst keeps filter/limit pushdown below it — the reference's
   * `is_elementwise=True` contract (`polars_text/functions.py:70`). */
 object Tokenize {
+
+  /** The token-string array (`array<string>`) of [[tokenize]] — the
+    * `transform(tokenize(c), _.getField("token"))` projection every
+    * token-stream operator opens with, as the native
+    * [[TokenStringsExpr]] so the scan stays inside whole-stage codegen
+    * (ArrayTransform is CodegenFallback). Same values, null-for-null. */
+  def tokenStrings(
+      c: Column,
+      model: String = TokenizerModels.PlainWordsEn,
+      lowercase: Boolean = true,
+      removePunct: Boolean = true): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      TokenStringsExpr(org.apache.spark.sql.graft.Bridge.expression(
+        tokenize(c, model, lowercase, removePunct))))
+
   def tokenize(
       c: Column,
       model: String = TokenizerModels.PlainWordsEn,

@@ -140,6 +140,19 @@ class PlanShapeSpec extends SparkSpec {
     // aggregation — the token stream never shuffles through a doc window
     assert(count(cplan, "Exchange hashpartitioning") == 1, cplan)
     assert(!cplan.contains("Window"), cplan)
+    // tokens and pairs are the fused native expressions, not interpreted
+    // higher-order-function chains (ArrayTransform is CodegenFallback)
+    assert(cplan.contains("token_strings"), cplan)
+    assert(cplan.contains("adjacent_pairs"), cplan)
+  }
+
+  test("edit-distance pairs: bucket-keyed join, banded DP, never all-pairs") {
+    val plan = finalPlan(SparkEntry.queries("q_edit_pairs")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the threshold rides INTO the levenshtein call (banded early-exit
+    // DP), it is not a post-hoc filter over unbounded distances
+    assert(plan.contains("levenshtein"), plan)
   }
 
   test("bm25 search is zero-shuffle: one scan into a bounded TakeOrdered") {

@@ -433,31 +433,60 @@ object Dedup {
     * token-set Jaccard scores as identical and MinHash never surfaces).
     *
     * Scale: candidates are BUCKETED (`bucket`, e.g. lang|source or an LSH
-    * band at web scale — never all-pairs) and LENGTH-BANDED inside the
-    * bucket: `|len_a − len_b| <= maxDistance` is a necessary condition
-    * for `lev <= maxDistance`, so the quadratic DP runs only on pairs
-    * that can possibly qualify. The DP itself is Spark's codegen'd
-    * `levenshtein(l, r, threshold)` — banded O(len·k), early-exit −1
-    * above the threshold. One shuffle on the bucket key; text travels
-    * into the bucket exchange once. */
+    * band at web scale — never all-pairs) and the length band is IN THE
+    * JOIN KEY, not a post-join filter: rows land in length stratum
+    * `band = len / (maxDistance+1)`, and `|len_a − len_b| <= maxDistance`
+    * (necessary for `lev <= maxDistance`) implies the two bands are equal
+    * or adjacent — so each probe row joins only its own and the next
+    * stratum instead of fanning out across the whole bucket. A dominant
+    * bucket (one giant lang|source at corpus scale) therefore shuffles
+    * into per-length strata rather than a quadratic self-join, and each
+    * `(bucket, band)` stratum is capped at `maxBucket` rows (the
+    * [[graft.util.PostingLists]] posture: a stratum that big is an
+    * exact-dup cluster that belongs to `exactDedup` — run it first;
+    * oversized strata are dropped whole, an explicit documented cap).
+    * The DP itself is Spark's codegen'd `levenshtein(l, r, threshold)` —
+    * banded O(len·k), early-exit −1 above the threshold. One shuffle on
+    * the `(bucket, band)` key; text travels into the exchange once.
+    *
+    * Pair generation is exactly-once: a probe row is emitted at keys
+    * `{band, band+1}` and matched against build rows at their home band.
+    * Same-band pairs appear in both orientations → kept once via
+    * `id_a < id_b`; cross-band pairs appear exactly once (the lower-band
+    * row probing up) → kept unconditionally, then the output orientation
+    * is canonicalized to `id_a < id_b`. */
   def editDistancePairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       bucket: Column,
-      maxDistance: Int): DataFrame = {
+      maxDistance: Int,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val side = df
       .select(col(idCol).as("id"), bucket.as("bucket"), coalesce(col(textCol), lit("")).as("t"))
       .filter(col("bucket").isNotNull)
       .withColumn("len", length(col("t")))
-    val a = side.select(col("id").as("id_a"), col("bucket"), col("t").as("t_a"), col("len").as("len_a"))
-    val b = side.select(col("id").as("id_b"), col("bucket"), col("t").as("t_b"), col("len").as("len_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDistance)
+      .withColumn("band", floor(col("len") / (maxDistance + 1)))
+      .withColumn("stratum_n", count(lit(1)).over(Window.partitionBy(col("bucket"), col("band"))))
+      .filter(col("stratum_n") <= maxBucket)
+    val probe = side.select(
+      col("id").as("id_a"), col("bucket"),
+      explode(array(col("band"), col("band") + 1)).as("key"),
+      col("band").as("band_a"), col("t").as("t_a"), col("len").as("len_a"))
+    val build = side.select(
+      col("id").as("id_b"), col("bucket"), col("band").as("key"),
+      col("t").as("t_b"), col("len").as("len_b"))
+    probe.join(build, Seq("bucket", "key"))
+      .filter(
+        ((col("key") === col("band_a") && col("id_a") < col("id_b")) ||
+          col("key") === col("band_a") + 1) &&
+          abs(col("len_a") - col("len_b")) <= maxDistance)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDistance))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("dist").cast("long").as("dist"))
   }
 
   // -------------------------------------------------- cluster resolution
@@ -479,6 +508,13 @@ object Dedup {
     * lineage exponentially, re-deriving every prior round per action (the
     * canonical Spark iterative-algorithm pattern). The fixpoint is unique,
     * so the output is deterministic regardless of execution order.
+    *
+    * ONE driver action per round: the checkpoint is lazy and the
+    * changed-label count is an aggregate over the checkpointed frame, so
+    * the same job both materializes the round and decides convergence —
+    * a separate `isEmpty` probe per round doubled the job count, and
+    * per-round job-submit latency (not compute) dominates this loop's
+    * wall-clock under concurrent scheduler load.
     *
     * Throws if `maxIterations` rounds don't converge — a silent partial
     * clustering would under-merge and leak duplicates downstream. */
@@ -509,8 +545,11 @@ object Dedup {
           col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
+        .localCheckpoint(false) // lazy: the changed-count job below materializes it
+      val changed = next
+        .agg(count(when(col("label") =!= col("prev"), lit(1))).as("changed"))
+        .head().getLong(0)
+      converged = changed == 0L
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

@@ -160,15 +160,40 @@ object EmbedderRegistry {
 
   private val registry = new ConcurrentHashMap[String, EmbeddingModel]()
 
+  /** When set, names the model the local ONNX artifact actually is
+    * (e.g. `all-MiniLM-L6-v2`). `onnx:<name>` then resolves ONLY for the
+    * matching name — without this check every `onnx:*` id silently
+    * served the single env-configured artifact under the wrong
+    * registry key (and dim). Unset ⇒ any single `onnx:*` id loads, but
+    * a SECOND distinct id fails fast rather than alias the first. */
+  val OnnxModelIdEnv = "GRAFT_ONNX_MODEL_ID"
+
+  private def onnxNameMatches(id: String): Boolean = {
+    val requested = id.stripPrefix("onnx:")
+    sys.env.get(OnnxModelIdEnv) match {
+      case Some(configured) => requested == configured
+      case None =>
+        // no declared name: allow only if no OTHER onnx id is already loaded
+        val loaded = registry.keys.asScala.filter(_.startsWith("onnx:")).toSeq
+        loaded.isEmpty || loaded == Seq(id)
+    }
+  }
+
   /** Resolve a model id to a loader. The pseudo family always loads;
     * `onnx:*` loads through [[OnnxRuntimeGate]] when a LOCAL runtime +
-    * model + vocab are configured (never the network), and otherwise
-    * fails fast with the concrete missing preconditions. */
+    * model + vocab are configured (never the network) AND the requested
+    * name matches the configured artifact, and otherwise fails fast
+    * with the concrete missing preconditions. */
   private def load(id: String): EmbeddingModel = id match {
     case s if s.startsWith("pseudo:hash-projection-") =>
       val dim = s.stripPrefix("pseudo:hash-projection-").toInt
       HashProjectionModel(dim)
     case s if s.startsWith("onnx:") && OnnxRuntimeGate.available =>
+      if (!onnxNameMatches(s))
+        throw new IllegalArgumentException(
+          s"embedder '$s' does not match the locally configured ONNX artifact " +
+            s"(${sys.env.getOrElse(OnnxModelIdEnv, "unnamed; another onnx:* id is already loaded")}); " +
+            s"set $OnnxModelIdEnv to the artifact's model name to serve it")
       OnnxEmbeddingModel.fromEnv()
     case other =>
       throw new UnsupportedOperationException(

@@ -81,24 +81,39 @@ object OnnxRuntimeGate {
       sessionCls.getMethod("getInputNames").invoke(session).asInstanceOf[java.util.Set[String]]
 
     /** Run the encoder. Returns either `float[batch][seq][dim]` (hidden
-      * states — caller mean-pools) or `float[batch][dim]` (pre-pooled). */
+      * states — caller mean-pools) or `float[batch][dim]` (pre-pooled).
+      * Input OnnxTensors hold NATIVE (off-heap) buffers — they are
+      * closed in the finally block alongside the result, otherwise a
+      * long embedding job leaks native memory per batch and OOMs the
+      * executor outside the JVM heap. */
     def run(ids: Array[Long], mask: Array[Long], batch: Int, seq: Int): AnyRef = {
       val shape = Array(batch.toLong, seq.toLong)
-      def tensor(data: Array[Long]) =
-        createTensor.invoke(null, env, java.nio.LongBuffer.wrap(data), shape)
-      val feeds = new java.util.HashMap[String, AnyRef]()
-      inputNames.forEach {
-        case n @ "input_ids"      => feeds.put(n, tensor(ids))
-        case n @ "attention_mask" => feeds.put(n, tensor(mask))
-        case n @ "token_type_ids" => feeds.put(n, tensor(new Array[Long](ids.length)))
-        case other                => throw new IllegalStateException(s"unsupported ONNX input '$other'")
+      val created = new java.util.ArrayList[AnyRef]()
+      def tensor(data: Array[Long]) = {
+        val t = createTensor.invoke(null, env, java.nio.LongBuffer.wrap(data), shape)
+        created.add(t)
+        t
       }
-      val result = sessionCls.getMethod("run", classOf[java.util.Map[_, _]]).invoke(session, feeds)
+      var result: AnyRef = null
       try {
+        val feeds = new java.util.HashMap[String, AnyRef]()
+        inputNames.forEach {
+          case n @ "input_ids"      => feeds.put(n, tensor(ids))
+          case n @ "attention_mask" => feeds.put(n, tensor(mask))
+          case n @ "token_type_ids" => feeds.put(n, tensor(new Array[Long](ids.length)))
+          case other                => throw new IllegalStateException(s"unsupported ONNX input '$other'")
+        }
+        result = sessionCls.getMethod("run", classOf[java.util.Map[_, _]]).invoke(session, feeds)
         val value = result.getClass.getMethod("get", classOf[Int])
           .invoke(result, Integer.valueOf(0))
         Class.forName("ai.onnxruntime.OnnxValue").getMethod("getValue").invoke(value)
-      } finally result.getClass.getMethod("close").invoke(result)
+      } finally {
+        if (result != null) result.getClass.getMethod("close").invoke(result)
+        created.forEach { t =>
+          try t.getClass.getMethod("close").invoke(t)
+          catch { case _: Throwable => () } // best-effort; close() is idempotent in ORT
+        }
+      }
     }
   }
 

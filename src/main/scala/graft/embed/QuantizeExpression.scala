@@ -39,6 +39,9 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "quantize_int8"
 
+  // nullable even over a non-null child: a null ELEMENT nulls the struct
+  override def nullable: Boolean = true
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input).asInstanceOf[ArrayData]
     if (v == null) null else QuantizeInt8Expr.run(v)
@@ -46,7 +49,11 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = QuantizeInt8Expr.getClass.getName
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.MODULE$$.run($c);")
+    val r = ctx.freshName("qRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow $r = $helper.MODULE$$.run($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
@@ -54,7 +61,12 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
 }
 
 object QuantizeInt8Expr {
-  /** Shared by interpreted `eval` and generated code. */
+  /** Shared by interpreted `eval` and generated code. A null ELEMENT
+    * nulls the whole struct: the output qvec is declared
+    * `containsNull=false`, so the HOF program's per-slot null cannot be
+    * represented — a vector with a null component has no meaningful
+    * symmetric scale anyway, and reading the slot as 0.0 (the previous
+    * behavior) fabricated codes. */
   def run(v: ArrayData): InternalRow = {
     val n = v.numElements()
     if (n == 0)
@@ -62,6 +74,7 @@ object QuantizeInt8Expr {
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) return null
       val d = math.abs(v.getFloat(i).toDouble)
       if (d > maxAbs) maxAbs = d
       i += 1

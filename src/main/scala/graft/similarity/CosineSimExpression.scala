@@ -130,7 +130,9 @@ object IntDotExpr {
 
 object CosineSimExpr {
   /** Shared by interpreted `eval` and generated code. Returns a boxed
-    * Double, or null for mismatched/empty arrays or a zero norm — the
+    * Double, or null for mismatched/empty arrays, a zero norm, or a
+    * null element (the HOF `transform`/`aggregate` formulation
+    * propagates a null slot to a null result) — the
     * [[Similarity.cosine]] `when` contract. */
   def run(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -140,6 +142,7 @@ object CosineSimExpr {
     var nb2 = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y

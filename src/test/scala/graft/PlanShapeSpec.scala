@@ -147,12 +147,29 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("edit-distance pairs: bucket-keyed join, banded DP, never all-pairs") {
-    val plan = finalPlan(SparkEntry.queries("q_edit_pairs")(spark, dir))
+    val df = SparkEntry.queries("q_edit_pairs")(spark, dir)
+    val plan = finalPlan(df)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // the threshold rides INTO the levenshtein call (banded early-exit
     // DP), it is not a post-hoc filter over unbounded distances
     assert(plan.contains("levenshtein"), plan)
+    // the LENGTH BAND is part of the equi-join key, not a post-join
+    // filter: every join in the logical plan keys on ≥2 columns
+    // (bucket AND band), so one dominant bucket shuffles into per-length
+    // strata instead of a quadratic self-join
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, plan)
+    joins.foreach { j =>
+      val eqKeys = j.condition.toSeq.flatMap(_.collect {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            l: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            r: org.apache.spark.sql.catalyst.expressions.AttributeReference) => (l.name, r.name)
+      })
+      assert(eqKeys.size >= 2, s"edit-pairs join must key on (bucket, band), got $eqKeys:\n$plan")
+    }
   }
 
   test("bm25 search is zero-shuffle: one scan into a bounded TakeOrdered") {

@@ -130,4 +130,39 @@ class DedupSpec extends SparkSpec {
     assert(j.toSeq == Seq((1L, 3L, 1.0)))
     assert(out.find(p => p._1 == 1L && p._2 == 3L).get._3 > 0L)
   }
+
+  test("edit-distance pairs: banded join produces every qualifying pair exactly once") {
+    // lengths straddle the band boundaries (band width = maxDistance+1 = 4):
+    // same-band, adjacent-band and cross-band (>k apart, must NOT pair)
+    // combinations all present; brute force is the ground truth
+    val k = 3
+    val texts = Seq(
+      1L -> "aa",          // len 2, band 0
+      2L -> "aab",         // len 3, band 0
+      3L -> "aabb",        // len 4, band 1 — adjacent to band 0, dist(2,3)=1
+      4L -> "aabbccd",     // len 7, band 1
+      5L -> "aabbccdd",    // len 8, band 2 — adjacent to band 1, dist(4,5)=1
+      6L -> "zzzzzzzzzzzz", // len 12, band 3 — pairs with nothing (len gap > k)
+      7L -> "aabbccde"     // len 8, band 2 — dist(5,7)=1, same band
+    )
+    val df = texts.map { case (id, t) => (id, t, "g") }.toDF("doc_id", "text", "grp")
+    val got = Dedup.editDistancePairs(df, "text", "doc_id", col("grp"), maxDistance = k)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts
+      if ia < ib && math.abs(ta.length - tb.length) <= k
+      dist = lev(ta, tb) if dist <= k
+    } yield (ia, ib, dist.toLong)).sorted
+    assert(got == want, s"got=$got want=$want")
+    assert(got.size == got.distinct.size, "pair emitted more than once")
+  }
 }

@@ -1565,13 +1565,23 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("doc_id", "topic_id")
     }),
 
-    // §2.5 #13 embedding via the mapPartitions batch engine (pseudo-model;
-    // not SQL-expressible → no oracle entry, driver records rows-only)
+    // §2.5 #13 embedding via the mapPartitions batch engine over the FULL
+    // documents table — unlike q_embed_fixture (which pre-projects to two
+    // columns), this row pins the schema-APPEND contract: every input
+    // column survives the engine and rides alongside the vector. The
+    // integer-exact fixture model makes dim and norm re-derivable by
+    // DuckDB (digits ≤ 96 ⇒ the sum of squares is an exact integer in
+    // double, order-independent), upgrading this row from rows-only to
+    // the full hash oracle.
     "q_embed_docs" -> ((s, dir) => {
-      val embedded = graft.embed.Embedders.embed(tbl(s, dir, "documents"), "text", "emb")
+      embedFixtureRegistered
+      val embedded = graft.embed.Embedders
+        .embed(tbl(s, dir, "documents"), "text", "emb", modelId = EmbedFixtureModelId)
       embedded
         .select(
           col("doc_id"),
+          col("lang"),
+          col("source"),
           size(col("emb")).cast("long").as("emb_dim"),
           round(
             sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
@@ -1582,15 +1592,19 @@ FROM graft_documents ORDER BY doc_id""")
     // §2.5 #13 nested variant (reference `src/expressions.rs:690-752`:
     // `List(String) → List(embedding)` — flatten, embed, regroup). The doc
     // is split into segments; each segment embeds independently and the
-    // per-segment norms surface one row per (doc, segment). Pseudo-model →
-    // rows-only, like q_embed_docs; the flatten/regroup contract itself is
-    // pinned by EmbedderSpec.
-    "q_embed_nested" -> ((s, dir) =>
+    // per-segment norms surface one row per (doc, segment). The fixture
+    // model makes the flatten/regroup contract itself oracle-checkable:
+    // DuckDB re-derives each SEGMENT's vector, so a regroup bug (vectors
+    // landing on the wrong segment index) is a hash mismatch, not just an
+    // EmbedderSpec failure.
+    "q_embed_nested" -> ((s, dir) => {
+      embedFixtureRegistered
       tbl(s, dir, "documents")
         .withColumn(
           "segs",
           filter(split(col("text"), " the "), x => x =!= ""))
-        .withColumn("embs", graft.embed.Embedders.embeddingList(col("segs")))
+        .withColumn("embs",
+          graft.embed.Embedders.embeddingList(col("segs"), EmbedFixtureModelId))
         .select(col("doc_id"), posexplode(col("embs")).as(Seq("seg_idx", "emb")))
         .select(
           col("doc_id"),
@@ -1599,7 +1613,8 @@ FROM graft_documents ORDER BY doc_id""")
           round(
             sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
               lit(0.0), (acc, v) => acc + v * v)), 4).as("emb_norm"))
-        .orderBy("doc_id", "seg_idx")),
+        .orderBy("doc_id", "seg_idx")
+    }),
 
     // §2.3 #10 concordance in regex mode: same KWIC contract, pattern taken
     // as a raw regex with caseSensitive=true — pins the `regex`/
@@ -2920,6 +2935,48 @@ WHERE gate < t ORDER BY doc_id""",
     // the embed ENGINE answers the same fixture re-derivation as the
     // cache layer over it — by construction (one model, one math)
     "q_embed_fixture" -> embedFixtureOracleSql,
+
+    // full-table engine pass: dim + L2 norm of the fixture vector per doc
+    // with passenger columns — digits ≤ 96 ⇒ Σv² is an exact integer in
+    // double, so sum order cannot drift and sqrt/round agree bitwise
+    "q_embed_docs" -> {
+      val dims = (0 until EmbedFixtureDim)
+        .map(d => s"($d, ${BigInt(97).pow(d)})").mkString(", ")
+      s"""WITH h AS (
+  SELECT doc_id, lang, source, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
+dims(dim, p) AS (VALUES $dims),
+v AS (
+  SELECT doc_id, lang, source,
+    CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
+  FROM h CROSS JOIN dims)
+SELECT doc_id, lang, source, CAST($EmbedFixtureDim AS BIGINT) AS emb_dim,
+  round(sqrt(sum(v * v)), 4) AS emb_norm
+FROM v GROUP BY doc_id, lang, source ORDER BY doc_id"""
+    },
+
+    // nested variant: DuckDB re-splits the doc on ' the ', drops empty
+    // segments, and re-derives each SEGMENT's fixture vector — the
+    // parallel unnest pins posexplode's index alignment, so a regroup
+    // bug lands on the wrong seg_idx and hash-mismatches
+    "q_embed_nested" -> {
+      val dims = (0 until EmbedFixtureDim)
+        .map(d => s"($d, ${BigInt(97).pow(d)})").mkString(", ")
+      s"""WITH segs AS (
+  SELECT doc_id,
+    unnest(list_filter(str_split(text, ' the '), x -> x <> '')) AS seg,
+    unnest(range(0, len(list_filter(str_split(text, ' the '), x -> x <> '')))) AS seg_idx
+  FROM documents WHERE text IS NOT NULL),
+h AS (SELECT doc_id, seg_idx, ${fnvSql("seg")} AS u FROM segs),
+dims(dim, p) AS (VALUES $dims),
+v AS (
+  SELECT doc_id, seg_idx,
+    CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
+  FROM h CROSS JOIN dims)
+SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+  CAST($EmbedFixtureDim AS BIGINT) AS emb_dim,
+  round(sqrt(sum(v * v)), 4) AS emb_norm
+FROM v GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx"""
+    },
 
     "q_features" -> {
       val vals = graft.Features.compiledFeatures.toSeq.sorted

@@ -219,7 +219,12 @@ object TokenizerModels {
     else if (model == KoDict) koDictLoaded
     val found = registry.get(model)
     if (found != null) found
-    else if (!inventory.contains(model))
+    else if (model.startsWith("huggingface:") && HfTokenizerGate.servesId(model)) {
+      // gated local tokenizer.json (never the network); putIfAbsent so an
+      // explicit registration under the id still wins
+      registry.putIfAbsent(model, HfTokenizerJson.fromEnv())
+      registry.get(model)
+    } else if (!inventory.contains(model))
       throw new IllegalArgumentException(
         s"unknown tokenizer model '$model'; known: ${(inventory.keys ++ loadedModels).toSeq.distinct.sorted.mkString(", ")}")
     else {
@@ -229,10 +234,15 @@ object TokenizerModels {
         else if (langs.contains("ja")) s" or the bundled $JaDict"
         else if (langs.contains("ko")) s" or the bundled $KoDict"
         else ""
+      val hfHint =
+        if (model.startsWith("huggingface:"))
+          s"; or point ${HfTokenizerGate.TokenizerJsonEnv} at a local " +
+            s"tokenizer.json (and ${HfTokenizerGate.ModelIdEnv} at '$model')"
+        else ""
       throw new UnsupportedOperationException(
         s"tokenizer model '$model' requires a network-fetched backend, " +
           "unavailable in this offline build; use " + PlainWordsEn + bundled +
-          " or register an offline backend via TokenizerModels.register")
+          " or register an offline backend via TokenizerModels.register" + hfHint)
     }
   }
 

@@ -22,7 +22,9 @@ package graft.text
 final class WordPieceTokenizer(
     vocab: Set[String],
     unkToken: String = "[UNK]",
-    maxInputCharsPerWord: Int = 100)
+    maxInputCharsPerWord: Int = 100,
+    contPrefix: String = "##",
+    override val caseAware: Boolean = true)
     extends TokenizerBackend {
 
   override def tokenize(
@@ -35,7 +37,7 @@ final class WordPieceTokenizer(
     val out = Vector.newBuilder[Token]
     pre.foreach { word =>
       wordPieces(word.token).foreach { case (piece, relStart, relEnd) =>
-        val bare = if (piece.startsWith("##")) piece.substring(2) else piece
+        val bare = if (piece.startsWith(contPrefix)) piece.substring(contPrefix.length) else piece
         val keep = !PlainTokenizer.isSpecialToken(piece) &&
           (!removePunct || bare.exists(c => Character.isLetterOrDigit(c)))
         if (keep) out += Token(piece, word.start + relStart, word.start + relEnd)
@@ -56,7 +58,7 @@ final class WordPieceTokenizer(
       var end = cps.length
       var found: String = null
       while (found == null && end > start) {
-        val prefix = if (start > 0) "##" else ""
+        val prefix = if (start > 0) contPrefix else ""
         val candidate = prefix + new String(cps, start, end - start)
         if (vocab.contains(candidate)) found = candidate
         else end -= 1

@@ -55,9 +55,15 @@ object Bm25 {
       model: String = TokenizerModels.PlainWordsEn): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
-    val toks = transform(Tokenize.tokenize(col(textCol), model), t => t.getField("token"))
+    // native token-strings + per-term count expressions: ArrayTransform /
+    // ArrayFilter are CodegenFallback, so the corpus scan paid one
+    // interpreted lambda pass per query term — these keep both scans
+    // fully inside whole-stage codegen (values identical, oracle-pinned)
+    val toks = Tokenize.tokenStrings(col(textCol), model)
     val tfCols = terms.indices.map(i =>
-      size(filter(toks, x => x === terms(i))).as(s"__tf_$i"))
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.text.ArrayCountEqExpr(
+          org.apache.spark.sql.graft.Bridge.expression(toks), terms(i))).as(s"__tf_$i"))
     val perDoc = df.select(
       (col(idCol).as("doc_id") +: size(toks).as("dl") +: tfCols): _*)
 

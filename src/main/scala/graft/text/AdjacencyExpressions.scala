@@ -121,6 +121,60 @@ case class AdjacentPairsExpr(child: Expression, window: Int, maxTokens: Int)
     copy(child = newChild)
 }
 
+/** Native `size(filter(arr, x => x === term))` for a CONSTANT term —
+  * the per-term tf counter in [[graft.similarity.Bm25]]. `ArrayFilter`
+  * is CodegenFallback, so each corpus document paid one interpreted
+  * lambda pass PER QUERY TERM; this counts matches in one fused loop
+  * per term inside whole-stage codegen. Value parity: null elements
+  * never equal the term (the HOF predicate's null → false), null array
+  * → null (size(null) is -1 under legacy conf, null under default —
+  * tokenize output is non-null, so the branch is unreachable here). */
+case class ArrayCountEqExpr(child: Expression, term: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "array_count_eq"
+
+  @transient private lazy val termUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(term)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v == null) null else ArrayCountEqExpr.run(v, termUtf8)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ArrayCountEqExpr.getClass.getName
+    val termRef = ctx.addReferenceObj("termUtf8", termUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.MODULE$$.run($c, $termRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayCountEqExpr =
+    copy(child = newChild)
+}
+
+object ArrayCountEqExpr {
+  /** Shared by interpreted `eval` and generated code. */
+  def run(v: ArrayData, term: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = v.numElements()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && term.equals(v.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+}
+
 object AdjacentPairsExpr {
   private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
 

@@ -34,9 +34,33 @@ object GopherRules {
 
   private def notNull(c: Column): Column = coalesce(c, lit(""))
 
+  private val FieldNames = Seq(
+    "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+    "ellipsis_frac", "alpha_frac", "stop_hits", "keep")
+
   /** `(name, column)` metric pairs plus the conjunction `keep` — callers
-    * select what they need; ratios are raw (round at the query edge). */
+    * select what they need; ratios are raw (round at the query edge).
+    *
+    * One fused codegen'd scan per document ([[GopherMetricsExpr]]); the
+    * HOF Column program it replaced ([[hofMetrics]]) chained ~10
+    * CodegenFallback array functions per row. Values identical
+    * (spec-pinned field by field, oracle-checked end to end). */
   def metrics(
+      c: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val m = org.apache.spark.sql.graft.Bridge.column(
+      GopherMetricsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(c), minWords, maxWords))
+    FieldNames.map(f => f -> m.getField(f))
+  }
+
+  /** The higher-order-function formulation [[metrics]] fuses — kept as
+    * the executable semantics REFERENCE: the parity spec asserts the
+    * native expression equals this program field by field on the edge
+    * cases (empty/null text, whitespace runs, dot runs, bullet/ellipsis
+    * lines, case-folded stopwords). Not used on any query path. */
+  private[graft] def hofMetrics(
       c: Column,
       minWords: Int = 50,
       maxWords: Int = 100000): Seq[(String, Column)] = {

@@ -178,6 +178,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "BM25 must not shuffle — constants are literals, " +
       "tf is elementwise, top-k is TakeOrdered:\n" + plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // tf counting is the fused native expression pair, not interpreted
+    // ArrayTransform/ArrayFilter chains (both CodegenFallback)
+    assert(plan.contains("token_strings"), plan)
+    assert(plan.contains("array_count_eq"), plan)
+    assert(!plan.contains("transform("), plan)
+    assert(!plan.contains("filter(token_strings"), plan)
+  }
+
+  test("gopher rules are one fused codegen'd scan — no HOF array passes") {
+    val plan = finalPlan(SparkEntry.queries("q_gopher_rules")(spark, dir))
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(plan.contains("gopher_metrics"), plan)
+    // the split/filter/aggregate/transform/array_intersect chain is gone
+    for (hof <- Seq("aggregate(", "array_intersect(", "split("))
+      assert(!plan.contains(hof), s"HOF '$hof' survived in the gopher plan:\n$plan")
   }
 
   test("repetition and scrub are scan-speed: no aggregation shuffle, no UDF") {

@@ -141,6 +141,16 @@ object SparkEntry {
   private lazy val embedFixtureRegistered: Unit =
     graft.embed.EmbedderRegistry.register(EmbedFixtureModelId, FnvDigitModel(EmbedFixtureDim))
 
+  /** (img_id, width, height) of the synthetic PNG test cards the
+    * real-image-decode query round-trips — shared by the query (which
+    * ENCODES cards at these dims, then re-derives them by actually
+    * decoding the PNG headers) and its oracle (which lists them as
+    * literals: config shared, computation real). */
+  val ImageFixtureDims: Seq[(Long, Int, Int)] =
+    Seq((0L, 17, 9), (1L, 64, 48), (2L, 3, 5), (3L, 128, 1))
+  val ImageResizeW = 10
+  val ImageResizeH = 7
+
   /** Scratch cache roots for the typed-cache queries (one per JVM, the
     * tokCacheDir pattern: the bench warmup populates, timed passes hit). */
   private lazy val typedTokCacheDir: String =
@@ -1450,6 +1460,38 @@ FROM graft_documents ORDER BY doc_id""")
           col("media_meta.n_frames").as("n_frames"),
           col("media_meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // multimodal tier: REAL image decode (javax.imageio — no stub). The
+    // query PNG-encodes synthetic test cards at known dimensions, then
+    // re-derives width/height by actually parsing the PNG headers through
+    // the batched decode path, resizes through a real bilinear
+    // scale + PNG re-encode, and decodes AGAIN to prove the round trip;
+    // an intentionally corrupt payload exercises the explicit (-1,-1)
+    // undecodable marker. The oracle lists the expected dims as literals
+    // (config shared, decode real).
+    "q_media_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val dec = new graft.multimodal.ImageIoDecoder()
+      val rows = ImageFixtureDims.map { case (id, w, h) =>
+        (id, graft.multimodal.ImageIoDecoder.testCardPng(w, h), "image/png")
+      } :+ ((99L, "not an image".getBytes("UTF-8"), "image/png"))
+      val df = rows.toDF("img_id", "payload", "mime").repartition(2)
+      val meta = graft.multimodal.Multimodal
+        .extractMetadata(df, "payload", "mime", decoder = dec)
+      val resized = graft.multimodal.Multimodal
+        .resizeMedia(meta, "payload", "mime", ImageResizeW, ImageResizeH, decoder = dec)
+        .drop("payload").withColumnRenamed("resized", "payload")
+      graft.multimodal.Multimodal
+        .extractMetadata(resized, "payload", "mime", outCol = "rs_meta", decoder = dec)
+        .select(
+          col("img_id"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("rs_meta.width").as("rs_width"),
+          col("rs_meta.height").as("rs_height"))
+        .orderBy("img_id")
     }),
 
     // multimodal tier: feature extraction — the stub's per-dimension
@@ -3048,6 +3090,21 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 WHERE rank <= 3 ORDER BY o_custkey, rank""",
 
     "q_media_meta" -> mediaMetaSql,
+
+    // real-image round trip: expected dims as literals (the engine
+    // re-derives them from actual PNG headers; the corrupt row pins the
+    // explicit undecodable marker)
+    "q_media_image_meta" -> {
+      val vals = (ImageFixtureDims.map { case (id, w, h) =>
+        s"($id, $w, $h, 1, $ImageResizeW, $ImageResizeH)"
+      } :+ s"(99, -1, -1, 0, -1, -1)").mkString(", ")
+      s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(n_frames AS INT) AS n_frames,
+  CAST(rs_width AS INT) AS rs_width, CAST(rs_height AS INT) AS rs_height
+FROM (VALUES $vals) AS t(img_id, width, height, n_frames, rs_width, rs_height)
+ORDER BY img_id"""
+    },
 
     "q_media_features" -> mediaFeaturesSql,
 

@@ -1942,13 +1942,14 @@ FROM ll ORDER BY token"""
         cfg = graft.topic.TopicModeling.Config(
           // 16-token chunks (the q_chunking constants): multiple chunks per
           // document, so the assembly's proportions/dominant algebra is
-          // exercised on non-trivial distributions. eps pinned at 0.2 — the
-          // probed density level where DBSCAN yields several clusters PLUS
-          // outliers on this corpus (auto-eps merges the hash-projection
-          // space into one blob), so coords/rollup/assembly see the full
-          // label structure, -1 included
+          // exercised on non-trivial distributions. eps pinned at 1.0 — the
+          // probed density level where clustering the PaCMAP-reduced space
+          // yields several clusters PLUS outliers on this corpus (probe
+          // sweep: 0.2 → all noise, 1.0 → 5 topics + 48/738 noise, 2.0 →
+          // one blob), so coords/rollup/assembly see the full label
+          // structure, -1 included
           chunking = graft.topic.Chunking.Config(maxTokens = 16, overlap = 4),
-          cluster = graft.topic.Cluster.Config(minClusterSize = 5, eps = Some(0.2))))
+          cluster = graft.topic.Cluster.Config(minClusterSize = 5, eps = Some(1.0))))
     })
 
   /** Data-dependent topic oracles: one pipeline run exports the per-chunk

@@ -212,15 +212,31 @@ object TopicModeling {
             else if (n < Reduce.MinPointsForReduction)
               (Array.fill(n)(0), 1, Array((0.0f, 0.0f)), Array.fill(n)(Array(0.0f, 0.0f)))
             else {
-              val reduced = timed("reduce_clustering") { Reduce.reduce(matrix, cfg.reduceDims, cfg.seed) }
+              // PaCMAP (the reference's reducer) in its exact-kNN regime;
+              // past the crate's own approx_threshold boundary the exact
+              // path falls back to the seeded PCA substitute (documented:
+              // PaCMAP has no out-of-sample transform, so the >8k regime
+              // mirrors the sampled path's linear-basis posture)
+              val usePacmap = n <= Pacmap.MaxExactPoints
+              val reduced = timed("reduce_clustering") {
+                if (usePacmap) Pacmap.reduce(matrix, cfg.reduceDims, cfg.seed)
+                else Reduce.reduce(matrix, cfg.reduceDims, cfg.seed)
+              }
               val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
-              // PCA components are computed sequentially with deflation from a
-              // per-component RNG stream, so the first two columns of the k-dim
-              // reduction ARE the 2-dim reduction — slice instead of re-running
-              // the power iteration (halves the driver-side PCA cost; bitwise
-              // identical to Reduce.reduce(matrix, 2, seed))
               val twoD = timed("reduce_coordinates") {
-                if (cfg.reduceDims >= 2) reduced.map(r => Array(r(0), r(1)))
+                if (usePacmap) {
+                  // the reference reduces SEPARATELY to 2-D for coordinates
+                  // (mod.rs:289-303); identical config+seed makes the
+                  // reduceDims==2 rerun redundant — reuse
+                  if (cfg.reduceDims == 2) reduced
+                  else Pacmap.reduce(matrix, 2, cfg.seed)
+                }
+                // PCA components are computed sequentially with deflation
+                // from a per-component RNG stream, so the first two columns
+                // of the k-dim reduction ARE the 2-dim reduction — slice
+                // instead of re-running the power iteration (bitwise
+                // identical to Reduce.reduce(matrix, 2, seed))
+                else if (cfg.reduceDims >= 2) reduced.map(r => Array(r(0), r(1)))
                 else Reduce.reduce(matrix, 2, cfg.seed)
               }
               val cds = timed("topic_coordinates") {

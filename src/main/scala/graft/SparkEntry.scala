@@ -1419,6 +1419,20 @@ FROM graft_documents ORDER BY doc_id""")
           Seq("spark", "join", "window"), k = 20, roundTo = 6)
         .orderBy(col("score").desc, col("doc_id").asc)),
 
+    // retrieval tier: hybrid lexical+semantic reciprocal-rank fusion
+    // (Cormack 2009) — BM25 list ⊕ fixture-embedding cosine list, both
+    // poolK-cut before the bounded fusion join. The fixture model makes
+    // the SEMANTIC side fully oracle-checkable: DuckDB re-derives every
+    // document vector AND the query vector from the literal query string,
+    // so both rank lists and the fused scores are independently recomputed
+    "q_hybrid_rrf" -> ((s, dir) => {
+      embedFixtureRegistered
+      graft.similarity.HybridSearch.rrf(
+        tbl(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "join", "window"), "spark join window",
+        EmbedFixtureModelId, k = 20, poolK = 50)
+    }),
+
     // quality tier: Gopher/C4-style repetition metrics — pure Column
     // program, one tokenize, zero shuffle (scan-speed curation signal)
     "q_repetition" -> ((s, dir) => {
@@ -1605,6 +1619,30 @@ FROM graft_documents ORDER BY doc_id""")
           col("n_topics"),
           col("n_chunks"))
         .orderBy("doc_id", "topic_id")
+    }),
+
+    // §2.6 #17/#18 the DEFAULT topic pipeline — PaCMAP reduction +
+    // condensed-tree HDBSCAN (no pinned eps), i.e. the out-of-the-box
+    // reference configuration — under the same data-dependent oracle: the
+    // seeded reduce/cluster stages export per-chunk (label, x, y), and
+    // the distributed per-topic aggregation (sizes + Coords centroids,
+    // noise row included with null coords) is what DuckDB re-derives.
+    // Upgrades HDBSCAN+PaCMAP coverage from spec-only to oracle-checked.
+    "q_topic_hdbscan" -> ((s, dir) => {
+      import s.implicits._
+      val pts = topicRunHdbscan(s, dir).chunkPoints
+        .toDF("doc_id", "chunk_idx", "label", "x", "y")
+      val sizes = pts
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("long").as("n_chunks"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"))
+      val coords = graft.topic.Coords.topicCoords(pts)
+        .select(col("label"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+      sizes
+        .join(coords, Seq("label"), "left")
+        .select(col("label"), col("n_chunks"), col("n_docs"), col("x"), col("y"))
+        .orderBy("label")
     }),
 
     // §2.5 #13 embedding via the mapPartitions batch engine over the FULL
@@ -1933,7 +1971,7 @@ FROM ll ORDER BY token"""
   private val topicRuns =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.topic.TopicModeling.Output]()
   private def topicRun(s: SparkSession, dir: String): graft.topic.TopicModeling.Output =
-    topicRuns.computeIfAbsent((s, dir), { _ =>
+    topicRuns.computeIfAbsent((s, dir + "#eps"), { _ =>
       graft.topic.TopicModeling.run(
         tbl(s, dir, "documents").orderBy("doc_id").limit(200),
         "text",
@@ -1950,6 +1988,22 @@ FROM ll ORDER BY token"""
           // structure, -1 included
           chunking = graft.topic.Chunking.Config(maxTokens = 16, overlap = 4),
           cluster = graft.topic.Cluster.Config(minClusterSize = 5, eps = Some(1.0))))
+    })
+
+  /** Same corpus/chunking as [[topicRun]] but the DEFAULT clustering path:
+    * condensed-tree HDBSCAN over the PaCMAP reduction (no pinned eps) —
+    * the configuration a reference user gets out of the box. Its labels
+    * feed `q_topic_hdbscan`'s oracle through the exported chunk points. */
+  private def topicRunHdbscan(s: SparkSession, dir: String): graft.topic.TopicModeling.Output =
+    topicRuns.computeIfAbsent((s, dir + "#hdbscan"), { _ =>
+      graft.topic.TopicModeling.run(
+        tbl(s, dir, "documents").orderBy("doc_id").limit(200),
+        "text",
+        "doc_id",
+        corpusCol = None,
+        cfg = graft.topic.TopicModeling.Config(
+          chunking = graft.topic.Chunking.Config(maxTokens = 16, overlap = 4),
+          cluster = graft.topic.Cluster.Config(minClusterSize = 5)))
     })
 
   /** Data-dependent topic oracles: one pipeline run exports the per-chunk
@@ -2005,7 +2059,32 @@ LEFT JOIN tot t ON t.doc_id = b.doc_id
 LEFT JOIN dom d ON d.doc_id = b.doc_id
 LEFT JOIN coords co ON co.label = coalesce(d.dominant_topic, -1)
 ORDER BY b.doc_id, c.topic_id"""
-    Map("q_topic_coords" -> coords, "q_topic_assembly" -> assembly)
+    // the DEFAULT-path (HDBSCAN over PaCMAP) run exports its own points;
+    // DuckDB re-derives the per-topic sizes + centroid algebra from them
+    val hPts = topicRunHdbscan(spark, dir).chunkPoints
+    require(hPts.nonEmpty, "topic oracle: hdbscan pipeline produced no chunks")
+    val hVals = hPts
+      .map { case (d, c, l, x, y) => s"($d, $c, $l, ${x.toDouble}, ${y.toDouble})" }
+      .mkString(", ")
+    val hdbscan =
+      s"""WITH pts(doc_id, chunk_idx, label, x, y) AS (VALUES $hVals),
+sizes AS (
+  SELECT CAST(label AS INT) AS label, count(*) AS n_chunks,
+    count(DISTINCT doc_id) AS n_docs
+  FROM pts GROUP BY 1),
+coords AS (
+  SELECT CAST(label AS INT) AS label,
+    round(avg(CAST(x AS DOUBLE)), 6) AS x,
+    round(avg(CAST(y AS DOUBLE)), 6) AS y
+  FROM pts WHERE label <> -1 GROUP BY 1)
+SELECT s.label, CAST(s.n_chunks AS BIGINT) AS n_chunks,
+  CAST(s.n_docs AS BIGINT) AS n_docs, c.x, c.y
+FROM sizes s LEFT JOIN coords c ON c.label = s.label
+ORDER BY s.label"""
+    Map(
+      "q_topic_coords" -> coords,
+      "q_topic_assembly" -> assembly,
+      "q_topic_hdbscan" -> hdbscan)
   }
 
   /** The CTE prefix both IVF oracles share: centroid literals (trained on
@@ -3430,6 +3509,67 @@ docs AS (
   FROM scored GROUP BY doc_id)
 SELECT doc_id, round(score, 6) AS score
 FROM docs ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // Hybrid RRF: the BM25 chain above cut at poolK=50 + the fixture
+    // embedding cosine list — the query vector re-derived IN SQL from the
+    // literal query string (nothing exported), cosine exact because the
+    // fixture components are small integers (sums exact in double in any
+    // order), rrf summed lex-then-sem like the engine.
+    "q_hybrid_rrf" ->
+      s"""WITH base AS (
+  SELECT doc_id, ${toksArrSql()} AS toks
+  FROM documents),
+tfs AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY 1, 2, 3),
+corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM base),
+hits AS (
+  SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
+  FROM tfs WHERE term IN ('spark', 'join', 'window')),
+scored AS (
+  SELECT h.doc_id, h.term,
+    ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
+      * (h.tf * (1.2 + 1.0)) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS score_t
+  FROM hits h, corpus c),
+docs AS (
+  SELECT doc_id,
+    list_reduce(list(score_t ORDER BY term), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY doc_id),
+lex0 AS (
+  SELECT doc_id, round(score, 6) AS s FROM docs
+  ORDER BY s DESC, doc_id LIMIT 50),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
+  FROM lex0),
+dims(dim, p) AS (VALUES ${(0 until EmbedFixtureDim)
+        .map(d => s"($d, ${BigInt(97).pow(d)})").mkString(", ")}),
+h AS (SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents),
+v AS (
+  SELECT doc_id, dim, CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
+  FROM h CROSS JOIN dims),
+qh AS (SELECT ${fnvSql("'spark join window'")} AS u),
+qv AS (
+  SELECT dim, CAST((u // CAST(p AS HUGEINT)) % 97 AS DOUBLE) AS v
+  FROM qh CROSS JOIN dims),
+cs AS (
+  SELECT a.doc_id,
+    sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))) AS cos
+  FROM v a JOIN qv b USING (dim) GROUP BY a.doc_id),
+sem0 AS (
+  SELECT doc_id, round(cos, 6) AS s FROM cs
+  ORDER BY s DESC, doc_id LIMIT 50),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_sem
+  FROM sem0)
+SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.r_lex, m.r_sem,
+  round(coalesce(1.0 / (60 + l.r_lex), 0.0)
+      + coalesce(1.0 / (60 + m.r_sem), 0.0), 6) AS rrf
+FROM lex l FULL JOIN sem m ON m.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20""",
 
     // Repetition metrics re-derived relationally: list-level metrics from
     // the token array; the top-word count and the longest consecutive run

@@ -15,12 +15,14 @@ private[topic] final class KdTree(points: Array[Array[Float]]) {
 
   private val n = points.length
   private val dims = if (n == 0) 0 else points(0).length
-  // tree laid out as index permutation + per-node split axis
-  private val idx = Array.tabulate(n)(identity)
-  private val left = Array.fill(n)(-1)
-  private val right = Array.fill(n)(-1)
-  private val axisOf = Array.fill(n)(0)
-  private val root = if (n == 0) -1 else build(0, n, 0)
+  // tree laid out as index permutation + per-node split axis; exposed to
+  // the package so [[BoruvkaMst]] can walk the same structure with its
+  // own component-aware pruning
+  private[topic] val idx = Array.tabulate(n)(identity)
+  private[topic] val left = Array.fill(n)(-1)
+  private[topic] val right = Array.fill(n)(-1)
+  private[topic] val axisOf = Array.fill(n)(0)
+  private[topic] val root = if (n == 0) -1 else build(0, n, 0)
 
   /** Build over idx[from, until), returns position in idx of the subtree
     * root. Median-of-range split on `axis`, ties broken by original index

@@ -209,6 +209,32 @@ object TokenizerModels {
   /** Register (or replace) a backend under `id`. */
   def register(id: String, backend: TokenizerBackend): Unit = { registry.put(id, backend); () }
 
+  /** Opt-in gate: serve `lindera:*` ids with the bundled dictionary
+    * segmenters ([[ZhDict]]/[[JaDict]]/[[KoDict]]) instead of failing
+    * fast. The reference keeps its own Lindera integration behind an
+    * explicit env opt-in too (`POLARS_TEXT_RUN_LINDERA_TESTS`,
+    * `/root/reference/tests/test_lindera_integration.py:23-31`); this
+    * mirrors that posture for the zero-egress build. DEFAULT OFF: the
+    * bundled DP segmenters share Lindera's dictionary-DAG family (jieba's
+    * max-probability DP is literally `lindera:jieba`'s algorithm) but not
+    * its dictionaries or the ja/ko lattice costs, so substituting them
+    * must be an explicit user decision, never silent. System property
+    * takes precedence over env so tests can exercise the gate in-JVM. */
+  val LinderaFallbackEnv = "GRAFT_LINDERA_DICT_FALLBACK"
+  val LinderaFallbackProp = "graft.lindera.dict.fallback"
+  private def linderaFallbackEnabled: Boolean = {
+    val v = sys.props.get(LinderaFallbackProp).orElse(sys.env.get(LinderaFallbackEnv))
+    v.exists(s => s == "1" || s.equalsIgnoreCase("true"))
+  }
+  private val linderaWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** The bundled stand-in for a `lindera:*` id, by inventory language. */
+  private def linderaBundledId(model: String): Option[String] =
+    inventory.get(model).collect {
+      case langs if langs.contains("zh") => ZhDict
+      case langs if langs.contains("ja") => JaDict
+      case langs if langs.contains("ko") => KoDict
+    }
+
   /** Resolve a model id to its backend; unknown ids and registered-but-
     * unloaded ids fail with distinct messages (the reference's
     * `ensure_tokenizer_for_model` contract). */
@@ -224,6 +250,17 @@ object TokenizerModels {
       // explicit registration under the id still wins
       registry.putIfAbsent(model, HfTokenizerJson.fromEnv())
       registry.get(model)
+    } else if (model.startsWith("lindera:") && linderaFallbackEnabled &&
+        linderaBundledId(model).isDefined) {
+      val sub = linderaBundledId(model).get
+      if (linderaWarned.add(model))
+        System.err.println(
+          s"[graft] $model → bundled $sub dictionary segmenter " +
+            s"($LinderaFallbackEnv opt-in); NOT the Lindera lattice/dictionaries")
+      // resolved DYNAMICALLY, never written into the registry under the
+      // lindera id: disabling the gate restores fail-fast, and an explicit
+      // register() under the id always wins (checked above)
+      resolve(sub)
     } else if (!inventory.contains(model))
       throw new IllegalArgumentException(
         s"unknown tokenizer model '$model'; known: ${(inventory.keys ++ loadedModels).toSeq.distinct.sorted.mkString(", ")}")
@@ -238,6 +275,9 @@ object TokenizerModels {
         if (model.startsWith("huggingface:"))
           s"; or point ${HfTokenizerGate.TokenizerJsonEnv} at a local " +
             s"tokenizer.json (and ${HfTokenizerGate.ModelIdEnv} at '$model')"
+        else if (model.startsWith("lindera:"))
+          s"; or set $LinderaFallbackEnv=1 to serve lindera:* ids with the " +
+            "bundled dictionary segmenters"
         else ""
       throw new UnsupportedOperationException(
         s"tokenizer model '$model' requires a network-fetched backend, " +

@@ -18,6 +18,37 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Event-time column normalized to TIMESTAMP, robust to the physical
+    * parquet encoding of `events.ts` across testdata generations:
+    *   - TIMESTAMP(MICROS, adjusted)     → read as TIMESTAMP; as-is;
+    *   - TIMESTAMP(MICROS, not adjusted) → read as TIMESTAMP_NTZ; cast to
+    *     TIMESTAMP (session TZ is UTC everywhere, so the instant equals
+    *     what DuckDB's naive TIMESTAMP sees). The cast matters:
+    *     watermarks/event-time require TIMESTAMP, and downstream epoch
+    *     arithmetic (range-join granules) can't cast NTZ to BIGINT;
+    *   - legacy TIMESTAMP(NANOS) → surfaces as a LONG under the
+    *     `nanosAsLong` conf; nanos DIV 1000 is the exact-micros conversion.
+    * Branching on the READ dtype (not a conf or a version check) keeps the
+    * same code correct under any of the three encodings.
+    */
+  private[graft] def normalizedTs(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"timestamp_micros(CAST($tsCol DIV 1000 AS LONG))")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(tsCol).cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col(tsCol)
+    }
+
+  /** The events table with `ts` normalized via [[normalizedTs]]. The
+    * `nanosAsLong` conf is set before the read — a no-op on MICROS-encoded
+    * data, required for the footer to parse at all on NANOS-encoded data. */
+  private[graft] def eventsWithTs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = tbl(s, dir, "events")
+    ev.withColumn("ts", normalizedTs(ev, "ts"))
+  }
+
   /** Offline WordPiece fixture: the in-repo `vocab.txt` covers the corpus
     * vocabulary with 25 whole words + 6 two-piece decompositions, so the
     * greedy longest-match output is hand-derivable (and SQL-recomputable
@@ -271,11 +302,7 @@ FROM graft_documents ORDER BY doc_id""")
     // here batch-checked against the oracle; DECIMAL sums keep the compare
     // exact (double summation is order-dependent across engines)
     "q_event_windows" -> ((s, dir) => {
-      // the events table stores TIMESTAMP(NANOS), which Spark only reads
-      // as a long; nanos DIV 1000 → exact micros
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      eventsWithTs(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -299,11 +326,10 @@ FROM graft_documents ORDER BY doc_id""")
     // so the driver compares a genuine streaming execution against DuckDB's
     // batch SQL: the stream/batch unification contract, oracle-checked.
     "q_stream_event_windows" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = tbl(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy-NANOS no-op guard; see normalizedTs
+      val src = s.readStream.schema(tbl(s, dir, "events").schema)
         .parquet(stagedDir(s"$dir/events.parquet"))
-        .withColumn("ets", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val stream = src.withColumn("ets", normalizedTs(src, "ts"))
       val agg = graft.streaming.TextStream
         .windowedEventStats(stream, "ets", "event_type", "value")
       s.catalog.dropTempView("graft_stream_event_windows")
@@ -326,8 +352,7 @@ FROM graft_documents ORDER BY doc_id""")
 
     // semi-structured props: JSON path extraction + per-type aggregation
     "q_event_props" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, dir, "events")
+      eventsWithTs(s, dir) // ts unused, but the conf/dtype posture stays uniform
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(
@@ -342,9 +367,7 @@ FROM graft_documents ORDER BY doc_id""")
     // batch-checked here against a lag/gap-island oracle; one shuffle
     // keyed on user_id, merge logic inside the session-window aggregation
     "q_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      eventsWithTs(s, dir)
         .groupBy(session_window(col("ts"), "6 hours").as("session"), col("user_id"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -364,11 +387,10 @@ FROM graft_documents ORDER BY doc_id""")
     // materializes the final merged session state; the gap-island SQL
     // oracle is shared with the batch query verbatim.
     "q_stream_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = tbl(s, dir, "events").schema
-      val stream = s.readStream.schema(schema)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy-NANOS no-op guard; see normalizedTs
+      val src = s.readStream.schema(tbl(s, dir, "events").schema)
         .parquet(stagedDir(s"$dir/events.parquet"))
-        .withColumn("ets", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val stream = src.withColumn("ets", normalizedTs(src, "ts"))
         .withWatermark("ets", "12 hours")
         .groupBy(session_window(col("ets"), "6 hours").as("session"), col("user_id"))
         .agg(
@@ -478,9 +500,7 @@ FROM graft_documents ORDER BY doc_id""")
     // shuffle union+window plan, never a range join; checked against
     // DuckDB's native ASOF LEFT JOIN
     "q_asof_purchase" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val ev = eventsWithTs(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -500,9 +520,7 @@ FROM graft_documents ORDER BY doc_id""")
     // (user, granule) + exact BETWEEN, never the per-key cross product;
     // checked against a plain BETWEEN join in DuckDB
     "q_range_incidents" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      val ev = eventsWithTs(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val incidents = ev.filter(col("event_type") === "error")

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)       => (s, o, Set.empty[String])
+      case Array(s, o, rest @ _*) => (s, o, rest.toSet) // optional query-name filter
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,12 +17,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Environment fingerprint: a silent driver-side shift (Spark upgrade,
+    // testdata regeneration changing a physical parquet type) should be
+    // diagnosable from this log line, not from a round of broken queries.
+    // The r11 lesson: events.ts moved TIMESTAMP(NANOS) → TIMESTAMP(MICROS).
+    val eventsTs = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    System.err.println(
+      s"[verify] env fingerprint: spark=${spark.version} events.ts=${eventsTs.sql}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.isEmpty || only(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

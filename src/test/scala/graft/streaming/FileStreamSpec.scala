@@ -29,8 +29,10 @@ class FileStreamSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
 
+    // dtype-robust event time (TIMESTAMP_NTZ as-is / legacy nanos-long
+    // converted) — same branch the query surface uses
     def shaped(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      .withColumn("ts", graft.SparkEntry.normalizedTs(df, "ts"))
       .select(col("ts"), col("event_type"))
 
     val stream = shaped(
@@ -50,14 +52,14 @@ class FileStreamSpec extends SparkSpec {
     finally q.stop()
 
     val streamed = spark.table("file_windows").collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
 
     val batch = shaped(spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start"), col("event_type"), col("n"))
       .collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.text.{Concordance, TextAnalysis, TextFunctions, Tokenize, TokenFrequencies, TokenizerModels, WordPieceTokenizer}
+import graft.text.{Bpe, Concordance, TextAnalysis, TextFunctions, Tokenize, TokenFrequencies, TokenizerModels, WordPieceTokenizer}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,12 @@ object SparkEntry {
   // so the two sides cannot drift — the ivfOracleSql lesson).
   val SeqPackBudget = 512
   val SeqPackShards = 8
+
+  /** Merges learned by the BPE query surface. The sf corpora support ~89
+    * merges before pair exhaustion (31-word vocabulary); 24 exercises
+    * several batched rounds including new-pair-vs-old-pair ties while
+    * keeping the unrolled oracle CTE chain readable. */
+  val BpeNumMerges = 24
 
   // Shared by q_encode_ids / q_domain_mix / q_curation_pipeline and
   // their oracle SQL.
@@ -1728,7 +1734,24 @@ FROM graft_documents ORDER BY doc_id""")
           explode(Concordance.concordanceCol(
             col("text"), "s[ct][a-z]{2}", 5, 5, regex = true, caseSensitive = true)).as("c"))
         .select(col("doc_id"), col("c.*"))
-        .orderBy("doc_id", "start_idx")))
+        .orderBy("doc_id", "start_idx")),
+
+    // BPE subword-vocabulary learning (Sennrich 2016) over the corpus —
+    // the tokenizer-TRAINING stage of the LLM-pipeline tier (the
+    // reference ships only pre-trained backends). One corpus scan builds
+    // the (word, cnt) table; each training round is one distributed
+    // pair-count job applying a provably-exact batch of merges
+    // (Bpe.safePrefix). The memo shares the trained model between the two
+    // surfaces the way a real pipeline would (train once, inspect both).
+    "q_bpe_merges" -> ((s, dir) => {
+      val (m, _) = Bpe.trainedFor(s, dir, tbl(s, dir, "documents"), "text", BpeNumMerges)
+      Bpe.mergesDf(s, m).orderBy("rank")
+    }),
+
+    "q_bpe_vocab" -> ((s, dir) => {
+      val (_, w) = Bpe.trainedFor(s, dir, tbl(s, dir, "documents"), "text", BpeNumMerges)
+      Bpe.vocabulary(w).orderBy("token")
+    }))
 
   /** The `native:plain_words_en` token ARRAY of `textExpr` as one DuckDB
     * list expression — including the tokenizer's UNCONDITIONAL
@@ -1741,6 +1764,55 @@ FROM graft_documents ORDER BY doc_id""")
   private def toksArrSql(textExpr: String = "text"): String =
     s"list_filter(regexp_split_to_array(lower(coalesce($textExpr,'')), '[\\s!-/:-@\\[-`{-~]+'), " +
       "s -> s <> '' AND upper(s) NOT IN ('CLS','SEP','PAD','UNK','MASK'))"
+
+  /** The BPE training replay as an unrolled DuckDB CTE chain — one
+    * (pair-count → argmax → replace) stage per merge. The padded
+    * double-space symbol string makes `replace` the exact greedy
+    * left-to-right merge walk AND keeps the canonical form without
+    * re-normalization (`Bpe.canon`; pinned by `BpeSpec`), so each stage is
+    * three short CTEs. `v0` splits each corpus word into code points
+    * (`string_split(word, '')` is code-point-aware, like Spark's
+    * `split(word, "")`); the argmax total order (count DESC, lhs ASC,
+    * rhs ASC) is binary string order in both engines. Assumes the corpus
+    * supports all [[BpeNumMerges]] merges (sf corpora allow ~89): an
+    * exhausted stage would yield an empty cross join — a visible row-count
+    * mismatch, never a silent pass. */
+  private def bpeCtesSql: String = {
+    // every v/m CTE is referenced twice downstream — MATERIALIZED stops
+    // DuckDB's default inlining from re-expanding the chain exponentially
+    val base =
+      s"""wc AS MATERIALIZED (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(${toksArrSql()}) AS t FROM documents) GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT word, cnt, ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s FROM wc)"""
+    val stages = (1 to BpeNumMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+  SELECT arr[i] AS a, arr[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(trim(s), '  ') AS arr FROM v${k - 1}) t,
+       UNNEST(range(1, len(t.arr))) AS u(i)
+  GROUP BY 1, 2),
+m$k AS MATERIALIZED (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+v$k AS MATERIALIZED (
+  SELECT word, cnt, replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS s
+  FROM v${k - 1}, m$k)"""
+    }
+    (base +: stages).mkString(",\n")
+  }
+
+  private def bpeMergesOracleSql: String = {
+    val rows = (1 to BpeNumMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM m$k"
+    }.mkString("\n  UNION ALL ")
+    s"WITH $bpeCtesSql\nSELECT * FROM (\n  $rows)\nORDER BY rank"
+  }
+
+  private def bpeVocabOracleSql: String =
+    s"""WITH $bpeCtesSql
+SELECT token, CAST(sum(cnt) AS BIGINT) AS total_count,
+  CAST(count(*) AS BIGINT) AS n_occurrences
+FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS token FROM v$BpeNumMerges)
+GROUP BY 1 ORDER BY 1"""
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
@@ -2099,10 +2171,37 @@ SELECT s.label, CAST(s.n_chunks AS BIGINT) AS n_chunks,
   CAST(s.n_docs AS BIGINT) AS n_docs, c.x, c.y
 FROM sizes s LEFT JOIN coords c ON c.label = s.label
 ORDER BY s.label"""
+    // the orchestrator's per-document summary re-derived from the same
+    // exported points: dominant = most-frequent non-outlier chunk label
+    // (count DESC, id ASC), n_dist = |per-doc (topic_id, proportion)
+    // distribution| (outlier rows included, chunkless docs empty) —
+    // upgrades q_topic_model from rows-only to a checked row
+    val model =
+      s"""WITH $ptsCte,
+counts AS (
+  SELECT doc_id, CAST(label AS INT) AS topic_id, count(*) AS cnt
+  FROM pts GROUP BY 1, 2),
+dom AS (
+  SELECT doc_id, topic_id AS dominant_topic FROM (
+    SELECT doc_id, topic_id,
+      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, topic_id ASC) AS rn
+    FROM counts WHERE topic_id <> -1) WHERE rn = 1),
+nd AS (SELECT doc_id, count(*) AS n_dist FROM counts GROUP BY 1),
+base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+SELECT b.doc_id,
+  CAST(coalesce(d.dominant_topic, -1) AS INT) AS dominant_topic,
+  CAST(coalesce(nd.n_dist, 0) AS INT) AS n_dist,
+  CAST((SELECT coalesce(max(label) + 1, 0) FROM pts WHERE label >= 0) AS INT) AS n_topics,
+  CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_chunks
+FROM base b
+LEFT JOIN nd ON nd.doc_id = b.doc_id
+LEFT JOIN dom d ON d.doc_id = b.doc_id
+ORDER BY b.doc_id"""
     Map(
       "q_topic_coords" -> coords,
       "q_topic_assembly" -> assembly,
-      "q_topic_hdbscan" -> hdbscan)
+      "q_topic_hdbscan" -> hdbscan,
+      "q_topic_model" -> model)
   }
 
   /** The CTE prefix both IVF oracles share: centroid literals (trained on
@@ -2224,6 +2323,10 @@ WHERE e.vec_id NOT IN (SELECT id FROM losers) ORDER BY e.vec_id"""
     * the same parquet tables. Omit for non-SQL-expressible ops (see
     * [[oracleSqlFor]] for the data-dependent additions). */
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesOracleSql,
+
+    "q_bpe_vocab" -> bpeVocabOracleSql,
+
     "q_clean_text" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +
         "'[!-/:-@\\[-`{-~0-9]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned " +

@@ -119,4 +119,39 @@ class BpeSpec extends SparkSpec {
     val (_, (m2, _), _) = trainOn(texts, 6)
     assert(m1 == m2)
   }
+
+  test("batched training is bit-identical to strict one-merge-at-a-time") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh"
+    val ws = Vector.fill(80)(
+      (1 to (2 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val wc = ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong * (1 + rnd.nextInt(9))) }
+      .toSeq.toDF("word", "cnt").localCheckpoint()
+    val (batched, wb) = Bpe.train(wc, 25) // default BatchK
+    val (strict, ws2) = Bpe.train(wc, 25, batchK = 1)
+    assert(batched == strict)
+    val gb = wb.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val gs = ws2.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(gb == gs)
+  }
+
+  test("safePrefix stops at symbol overlap, tail ties, and tied contributors") {
+    // overlap with an accepted symbol (incl. the merged token) stops the walk
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("b", "c", 9L)), false, 10) == 1)
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("ab", "c", 9L)), false, 10) == 1)
+    // disjoint + strictly above the truncation bound: both apply
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 2L)), true, 10) == 2)
+    // tail-tie: c == cLast under truncation is unsafe
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("c", "d", 2L), ("e", "f", 2L)), true, 10) == 1)
+    // but with the full pair list (no truncation) the tie with the tail is fine
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("c", "d", 2L), ("e", "f", 2L)), false, 10) == 3)
+    // a LATER entry sharing a symbol with S and tied with the candidate:
+    // a new pair built from it could outrank the candidate — stop
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("x", "a", 9L)), false, 10) == 1)
+    // same later contributor strictly below the candidate: safe
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("x", "a", 8L)), false, 10) == 2)
+    // maxTake caps the block
+    assert(Bpe.safePrefix(IndexedSeq(("a", "b", 10L), ("c", "d", 9L)), false, 1) == 1)
+  }
 }

@@ -123,6 +123,11 @@ object SparkEntry {
   val IvfProbe = 3
   val IvfK = 10
   val IvfQueryMax = 5 // query set = vec_id < IvfQueryMax
+
+  /** Product quantization: 64-dim embeddings → 8 subspaces × 16-centroid
+    * codebooks (8 codes per vector, a 32× memory cut). */
+  val PqM = 8
+  val PqCent = 16
   // q_semdedup: the synthetic embeddings are hash-random (max pairwise
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
@@ -1004,6 +1009,34 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("query_id", "rank")
     }),
 
+    // LLM-pipeline: product quantization (Jégou 2011) — the ANN
+    // memory-compression tier: per-subspace k-means codebooks (trained on
+    // the seeded sample, exported as oracle literals), one elementwise
+    // codegen'd encode scan, no shuffle. DuckDB re-derives every code by
+    // argmin over the same literals
+    "q_pq_codes" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cbs = graft.similarity.ProductQuant.trainedCodebooks(
+        emb, "vec_id", "embedding", PqM, PqCent, IvfSeed, IvfSampleSize)
+      emb
+        .select(col("vec_id"),
+          posexplode(graft.similarity.ProductQuant.encodeCol(col("embedding"), cbs))
+            .as(Seq("m", "code")))
+        .orderBy("vec_id", "m")
+    }),
+
+    // LLM-pipeline: PQ asymmetric-distance top-k — queries keep exact
+    // floats (one lookup table per query), the corpus is ranked from its
+    // 8 codes alone; approximate by quantization, arithmetic exact
+    // (ordered double folds), so ranks sit under the exact oracle
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.ProductQuant
+        .pqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
+          k = IvfK, m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+        .orderBy("query_id", "rank")
+    }),
+
     // topic §2.6 #15 chunking: on this corpus (one paragraph, no sentence
     // terminators, 1 token/word) the greedy packer provably degenerates to
     // exact maxTokens-word blocks with no overlap carry (a full unit never
@@ -1751,6 +1784,15 @@ FROM graft_documents ORDER BY doc_id""")
     "q_bpe_vocab" -> ((s, dir) => {
       val (_, w) = Bpe.trainedFor(s, dir, tbl(s, dir, "documents"), "text", BpeNumMerges)
       Bpe.vocabulary(w).orderBy("token")
+    }),
+
+    // the trained vocabulary APPLIED: every document re-tokenized into its
+    // learned subword sequence (join on the compact vocab table, word
+    // order restored by position) — the pipeline's produce-training-data
+    // step, closing the train → inspect → encode loop
+    "q_bpe_encode" -> ((s, dir) => {
+      val (_, w) = Bpe.trainedFor(s, dir, tbl(s, dir, "documents"), "text", BpeNumMerges)
+      Bpe.encode(tbl(s, dir, "documents"), "doc_id", "text", w).orderBy("doc_id")
     }))
 
   /** The `native:plain_words_en` token ARRAY of `textExpr` as one DuckDB
@@ -1813,6 +1855,21 @@ SELECT token, CAST(sum(cnt) AS BIGINT) AS total_count,
   CAST(count(*) AS BIGINT) AS n_occurrences
 FROM (SELECT cnt, unnest(string_split(trim(s), '  ')) AS token FROM v$BpeNumMerges)
 GROUP BY 1 ORDER BY 1"""
+
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpeCtesSql,
+tok AS (
+  SELECT doc_id, arr[i] AS word, i AS pos
+  FROM (SELECT doc_id, ${toksArrSql()} AS arr FROM documents) t,
+       UNNEST(range(1, len(t.arr) + 1)) AS u(i)),
+wn AS (
+  SELECT word, array_to_string(string_split(trim(s), '  '), ' ') AS sym_str,
+    CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+  FROM v$BpeNumMerges)
+SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+  string_agg(sym_str, ' ' ORDER BY pos) AS token_str
+FROM tok JOIN wn USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
 
   /** Tokens of `native:plain_words_en` (lowercase, punct removed) expressed
     * in DuckDB SQL: on this ASCII corpus the tokenizer's BERT-style
@@ -2307,6 +2364,59 @@ losers AS (
 SELECT e.vec_id, e.label FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT id FROM losers) ORDER BY e.vec_id"""
 
+  /** The PQ oracle prefix: codebook literals trained with the engine's
+    * own code path, per-(vector, subspace, code) squared sub-distances
+    * (the same `DOUBLE[]` `list_inner_product` fold [[ivfCtesSql]] uses,
+    * over the subvector slice), and the argmin code table. */
+  private def pqCtesSql(spark: SparkSession, dir: String): String = {
+    val cbs = graft.similarity.ProductQuant.trainedCodebooks(
+      tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      PqM, PqCent, IvfSeed, IvfSampleSize)
+    val dsub = cbs(0)(0).length
+    val vals = (for {
+      m <- cbs.indices
+      k <- cbs(m).indices
+    } yield s"($m, $k, [${cbs(m)(k).map(_.toDouble).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    s"""cb(m, k, cv) AS (VALUES
+  $vals),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+sd AS (
+  SELECT vec_id, cb.m, cb.k,
+    list_inner_product(
+      list_transform(range(1, $dsub + 1), i -> vec[cb.m * $dsub + i] - cv[i]),
+      list_transform(range(1, $dsub + 1), i -> vec[cb.m * $dsub + i] - cv[i])) AS d2
+  FROM v CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM sd)
+  WHERE rn = 1)"""
+  }
+
+  private def pqCodesOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${pqCtesSql(spark, dir)}
+SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+FROM codes ORDER BY vec_id, m"""
+
+  /** ADC replay: each (query, neighbor, subspace) term is the query
+    * subvector's stored sub-distance to the neighbor's code centroid;
+    * the ordered `list_reduce` reproduces the engine's ascending-subspace
+    * double fold bitwise, so ranks and `round(adist, 6)` compare exact. */
+  private def pqKnnOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${pqCtesSql(spark, dir)},
+adc AS (
+  SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_reduce(list(s.d2 ORDER BY s.m), (a, b) -> a + b) AS adist
+  FROM codes c
+  JOIN sd s ON s.m = c.m AND s.k = c.code AND s.vec_id <> c.vec_id
+  WHERE s.vec_id < $IvfQueryMax
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+  SELECT query_id, neighbor_id, adist,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= $IvfK ORDER BY query_id, rank"""
+
   /** The full oracle map for one sf directory: the static [[oracleSql]]
     * entries plus the data-dependent ones (IVF centroids are trained on
     * the directory's own tables before being inlined as SQL literals).
@@ -2316,7 +2426,9 @@ WHERE e.vec_id NOT IN (SELECT id FROM losers) ORDER BY e.vec_id"""
     oracleSql +
       ("q_knn_ivf" -> ivfOracleSql(spark, dir)) +
       ("q_knn_ivf_int8" -> ivfInt8OracleSql(spark, dir)) +
-      ("q_semdedup" -> semDedupOracleSql(spark, dir)) ++
+      ("q_semdedup" -> semDedupOracleSql(spark, dir)) +
+      ("q_pq_codes" -> pqCodesOracleSql(spark, dir)) +
+      ("q_knn_pq" -> pqKnnOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2326,6 +2438,8 @@ WHERE e.vec_id NOT IN (SELECT id FROM losers) ORDER BY e.vec_id"""
     "q_bpe_merges" -> bpeMergesOracleSql,
 
     "q_bpe_vocab" -> bpeVocabOracleSql,
+
+    "q_bpe_encode" -> bpeEncodeOracleSql,
 
     "q_clean_text" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), " +

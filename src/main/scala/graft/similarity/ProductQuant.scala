@@ -1,0 +1,256 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the
+  * memory-compression half of a web-scale ANN stack: each D-dim vector
+  * is split into `m` subvectors and every subvector is replaced by the
+  * id of its nearest per-subspace k-means centroid, so a float vector
+  * becomes `m` small integers (64 floats → 8 codes here, a 32× cut) and
+  * approximate distances are computed from code lookups alone —
+  * asymmetric distance computation (ADC): the query keeps its exact
+  * floats, each of its `m` subvectors is compared against the codebook
+  * ONCE (the per-query lookup table), and a corpus vector's approximate
+  * squared L2 is the sum of `m` table entries.
+  *
+  * Scale design (100 TB): codebooks are corpus-independent config
+  * (`m × k × d/m` floats, trained on a bounded seeded sample — the
+  * [[Similarity.trainedCentroids]] posture); encoding is one elementwise
+  * scan (native codegen'd expression, no shuffle); ADC serving scans
+  * CODES (bytes), not vectors, with the per-partition top-k prune
+  * bounding the ranking exchange exactly like the other ANN paths. In a
+  * real deployment PQ composes with IVF (route by coarse cell, ADC
+  * within the probed lists); here it is exposed standalone so the oracle
+  * checks the PQ math itself.
+  *
+  * Determinism contract (what lets DuckDB re-derive everything from the
+  * exported codebook literals): per-subspace distances are double
+  * left-to-right folds (the [[Similarity]] `dist2` sequence =
+  * `list_inner_product` on `DOUBLE[]`), argmin ties keep the lowest
+  * code, and the ADC sum folds subspaces in ascending order (the
+  * ordered-reduce contract the bm25/coords oracles use).
+  */
+object ProductQuant {
+
+  /** Per-subspace squared L2 between `v[off, off+len)` and `ct`, double
+    * precision, left-to-right — the oracle-reproducible fold. */
+  private[similarity] def subDist2(v: Array[Float], off: Int, ct: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < ct.length) {
+      val x = v(off + i).toDouble - ct(i).toDouble
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
+  /** Codebooks `[m][k][d/m]`: per-subspace k-means on the seeded
+    * hash-ordered sample (same sampling as [[Similarity.trainedCentroids]]
+    * — uniform over the corpus regardless of file clustering), subspace
+    * `i` seeded with `seed + i` so subspaces train independently. */
+  def trainedCodebooks(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): Array[Array[Array[Float]]] = {
+    import corpus.sparkSession.implicits._
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(idCol)))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .as[Seq[Float]]
+      .collect()
+      .map(_.toArray)
+    require(sample.nonEmpty, "trainedCodebooks: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainedCodebooks: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { i =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+      Similarity.trainCentroids(slices, k, seed + i)
+    }
+  }
+
+  /** `array<float>` vector → its `m` PQ codes as `array<int>`. */
+  def encodeCol(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqEncodeExpr(org.apache.spark.sql.graft.Bridge.expression(vec), codebooks))
+
+  /** `array<float>` query vector → its ADC lookup table as
+    * `array<array<double>>` (`[m][k]` sub-distances). */
+  def lutCol(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqLutExpr(org.apache.spark.sql.graft.Bridge.expression(vec), codebooks))
+
+  /** ADC top-k: encode the corpus once (elementwise scan), build each
+    * query's lookup table once, then rank corpus CODES by the
+    * table-lookup sum. Query side is a bounded batch → broadcast; the
+    * per-partition prune bounds the final ranking exchange. Returns
+    * `(query_id, neighbor_id, rank, adist)` with `adist` the approximate
+    * squared L2, rounded to 6 for the oracle compare (ranking uses the
+    * full double). */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      m: Int = 8,
+      kCent: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): DataFrame = {
+    val cbs = trainedCodebooks(corpus, idCol, vecCol, m, kCent, seed, sampleSize)
+    val codes = corpus.select(
+      col(idCol).as("neighbor_id"),
+      encodeCol(col(vecCol), cbs).as("codes"))
+    val luts = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      lutCol(col(vecCol), cbs).as("lut")))
+    // sim = −adist so the shared highest-sim prune/rank machinery orders
+    // by ascending approximate distance
+    val scored = codes
+      .crossJoin(luts)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        -aggregate(
+          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + lit(1))),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pruned = Similarity.localTopKPerQuery(scored, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(-col("sim"), 6).as("adist"))
+  }
+}
+
+/** Native codegen'd PQ encoder: `array<float>` → `array<int>` of `m`
+  * per-subspace argmin codes (strict `<`: ties keep the lowest code). */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if codebooks.nonEmpty && codebooks.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires non-empty codebooks")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "pq_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v == null) null else PqEncodeExpr.run(v, codebooks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val helper = PqEncodeExpr.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.MODULE$$.run($c, $cbs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  /** Shared by interpreted `eval` and generated code. */
+  def run(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val arr = v.toFloatArray()
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val d = ProductQuant.subDist2(arr, i * dsub, cb(c))
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep the lowest code
+        c += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native PQ ADC lookup table: query `array<float>` →
+  * `array<array<double>>` of `[m][k]` per-subspace squared distances. */
+case class PqLutExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if codebooks.nonEmpty && codebooks.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires non-empty codebooks")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def prettyName: String = "pq_lut"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v == null) null else PqLutExpr.run(v, codebooks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val helper = PqLutExpr.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.MODULE$$.run($c, $cbs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+object PqLutExpr {
+  /** Shared by interpreted `eval` and generated code. */
+  def run(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val arr = v.toFloatArray()
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      val row = new Array[Any](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        row(c) = ProductQuant.subDist2(arr, i * dsub, cb(c))
+        c += 1
+      }
+      out(i) = new GenericArrayData(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

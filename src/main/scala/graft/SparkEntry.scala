@@ -1037,6 +1037,22 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("query_id", "rank")
     }),
 
+    // ANN capstone — IVFADC (Jégou 2011 §IV), the paper's composed
+    // layout: coarse cells route, PQ codes the RESIDUAL to the cell
+    // centroid, queries probe nProbe cells with one residual lookup
+    // table each. Same trained centroids as q_knn_ivf; approximate by
+    // routing+quantization, arithmetic exact (float−float differences
+    // are double-exact), so the oracle re-derives codes and ranks from
+    // the exported centroid + residual-codebook literals
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IvfPq
+        .ivfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
+          k = IvfK, nCells = IvfCells, nProbe = IvfProbe,
+          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+        .orderBy("query_id", "rank")
+    }),
+
     // topic §2.6 #15 chunking: on this corpus (one paragraph, no sentence
     // terminators, 1 token/word) the greedy packer provably degenerates to
     // exact maxTokens-word blocks with no overlap carry (a full unit never
@@ -2417,6 +2433,60 @@ SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
   FROM adc)
 WHERE rank <= $IvfK ORDER BY query_id, rank"""
 
+  /** IVFADC replay: the [[ivfCtesSql]] prefix (same coarse centroids,
+    * assignment and probing as q_knn_ivf) plus residual-codebook
+    * literals. `rsd` holds every vector's residual sub-distances to its
+    * OWN cell's codebook entries (→ argmin codes), `qsd` the queries'
+    * per-probed-cell lookup tables; the ADC join recombines them and the
+    * ordered reduce reproduces the engine's ascending-subspace fold. */
+  private def ivfPqOracleSql(spark: SparkSession, dir: String): String = {
+    val centroids = graft.similarity.Similarity.trainedCentroids(
+      tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCells = IvfCells, seed = IvfSeed, sampleSize = IvfSampleSize)
+    val cbs = graft.similarity.IvfPq.trainedResidualCodebooks(
+      tbl(spark, dir, "embeddings"), centroids, "vec_id", "embedding",
+      PqM, PqCent, IvfSeed, IvfSampleSize)
+    val dsub = cbs(0)(0).length
+    val vals = (for {
+      m <- cbs.indices
+      k <- cbs(m).indices
+    } yield s"($m, $k, [${cbs(m)(k).map(_.toDouble).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    s"""WITH ${ivfCtesSql(spark, dir)},
+rcb(m, k, rcv) AS (VALUES
+  $vals),
+rsd AS (
+  SELECT a.vec_id, rcb.m, rcb.k,
+    list_inner_product(
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
+  FROM assign a JOIN v USING (vec_id) JOIN cent c ON c.cell = a.cell CROSS JOIN rcb),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM rsd)
+  WHERE rn = 1),
+qsd AS (
+  SELECT p.vec_id AS query_id, p.cell, rcb.m, rcb.k,
+    list_inner_product(
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
+  FROM probe p JOIN v ON v.vec_id = p.vec_id JOIN cent c ON c.cell = p.cell CROSS JOIN rcb),
+terms AS (
+  SELECT q.query_id, cd.vec_id AS neighbor_id, q.m, q.d2
+  FROM qsd q
+  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.m = q.m AND cd.code = q.k),
+adc AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list(d2 ORDER BY m), (a, b) -> a + b) AS adist
+  FROM terms GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+  SELECT query_id, neighbor_id, adist,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= $IvfK ORDER BY query_id, rank"""
+  }
+
   /** The full oracle map for one sf directory: the static [[oracleSql]]
     * entries plus the data-dependent ones (IVF centroids are trained on
     * the directory's own tables before being inlined as SQL literals).
@@ -2428,7 +2498,8 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
       ("q_knn_ivf_int8" -> ivfInt8OracleSql(spark, dir)) +
       ("q_semdedup" -> semDedupOracleSql(spark, dir)) +
       ("q_pq_codes" -> pqCodesOracleSql(spark, dir)) +
-      ("q_knn_pq" -> pqKnnOracleSql(spark, dir)) ++
+      ("q_knn_pq" -> pqKnnOracleSql(spark, dir)) +
+      ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

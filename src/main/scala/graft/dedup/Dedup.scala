@@ -404,28 +404,45 @@ object Dedup {
       bucket: Column,
       threshold: Double = 0.0,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
-    // per-doc token sets in ONE aggregation: collect_set subsumes the
-    // separate distinct pass, and the set size IS the token count — no
-    // per-id window, so the corpus-scale shuffles drop from 3 to 2.
-    // NULL buckets are excluded, matching the join semantics (NULL = NULL
-    // never matches) this formulation replaced.
-    val docTokens = df
+    // per-doc token sets in ONE aggregation (collect_set subsumes the
+    // separate distinct pass); NULL buckets are excluded, matching the
+    // join semantics (NULL = NULL never matches) this formulation
+    // replaced. Pairing is BUCKET-level on the set payloads with the
+    // shared-token count from codegen'd array_intersect — one shuffle
+    // (the members aggregation), pair volume bounded by maxBucket²/2 per
+    // bucket, and NO per-token pair explosion: the previous
+    // (bucket, token) posting-list formulation pushed |pairs|·|shared|
+    // narrow rows through a second corpus-scale hash aggregate (~30× the
+    // row volume on token-dense corpora), which made the query the
+    // repo's most allocation-sensitive under JVM memory pressure. The
+    // bucket column is the candidate generator (lang|source here, an LSH
+    // band at web scale), so a bucket over maxBucket is dropped whole —
+    // the cap contract [[graft.util.PostingLists.members]] documents.
+    val docSets = df
       .select(col(idCol).as("id"), bucket.as("bucket"),
         explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
       .filter(col("bucket").isNotNull)
-      .select(col("id"), col("bucket"), col("t.token").as("token"))
       .groupBy(col("id"), col("bucket"))
-      .agg(collect_set(col("token")).as("toks"))
-      .select(col("id"), col("bucket"), size(col("toks")).as("n_tokens"),
-        explode(col("toks")).as("token"))
+      // sorted ONCE per doc so the per-pair count is a zero-allocation
+      // two-pointer walk (SortedIntersectCountExpr), not a per-pair hash
+      // set
+      .agg(sort_array(collect_set(col("t.token"))).as("toks"))
+    def intersectCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        SortedIntersectCountExpr(
+          org.apache.spark.sql.graft.Bridge.expression(a),
+          org.apache.spark.sql.graft.Bridge.expression(b)))
     graft.util.PostingLists
       .pairs(graft.util.PostingLists.members(
-        docTokens, Seq(col("bucket"), col("token")), struct(col("id"), col("n_tokens")), maxBucket))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"), first(col("a.n_tokens")).as("n_a"), first(col("b.n_tokens")).as("n_b"))
-      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+        docSets, Seq(col("bucket")), struct(col("id"), col("toks")), maxBucket))
+      .withColumn("shared", intersectCount(col("a.toks"), col("b.toks")))
+      // ≥1 shared token: the posting-list contract this plan replaced —
+      // disjoint same-bucket sets never surface, even at threshold 0
+      .filter(col("shared") >= 1)
+      .withColumn("jaccard",
+        col("shared") / (size(col("a.toks")) + size(col("b.toks")) - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
   /** Edit-distance near-duplicate pairs — the short-text dedup tier

@@ -194,3 +194,65 @@ object BandHashesExpr {
     new GenericArrayData(out)
   }
 }
+
+/** Native sorted-set intersection count: two SORTED `array<string>`
+  * columns → the number of common elements, by a zero-allocation
+  * two-pointer walk over the `ArrayData` (binary `UTF8String.compareTo`,
+  * no per-row hash set — `array_intersect` builds one per invocation,
+  * which made the bucket-level Jaccard pair scan allocation-bound).
+  * Inputs must be sorted ascending and duplicate-free (`sort_array` over
+  * a `collect_set`); the caller owns that invariant. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> columns, got $other")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) null
+    else SortedIntersectCountExpr.run(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SortedIntersectCountExpr.getClass.getName
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $helper.MODULE$$.run($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountExpr {
+  /** Shared by interpreted `eval` and generated code. Null elements (if
+    * the array type admits them) sort first in `sort_array` and compare
+    * equal to each other — counted once, like `array_intersect`. */
+  def run(l: ArrayData, r: ArrayData): Int = {
+    var i = 0; var j = 0; var n = 0
+    val ln = l.numElements(); val rn = r.numElements()
+    while (i < ln && j < rn) {
+      val ln0 = l.isNullAt(i); val rn0 = r.isNullAt(j)
+      if (ln0 && rn0) { n += 1; i += 1; j += 1 }
+      else if (ln0) i += 1 // nulls first
+      else if (rn0) j += 1
+      else {
+        val c = l.getUTF8String(i).compareTo(r.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    n
+  }
+}

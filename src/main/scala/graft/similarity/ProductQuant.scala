@@ -139,6 +139,111 @@ object ProductQuant {
   }
 }
 
+/** IVFADC — the composed IVF + PQ layout that is the Jégou 2011 paper's
+  * headline algorithm (§IV): the coarse quantizer routes each vector to
+  * a cell, PQ encodes the RESIDUAL (vector − cell centroid, where
+  * quantization error is smallest), and a query probes its `nProbe`
+  * nearest cells computing one residual lookup table per probed cell.
+  * The serving scan touches codes only; exactness contract as above —
+  * float−float differences are exact in double, so the oracle's
+  * `vec[i] − ccv[i] − rcb[i]` DOUBLE arithmetic reproduces the engine's
+  * residual folds bitwise. */
+object IvfPq {
+
+  /** Per-subspace residual codebooks: each sample vector's residual to
+    * its own nearest coarse centroid (double arithmetic, rounded to
+    * float ONLY for k-means training — encoding recomputes residuals in
+    * double), then the usual per-subspace seeded Lloyd. */
+  def trainedResidualCodebooks(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): Array[Array[Array[Float]]] = {
+    import corpus.sparkSession.implicits._
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(lit(seed), col(idCol)))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .as[Seq[Float]]
+      .collect()
+      .map(_.toArray)
+    require(sample.nonEmpty, "trainedResidualCodebooks: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainedResidualCodebooks: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val residuals = sample.map { v =>
+      val c = centroids(Similarity.nearestCell(v, centroids))
+      Array.tabulate(dim)(i => (v(i).toDouble - c(i).toDouble).toFloat)
+    }
+    Array.tabulate(m) { i =>
+      val slices = residuals.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+      Similarity.trainCentroids(slices, k, seed + i)
+    }
+  }
+
+  /** IVFADC top-k: one elementwise scan encodes the corpus (cell +
+    * residual codes), queries explode into `nProbe` (cell, lut) probes
+    * (bounded batch → broadcast), candidates come from the one
+    * cell-keyed join, the per-partition prune bounds the ranking
+    * exchange. Returns `(query_id, neighbor_id, rank, adist)`. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      nCells: Int = 8,
+      nProbe: Int = 3,
+      m: Int = 8,
+      kCent: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): DataFrame = {
+    val centroids = Similarity.trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+    val cbs = trainedResidualCodebooks(corpus, centroids, idCol, vecCol, m, kCent, seed, sampleSize)
+    def cells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
+    val lists = corpus.select(
+      col(idCol).as("neighbor_id"),
+      element_at(cells(col(vecCol), 1), 1).as("cell"),
+      org.apache.spark.sql.graft.Bridge.column(
+        PqEncodeResidExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col(vecCol)), centroids, cbs)).as("codes"))
+    val probes = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+          explode(cells(col(vecCol), nProbe)).as("cell"))
+        .select(col("query_id"), col("cell"),
+          org.apache.spark.sql.graft.Bridge.column(
+            PqLutResidExpr(
+              org.apache.spark.sql.graft.Bridge.expression(col("q_vec")),
+              org.apache.spark.sql.graft.Bridge.expression(col("cell")),
+              centroids, cbs)).as("lut")))
+    // each corpus vector lives in exactly ONE cell and probed cells are
+    // distinct → (query, neighbor) pairs unique, no dedup exchange
+    val scored = lists
+      .join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        -aggregate(
+          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + lit(1))),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val pruned = Similarity.localTopKPerQuery(scored, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(-col("sim"), 6).as("adist"))
+  }
+}
+
 /** Native codegen'd PQ encoder: `array<float>` → `array<int>` of `m`
   * per-subspace argmin codes (strict `<`: ties keep the lowest code). */
 case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
@@ -246,6 +351,159 @@ object PqLutExpr {
       var c = 0
       while (c < cb.length) {
         row(c) = ProductQuant.subDist2(arr, i * dsub, cb(c))
+        c += 1
+      }
+      out(i) = new GenericArrayData(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Residual sub-distance: `Σ_i ((v[off+i] − cell[off+i]) − cb[i])²` in
+    * double, left-to-right — both subtractions double-exact from float
+    * inputs, the order the oracle's `DOUBLE[]` arithmetic reproduces. */
+  private[similarity] def residSubDist2(
+      v: Array[Float], cell: Array[Float], off: Int, cb: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < cb.length) {
+      val x = (v(off + i).toDouble - cell(off + i).toDouble) - cb(i).toDouble
+      d += x * x
+      i += 1
+    }
+    d
+  }
+}
+
+/** IVFADC corpus encoder: `array<float>` → `array<int>` residual codes —
+  * the vector's nearest coarse cell is found internally and each
+  * residual subvector argmin-encoded against the residual codebooks
+  * (strict `<`: ties keep the lowest code). */
+case class PqEncodeResidExpr(
+    child: Expression,
+    centroids: Array[Array[Float]],
+    codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.nonEmpty && codebooks.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires non-empty centroids/codebooks")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "ivfpq_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input).asInstanceOf[ArrayData]
+    if (v == null) null else PqEncodeResidExpr.run(v, centroids, codebooks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val helper = PqEncodeResidExpr.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.MODULE$$.run($c, $cents, $cbs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeResidExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeResidExpr {
+  /** Shared by interpreted `eval` and generated code. */
+  def run(
+      v: ArrayData,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val arr = v.toFloatArray()
+    val cell = centroids(Similarity.nearestCell(arr, centroids))
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val d = PqLutExpr.residSubDist2(arr, cell, i * dsub, cb(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** IVFADC query lookup table for ONE probed cell: `(array<float>, int)` →
+  * `array<array<double>>` of `[m][k]` residual sub-distances of the
+  * query against that cell's centroid. */
+case class PqLutResidExpr(
+    left: Expression,
+    right: Expression,
+    centroids: Array[Array[Float]],
+    codebooks: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) if centroids.nonEmpty && codebooks.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, int), got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def prettyName: String = "ivfpq_lut"
+
+  override def eval(input: InternalRow): Any = {
+    val v = left.eval(input)
+    val c = right.eval(input)
+    if (v == null || c == null) null
+    else PqLutResidExpr.run(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], centroids, codebooks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val helper = PqLutResidExpr.getClass.getName
+    nullSafeCodeGen(ctx, ev,
+      (v, c) => s"${ev.value} = $helper.MODULE$$.run($v, $c, $cents, $cbs);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqLutResidExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqLutResidExpr {
+  /** Shared by interpreted `eval` and generated code. */
+  def run(
+      v: ArrayData,
+      cell: Int,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val arr = v.toFloatArray()
+    val cc = centroids(cell)
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      val row = new Array[Any](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        row(c) = PqLutExpr.residSubDist2(arr, cc, i * dsub, cb(c))
         c += 1
       }
       out(i) = new GenericArrayData(row)

@@ -93,6 +93,40 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("ivfadc: residual codes match a reference scan and neighbors stay in-cluster") {
+    val df = clustered(240, 6, 32, seed = 41L).toDF("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(df, nCells = 6, seed = 43L)
+    val cbs = IvfPq.trainedResidualCodebooks(df, cents, m = 4, k = 8, seed = 43L)
+    val dsub = 8
+    // reference residual encode for a handful of rows
+    val rows = df.limit(20).as[(Long, Seq[Float])].collect()
+    val enc = df.select($"vec_id",
+        org.apache.spark.sql.graft.Bridge.column(
+          PqEncodeResidExpr(
+            org.apache.spark.sql.graft.Bridge.expression($"embedding"), cents, cbs)).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    for ((id, vec) <- rows) {
+      val v = vec.toArray
+      val cell = cents(Similarity.nearestCell(v, cents))
+      for (m <- 0 until 4) {
+        val d = cbs(m).map(cb => PqLutExpr.residSubDist2(v, cell, m * dsub, cb))
+        assert(enc(id)(m) == d.indexOf(d.min))
+      }
+    }
+    // between-cluster geometry: probed-cell ADC keeps neighbors in-cluster
+    val out = IvfPq.ivfPqTopK(df.filter($"vec_id" < 10), df,
+        k = 5, nCells = 6, nProbe = 2, m = 4, kCent = 8, seed = 43L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    val purity = out.count { case (q, n) => q % 6 == n % 6 }.toDouble / out.length
+    assert(purity >= 0.9, s"cluster purity $purity")
+    // determinism
+    val out2 = IvfPq.ivfPqTopK(df.filter($"vec_id" < 10), df,
+        k = 5, nCells = 6, nProbe = 2, m = 4, kCent = 8, seed = 43L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("self is excluded and ranks are dense from 1") {
     val df = clustered(100, 4, 16, seed = 31L).toDF("vec_id", "embedding")
     val out = ProductQuant.pqTopK(df.filter($"vec_id" < 3), df, k = 5, m = 4, kCent = 8, seed = 31L)

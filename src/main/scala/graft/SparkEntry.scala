@@ -506,6 +506,37 @@ FROM graft_documents ORDER BY doc_id""")
       s.table("graft_stream_dedup").orderBy("content_hash")
     }),
 
+    // streaming tier: stream-static ENRICHMENT — the ingest pattern every
+    // production pipeline runs (facts stream in, dimensions sit in a
+    // table): lineitem streamed from files, broadcast-joined to the part
+    // dimension per micro-batch (stateless — no watermark, no state
+    // store), aggregated in Complete mode. The batch join SQL is the
+    // exact oracle: stream/batch unification for the join operator.
+    "q_stream_enrich" -> ((s, dir) => {
+      val schema = tbl(s, dir, "lineitem").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(stagedDir(s"$dir/lineitem.parquet"))
+      val dim = broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+      val agg = stream
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      s.catalog.dropTempView("graft_stream_enrich")
+      val q = agg.writeStream
+        .format("memory")
+        .queryName("graft_stream_enrich")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_enrich")
+        .select(col("p_brand"), col("n_items"), col("sum_qty").cast("string").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -2562,6 +2593,13 @@ FROM documents GROUP BY 1 ORDER BY 1""",
   CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stream_enrich" ->
+      """SELECT p_brand,
+  count(*) AS n_items,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1""",
 
     "q_event_props" ->
       """SELECT event_type,

@@ -537,6 +537,59 @@ FROM graft_documents ORDER BY doc_id""")
         .orderBy("p_brand")
     }),
 
+    // streaming tier: STREAM-STREAM inner join — clicks and purchases
+    // arrive as two independent streams; each click matches the same
+    // user's purchases within the following hour. Watermarks on both
+    // sides bound the join state (the production contract: state is
+    // dropped once event time passes), the time-range predicate makes
+    // the state finite per key. AvailableNow drains both sides; inner
+    // join in Append mode emits exactly the matched pairs, so the plain
+    // batch interval join is the exact oracle.
+    "q_stream_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy-NANOS no-op guard; see normalizedTs
+      val schema = tbl(s, dir, "events").schema
+      // event_type filter FIRST (pushes to the file scan — each side
+      // reads 1/5 of the rows), ts projection after
+      def side(kind: String): DataFrame = {
+        val st = s.readStream.schema(schema).parquet(stagedDir(s"$dir/events.parquet"))
+          .filter(col("event_type") === kind)
+        st.withColumn("ts", normalizedTs(st, "ts"))
+      }
+      val clicks = side("click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = clicks.join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      s.catalog.dropTempView("graft_stream_stream_join")
+      // join state is small but every shuffle partition owns 4 state
+      // stores per micro-batch (left/right × key-to-numValues/value
+      // stores, each with checkpoint commits): 8 partitions instead of
+      // 32 cuts the fixed store overhead 4× — the standard tuning for
+      // state-dominated streaming jobs. Scoped to this query; the conf
+      // is read at stream START, restored after.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try joined.writeStream
+          .format("memory")
+          .queryName("graft_stream_stream_join")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_stream_join")
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -2600,6 +2653,14 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1 ORDER BY 1""",
+
+    "q_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c
+JOIN events p ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY 1, 2""",
 
     "q_event_props" ->
       """SELECT event_type,

@@ -143,6 +143,7 @@ object SparkEntry {
     * codebooks (8 codes per vector, a 32× memory cut). */
   val PqM = 8
   val PqCent = 16
+  val PqShortlist = 40 // ADC candidates per query fed to the exact re-rank
   // q_semdedup: the synthetic embeddings are hash-random (max pairwise
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
@@ -1126,6 +1127,21 @@ FROM graft_documents ORDER BY doc_id""")
       graft.similarity.ProductQuant
         .pqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
           k = IvfK, m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the full PQ serving contract: codes-only ADC shortlist, then exact
+    // float cosine re-ranking of the shortlist — the stage that restores
+    // within-cluster ordering (pure ADC can't rank inside a tight
+    // cluster). Deterministic shortlist + fused codegen cosine → exact
+    // oracle end-to-end
+    "q_knn_pq_rerank" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.ProductQuant
+        .pqTopKRerank(emb.filter(col("vec_id") < IvfQueryMax), emb,
+          k = IvfK, shortlistK = PqShortlist,
+          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+        .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -2510,19 +2526,41 @@ FROM codes ORDER BY vec_id, m"""
     * subvector's stored sub-distance to the neighbor's code centroid;
     * the ordered `list_reduce` reproduces the engine's ascending-subspace
     * double fold bitwise, so ranks and `round(adist, 6)` compare exact. */
-  private def pqKnnOracleSql(spark: SparkSession, dir: String): String =
-    s"""WITH ${pqCtesSql(spark, dir)},
+  private def pqAdcCtesSql(spark: SparkSession, dir: String): String =
+    s"""${pqCtesSql(spark, dir)},
 adc AS (
   SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
     list_reduce(list(s.d2 ORDER BY s.m), (a, b) -> a + b) AS adist
   FROM codes c
   JOIN sd s ON s.m = c.m AND s.k = c.code AND s.vec_id <> c.vec_id
   WHERE s.vec_id < $IvfQueryMax
-  GROUP BY 1, 2)
-SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
+  GROUP BY 1, 2),
+ranked AS (
   SELECT query_id, neighbor_id, adist,
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS BIGINT) AS rank
-  FROM adc)
+  FROM adc)"""
+
+  private def pqKnnOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${pqAdcCtesSql(spark, dir)}
+SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist
+FROM ranked WHERE rank <= $IvfK ORDER BY query_id, rank"""
+
+  /** The re-ranked serving contract: the ADC shortlist (rank ≤
+    * [[PqShortlist]], same ranked CTE as [[pqKnnOracleSql]]) joined back
+    * to exact vectors and cosine re-ranked — the `list_cosine_similarity`
+    * equivalence the green q_knn_cosine oracle already pins. */
+  private def pqRerankOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${pqAdcCtesSql(spark, dir)}
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT s.query_id, s.neighbor_id,
+    CAST(row_number() OVER (
+      PARTITION BY s.query_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+               s.neighbor_id) AS BIGINT) AS rank,
+    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $PqShortlist) s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id)
 WHERE rank <= $IvfK ORDER BY query_id, rank"""
 
   /** IVFADC replay: the [[ivfCtesSql]] prefix (same coarse centroids,
@@ -2591,6 +2629,7 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
       ("q_semdedup" -> semDedupOracleSql(spark, dir)) +
       ("q_pq_codes" -> pqCodesOracleSql(spark, dir)) +
       ("q_knn_pq" -> pqKnnOracleSql(spark, dir)) +
+      ("q_knn_pq_rerank" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 

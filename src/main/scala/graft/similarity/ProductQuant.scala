@@ -137,6 +137,43 @@ object ProductQuant {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(-col("sim"), 6).as("adist"))
   }
+
+  /** The full PQ serving contract: ADC produces a `shortlistK` candidate
+    * shortlist from codes alone (the cheap scan), then exact float cosine
+    * re-ranks only the shortlist — the re-rank stage every production PQ
+    * deployment runs, and the piece that restores WITHIN-cluster ordering
+    * (pure ADC cannot rank inside a tight cluster; the spec pins that).
+    * Shortlist selection is deterministic (adist, then id), the re-rank
+    * is the fused codegen cosine, so the whole pipeline sits under the
+    * exact oracle. Returns `(query_id, neighbor_id, rank, sim)`. */
+  def pqTopKRerank(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      shortlistK: Int = 40,
+      m: Int = 8,
+      kCent: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000): DataFrame = {
+    val shortlist =
+      pqTopK(queries, corpus, idCol, vecCol, shortlistK, m, kCent, seed, sampleSize)
+        .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // shortlist is queries×shortlistK rows — broadcast it (with the query
+    // vectors attached) against the corpus scan that supplies the exact
+    // neighbor vectors
+    val cand = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(shortlist.join(qv, "query_id")), Seq("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("sim", Similarity.cosineFast(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
 }
 
 /** IVFADC — the composed IVF + PQ layout that is the Jégou 2011 paper's

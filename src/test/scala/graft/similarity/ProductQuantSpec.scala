@@ -127,6 +127,22 @@ class ProductQuantSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("adc shortlist + exact re-rank restores the recall pure ADC cannot reach") {
+    // same clustered data on which raw ADC@5 measured 0.2 recall (codes
+    // collapse within a tight cluster): the exact-cosine re-rank over a
+    // 4k shortlist recovers the true neighbors — the production serving
+    // contract, and the reason pqTopKRerank exists
+    val df = clustered(300, 6, 32, seed = 13L).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val reranked = ProductQuant.pqTopKRerank(queries, df,
+        k = 5, shortlistK = 20, m = 8, kCent = 16, seed = 13L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    assert(recall >= 0.7, s"re-ranked recall $recall")
+  }
+
   test("self is excluded and ranks are dense from 1") {
     val df = clustered(100, 4, 16, seed = 31L).toDF("vec_id", "embedding")
     val out = ProductQuant.pqTopK(df.filter($"vec_id" < 3), df, k = 5, m = 4, kCent = 8, seed = 31L)

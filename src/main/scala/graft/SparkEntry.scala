@@ -45,6 +45,11 @@ object SparkEntry {
     * data, required for the footer to parse at all on NANOS-encoded data. */
   private[graft] def eventsWithTs(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The TIMESTAMP_NTZ→TIMESTAMP cast in normalizedTs is instant-
+    // preserving only under a UTC session — self-apply it here (like the
+    // nanosAsLong conf above) so a caller that forgot the conf gets the
+    // same instants as Verify/Bench, not silently shifted timestamps.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val ev = tbl(s, dir, "events")
     ev.withColumn("ts", normalizedTs(ev, "ts"))
   }
@@ -80,10 +85,17 @@ object SparkEntry {
   private val stageRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDir(src: String): String =
     stageRoots.computeIfAbsent(src, { s =>
+      // SINGLE-FILE INVARIANT: several stream oracles (q_stream_stream_
+      // join above all) equal their batch SQL only because AvailableNow
+      // over a one-file directory runs exactly one micro-batch, so the
+      // initial watermark never drops a late match. If the testdata ever
+      // becomes a multi-file parquet directory, fail loudly here instead
+      // of surfacing as a confusing nondeterministic oracle mismatch.
+      val p = java.nio.file.Paths.get(s)
+      require(java.nio.file.Files.isRegularFile(p),
+        s"stagedDir expects a single parquet FILE (one micro-batch posture); got $s")
       val d = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s),
-        d.resolve(java.nio.file.Paths.get(s).getFileName))
+      java.nio.file.Files.copy(p, d.resolve(p.getFileName))
       d.toString
     })
 
@@ -144,6 +156,42 @@ object SparkEntry {
   val PqM = 8
   val PqCent = 16
   val PqShortlist = 40 // ADC candidates per query fed to the exact re-rank
+
+  /** Bounded memo for trained ANN index artifacts (coarse centroids, PQ
+    * codebooks, residual codebooks), keyed by (data dir, every training
+    * parameter). Training is deterministic, so q_pq_codes / q_knn_pq /
+    * q_knn_pq_rerank / q_knn_ivfpq and their oracle builders share ONE
+    * training per verify run instead of ~5 redundant sample-collect +
+    * Lloyd passes (the Bpe.trainedFor pattern, applied to PQ/IVF). Plain
+    * driver-side float arrays — no executor blocks pinned — but bounded
+    * anyway so long-lived JVMs crossing many dirs don't accumulate. */
+  private val trainedIndexMemo =
+    new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > 32
+    }
+  private def memoTrained[T <: AnyRef](key: String)(train: => T): T =
+    trainedIndexMemo.synchronized {
+      val hit = trainedIndexMemo.get(key)
+      if (hit != null) hit.asInstanceOf[T]
+      else { val v = train; trainedIndexMemo.put(key, v); v }
+    }
+  private[graft] def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    memoTrained(s"pqcb|$dir|$PqM|$PqCent|$IvfSeed|$IvfSampleSize") {
+      graft.similarity.ProductQuant.trainedCodebooks(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", PqM, PqCent, IvfSeed, IvfSampleSize)
+    }
+  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): Array[Array[Float]] =
+    memoTrained(s"ivfcent|$dir|$IvfCells|$IvfSeed|$IvfSampleSize") {
+      graft.similarity.Similarity.trainedCentroids(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", IvfCells, IvfSeed, IvfSampleSize)
+    }
+  private[graft] def ivfResidCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    memoTrained(s"ivfrcb|$dir|$IvfCells|$PqM|$PqCent|$IvfSeed|$IvfSampleSize") {
+      graft.similarity.IvfPq.trainedResidualCodebooks(
+        tbl(s, dir, "embeddings"), ivfCentroidsFor(s, dir), "vec_id", "embedding",
+        PqM, PqCent, IvfSeed, IvfSampleSize)
+    }
   // q_semdedup: the synthetic embeddings are hash-random (max pairwise
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
@@ -563,6 +611,7 @@ FROM graft_documents ORDER BY doc_id""")
     // batch interval join is the exact oracle.
     "q_stream_stream_join" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy-NANOS no-op guard; see normalizedTs
+      s.conf.set("spark.sql.session.timeZone", "UTC") // NTZ cast instant-preservation; see eventsWithTs
       val schema = tbl(s, dir, "events").schema
       // event_type filter FIRST (pushes to the file scan — each side
       // reads 1/5 of the rows), ts projection after
@@ -1109,8 +1158,7 @@ FROM graft_documents ORDER BY doc_id""")
     // argmin over the same literals
     "q_pq_codes" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val cbs = graft.similarity.ProductQuant.trainedCodebooks(
-        emb, "vec_id", "embedding", PqM, PqCent, IvfSeed, IvfSampleSize)
+      val cbs = pqCodebooksFor(s, dir)
       emb
         .select(col("vec_id"),
           posexplode(graft.similarity.ProductQuant.encodeCol(col("embedding"), cbs))
@@ -1126,7 +1174,8 @@ FROM graft_documents ORDER BY doc_id""")
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.ProductQuant
         .pqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
-          k = IvfK, m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+          k = IvfK, m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
+          codebooks = pqCodebooksFor(s, dir))
         .orderBy("query_id", "rank")
     }),
 
@@ -1140,7 +1189,8 @@ FROM graft_documents ORDER BY doc_id""")
       graft.similarity.ProductQuant
         .pqTopKRerank(emb.filter(col("vec_id") < IvfQueryMax), emb,
           k = IvfK, shortlistK = PqShortlist,
-          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
+          codebooks = pqCodebooksFor(s, dir))
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -1157,7 +1207,9 @@ FROM graft_documents ORDER BY doc_id""")
       graft.similarity.IvfPq
         .ivfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb,
           k = IvfK, nCells = IvfCells, nProbe = IvfProbe,
-          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize)
+          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
+          coarseCentroids = ivfCentroidsFor(s, dir),
+          residCodebooks = ivfResidCodebooksFor(s, dir))
         .orderBy("query_id", "rank")
     }),
 
@@ -2389,9 +2441,7 @@ ORDER BY b.doc_id"""
     * the directory's own embeddings with the engine's code path), squared
     * distances, cell assignment, and nProbe probing for the query set. */
   private def ivfCtesSql(spark: SparkSession, dir: String): String = {
-    val centroids = graft.similarity.Similarity.trainedCentroids(
-      tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      nCells = IvfCells, seed = IvfSeed, sampleSize = IvfSampleSize)
+    val centroids = ivfCentroidsFor(spark, dir)
     val vals = centroids.zipWithIndex
       .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n  ")
@@ -2493,9 +2543,7 @@ WHERE e.vec_id NOT IN (SELECT id FROM losers) ORDER BY e.vec_id"""
     * (the same `DOUBLE[]` `list_inner_product` fold [[ivfCtesSql]] uses,
     * over the subvector slice), and the argmin code table. */
   private def pqCtesSql(spark: SparkSession, dir: String): String = {
-    val cbs = graft.similarity.ProductQuant.trainedCodebooks(
-      tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      PqM, PqCent, IvfSeed, IvfSampleSize)
+    val cbs = pqCodebooksFor(spark, dir)
     val dsub = cbs(0)(0).length
     val vals = (for {
       m <- cbs.indices
@@ -2570,12 +2618,7 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
     * per-probed-cell lookup tables; the ADC join recombines them and the
     * ordered reduce reproduces the engine's ascending-subspace fold. */
   private def ivfPqOracleSql(spark: SparkSession, dir: String): String = {
-    val centroids = graft.similarity.Similarity.trainedCentroids(
-      tbl(spark, dir, "embeddings"), "vec_id", "embedding",
-      nCells = IvfCells, seed = IvfSeed, sampleSize = IvfSampleSize)
-    val cbs = graft.similarity.IvfPq.trainedResidualCodebooks(
-      tbl(spark, dir, "embeddings"), centroids, "vec_id", "embedding",
-      PqM, PqCent, IvfSeed, IvfSampleSize)
+    val cbs = ivfResidCodebooksFor(spark, dir)
     val dsub = cbs(0)(0).length
     val vals = (for {
       m <- cbs.indices

@@ -67,7 +67,14 @@ final class TextCache(spark: SparkSession, path: String) {
     val distinctTexts =
       hashed.select(col("content_hash"), col(textCol)).dropDuplicates("content_hash")
 
-    val misses = cachedPairs(cacheKey, valueCol) match {
+    // ONE cache snapshot per call, shared by the miss anti-join and (on
+    // the all-hit path) the final lookup. The warm path used to pay a
+    // second directory listing + footer read for a lookup identical to
+    // this snapshot — the r12 driver capture flagged exactly that
+    // (q_embed_cached hit path, two reads of the same cache table).
+    val snapshot = cachedPairs(cacheKey, valueCol)
+
+    val misses = snapshot match {
       case Some(cached) => distinctTexts.join(cached.select("content_hash"), Seq("content_hash"), "left_anti")
       case None => distinctTexts
     }
@@ -75,15 +82,28 @@ final class TextCache(spark: SparkSession, path: String) {
     // The miss plan must evaluate exactly ONCE (it is the expensive work a
     // cache exists to amortize): persist, materialize fully with count()
     // (a take-1 `isEmpty` would cache only the first partition and re-run
-    // the rest at write time), and let the append read from the cache.
+    // the rest at write time), and serve the lookup from the persisted
+    // blocks rather than re-reading what was just appended.
     val newRows = compute(misses).select(col("content_hash"), col(valueCol).as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (newRows.count() > 0) newRows.write.mode("append").parquet(keyDir(cacheKey))
+      val missCount = newRows.count()
+      if (missCount > 0) newRows.write.mode("append").parquet(keyDir(cacheKey))
 
-      val lookup = cachedPairs(cacheKey, valueCol).getOrElse(
-        // df was empty and nothing was ever cached: attach an empty lookup
-        newRows.select(col("content_hash"), col("value").as(valueCol)).limit(0))
+      val lookup =
+        if (missCount == 0 && snapshot.isDefined)
+          // all-hit path: the snapshot already covers every input hash —
+          // reuse it, no second read
+          snapshot.get
+        else
+          // misses were appended: re-read so the lookup serves them from
+          // the durable table (the persisted newRows are unpersisted in
+          // the finally below, BEFORE the returned lazy plan executes, so
+          // the lookup must not reference them — re-running the compute
+          // at join time would break the evaluate-once contract)
+          cachedPairs(cacheKey, valueCol).getOrElse(
+            // df was empty and nothing was ever cached: empty lookup
+            newRows.select(col("content_hash"), col("value").as(valueCol)).limit(0))
       hashed
         .join(lookup, Seq("content_hash"), "left")
         .drop("content_hash")

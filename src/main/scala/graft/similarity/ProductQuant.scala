@@ -111,8 +111,14 @@ object ProductQuant {
       m: Int = 8,
       kCent: Int = 16,
       seed: Long = 42L,
-      sampleSize: Int = 10000): DataFrame = {
-    val cbs = trainedCodebooks(corpus, idCol, vecCol, m, kCent, seed, sampleSize)
+      sampleSize: Int = 10000,
+      codebooks: Array[Array[Array[Float]]] = null): DataFrame = {
+    // `codebooks` lets callers pass pretrained (memoized or persisted)
+    // codebooks — training is deterministic, so the result is identical;
+    // it just skips the redundant sample-collect + Lloyd per surface.
+    val cbs =
+      if (codebooks != null) codebooks
+      else trainedCodebooks(corpus, idCol, vecCol, m, kCent, seed, sampleSize)
     val codes = corpus.select(
       col(idCol).as("neighbor_id"),
       encodeCol(col(vecCol), cbs).as("codes"))
@@ -156,9 +162,10 @@ object ProductQuant {
       m: Int = 8,
       kCent: Int = 16,
       seed: Long = 42L,
-      sampleSize: Int = 10000): DataFrame = {
+      sampleSize: Int = 10000,
+      codebooks: Array[Array[Array[Float]]] = null): DataFrame = {
     val shortlist =
-      pqTopK(queries, corpus, idCol, vecCol, shortlistK, m, kCent, seed, sampleSize)
+      pqTopK(queries, corpus, idCol, vecCol, shortlistK, m, kCent, seed, sampleSize, codebooks)
         .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // shortlist is queries×shortlistK rows — broadcast it (with the query
@@ -239,9 +246,15 @@ object IvfPq {
       m: Int = 8,
       kCent: Int = 16,
       seed: Long = 42L,
-      sampleSize: Int = 10000): DataFrame = {
-    val centroids = Similarity.trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
-    val cbs = trainedResidualCodebooks(corpus, centroids, idCol, vecCol, m, kCent, seed, sampleSize)
+      sampleSize: Int = 10000,
+      coarseCentroids: Array[Array[Float]] = null,
+      residCodebooks: Array[Array[Array[Float]]] = null): DataFrame = {
+    val centroids =
+      if (coarseCentroids != null) coarseCentroids
+      else Similarity.trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+    val cbs =
+      if (residCodebooks != null) residCodebooks
+      else trainedResidualCodebooks(corpus, centroids, idCol, vecCol, m, kCent, seed, sampleSize)
     def cells(vec: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(
         NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))

@@ -1,6 +1,5 @@
 package graft.text
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -223,9 +222,22 @@ object Bpe {
     * deterministic, so the three BPE query surfaces share one trained
     * model the way a real pipeline would (train once, then inspect /
     * export / encode). The vocab table is checkpointed, so the memo holds
-    * materialized blocks, not live lineage. */
+    * materialized blocks, not live lineage.
+    *
+    * BOUNDED (LRU, max [[MemoMaxEntries]]): each entry pins
+    * localCheckpoint'd executor blocks, so an unbounded map would
+    * accumulate unreclaimable storage across sessions/dirs in long-lived
+    * processes (the test suite, a notebook). Evicted entries merely drop
+    * the reference — the ContextCleaner frees the checkpoint blocks once
+    * the DataFrame is unreachable, and a re-request simply retrains. */
+  private val MemoMaxEntries = 8
   private val memo =
-    new ConcurrentHashMap[(SparkSession, String, String, Int), (Seq[Merge], DataFrame)]()
+    new java.util.LinkedHashMap[(SparkSession, String, String, Int), (Seq[Merge], DataFrame)](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String, Int), (Seq[Merge], DataFrame)]): Boolean =
+        size() > MemoMaxEntries
+    }
 
   def trainedFor(
       spark: SparkSession,
@@ -234,8 +246,15 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       model: String = TokenizerModels.PlainWordsEn): (Seq[Merge], DataFrame) =
-    memo.computeIfAbsent((spark, dir, model, numMerges), _ => {
-      val (m, w) = train(wordCounts(docs, textCol, model), numMerges)
-      (m, w.localCheckpoint())
-    })
+    memo.synchronized {
+      val key = (spark, dir, model, numMerges)
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val (m, w) = train(wordCounts(docs, textCol, model), numMerges)
+        val v = (m, w.localCheckpoint())
+        memo.put(key, v)
+        v
+      }
+    }
 }

@@ -198,6 +198,68 @@ object SparkEntry {
   val SemDedupThreshold = 0.4
   // q_edit_pairs: Levenshtein cutoff (shared with the oracle SQL)
   val EditMaxDistance = 32
+  /** Enable the `lindera:*`→bundled-dict fallback for exactly the span of
+    * `body` (plan build resolves the backend eagerly, so the returned
+    * Column keeps working after the gate is restored). The opt-in stays
+    * an explicit per-query decision, never ambient state. */
+  private def withLinderaGate[T](body: => T): T = {
+    val prop = TokenizerModels.LinderaFallbackProp
+    val prev = sys.props.get(prop)
+    sys.props(prop) = "1"
+    try body
+    finally prev match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props -= prop
+    }
+  }
+
+  /** DuckDB replay of a CJK tokenize query: rebuild the synthetic text's
+    * word layout (same single-space split as the WordPiece oracle), map
+    * each word to its phrase (for the running code-point start) and to
+    * its spec-pinned decomposition, and emit global offsets. DuckDB
+    * `length()` counts code points, matching the engine's offset unit. */
+  private def cjkTokenizeOracleSql(
+      langFilter: Option[String],
+      phrase: Map[String, String],
+      pieces: Map[String, Seq[(String, Int, Int)]]): String = {
+    val phraseCase = phrase.toSeq.sorted
+      .map { case (w, p) => s"      WHEN '$w' THEN '$p'" }.mkString("\n")
+    val pieceCase = pieces.toSeq.sortBy(_._1)
+      .map { case (w, ps) =>
+        val lits = ps.map { case (t, s0, e0) => s"{'p': '$t', 's': $s0, 'e': $e0}" }.mkString(", ")
+        s"      WHEN '$w' THEN [$lits]"
+      }.mkString("\n")
+    val filterSql = langFilter.map(l => s" WHERE lang = '$l'").getOrElse("")
+    s"""WITH w AS (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS word,
+    unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+  FROM documents$filterSql),
+m AS (
+  SELECT doc_id, word, idx,
+    CASE word
+$phraseCase
+      ELSE word
+    END AS phrase
+  FROM w),
+pos AS (
+  SELECT doc_id, word,
+    coalesce(sum(length(phrase) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
+  FROM m),
+pieces AS (
+  SELECT doc_id, wstart,
+    unnest(CASE word
+$pieceCase
+      ELSE [{'p': word, 's': 0, 'e': CAST(length(word) AS INT)}]
+    END) AS pc
+  FROM pos)
+SELECT doc_id, struct_extract(pc, 'p') AS token,
+  CAST(wstart + struct_extract(pc, 's') AS BIGINT) AS start_cp,
+  CAST(wstart + struct_extract(pc, 'e') AS BIGINT) AS end_cp
+FROM pieces ORDER BY doc_id, start_cp, token"""
+  }
+
   private lazy val wordPieceRegistered: Unit = {
     val in = getClass.getResourceAsStream("/graft/wordpiece_vocab.txt")
     require(in != null, "wordpiece_vocab.txt fixture missing from resources")
@@ -826,6 +888,54 @@ FROM graft_documents ORDER BY doc_id""")
       wordPieceRegistered
       tbl(s, dir, "documents")
         .select(col("doc_id"), explode(Tokenize.tokenize(col("text"), WordPieceModelId)).as("t"))
+        .select(
+          col("doc_id"),
+          col("t.token").as("token"),
+          col("t.start").as("start_cp"),
+          col("t.end").as("end_cp"))
+        .orderBy("doc_id", "start_cp", "token")
+    }),
+
+    // §2.2 #5 tokenize, the gated CJK path under the oracle at last: the
+    // `lindera:ja-ipadic` id served by the bundled ja dictionary
+    // segmenter (fallback gate enabled for exactly this plan build; the
+    // UDF closure captures the resolved backend, so the restored gate
+    // still fail-fasts everyone else). The corpus has no CJK text, so
+    // both engines construct the SAME synthetic Japanese from the closed
+    // 31-word vocabulary (CjkQueryFixture); only Spark runs the real
+    // DAG+DP segmenter — DuckDB replays the spec-pinned decompositions
+    // with running code-point offsets, an exact-match strengthening of
+    // the reference's reslice/reconstruct invariants
+    // (tests/test_lindera_integration.py:83-111)
+    "q_tokenize_cjk" -> ((s, dir) => {
+      val tok = withLinderaGate(Tokenize.tokenize(col("ja_text"), "lindera:ja-ipadic"))
+      val phrase = typedLit(graft.text.CjkQueryFixture.jaPhrase)
+      tbl(s, dir, "documents")
+        .withColumn("ja_text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => coalesce(element_at(phrase, w), w))))
+        .select(col("doc_id"), explode(tok).as("t"))
+        .select(
+          col("doc_id"),
+          col("t.token").as("token"),
+          col("t.start").as("start_cp"),
+          col("t.end").as("end_cp"))
+        .orderBy("doc_id", "start_cp", "token")
+    }),
+
+    // same pattern for the zh id (`lindera:jieba` → bundled zh dict, the
+    // jieba max-probability DP itself) over the zh-labeled slice —
+    // pinning the second dictionary family plus the mixed-script run
+    // contract (API编程 keeps `api` intact, segments only the Han span)
+    "q_tokenize_cjk_zh" -> ((s, dir) => {
+      val tok = withLinderaGate(Tokenize.tokenize(col("zh_text"), "lindera:jieba"))
+      val phrase = typedLit(graft.text.CjkQueryFixture.zhPhrase)
+      tbl(s, dir, "documents")
+        .filter(col("lang") === "zh")
+        .withColumn("zh_text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => coalesce(element_at(phrase, w), w))))
+        .select(col("doc_id"), explode(tok).as("t"))
         .select(
           col("doc_id"),
           col("t.token").as("token"),
@@ -2823,6 +2933,14 @@ SELECT doc_id, struct_extract(pc, 'p') AS token,
   CAST(wstart + struct_extract(pc, 's') AS BIGINT) AS start_cp,
   CAST(wstart + struct_extract(pc, 'e') AS BIGINT) AS end_cp
 FROM pieces ORDER BY doc_id, start_cp, token""",
+
+    // CJK tokenize rows: the phrase mapping and decompositions come from
+    // CjkQueryFixture (spec-pinned against the real gated backends)
+    "q_tokenize_cjk" -> cjkTokenizeOracleSql(
+      None, graft.text.CjkQueryFixture.jaPhrase, graft.text.CjkQueryFixture.jaPieces),
+
+    "q_tokenize_cjk_zh" -> cjkTokenizeOracleSql(
+      Some("zh"), graft.text.CjkQueryFixture.zhPhrase, graft.text.CjkQueryFixture.zhPieces),
 
     "q_token_freq" ->
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",

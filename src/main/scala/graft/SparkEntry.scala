@@ -198,6 +198,68 @@ object SparkEntry {
   val SemDedupThreshold = 0.4
   // q_edit_pairs: Levenshtein cutoff (shared with the oracle SQL)
   val EditMaxDistance = 32
+  /** The WordPiece decomposition oracle, shared by q_tokenize_wordpiece
+    * (registry-built backend from `wordpiece_vocab.txt`) and
+    * q_tokenize_hf_json (the gated `tokenizer.json` loader over the same
+    * vocabulary): greedy longest-match decompositions hand-derived per
+    * corpus word, word starts from a running-length window. */
+  private val wordPieceOracleSql: String =
+    """WITH w AS (
+  SELECT doc_id,
+    unnest(string_split(text, ' ')) AS word,
+    unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+  FROM documents),
+pos AS (
+  SELECT doc_id, word, idx,
+    coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
+  FROM w),
+pieces AS (
+  SELECT doc_id, wstart,
+    unnest(CASE word
+      WHEN 'column' THEN [{'p': 'col', 's': 0, 'e': 3}, {'p': '##umn', 's': 3, 'e': 6}]
+      WHEN 'customer' THEN [{'p': 'custom', 's': 0, 'e': 6}, {'p': '##er', 's': 6, 'e': 8}]
+      WHEN 'spark' THEN [{'p': 'sp', 's': 0, 'e': 2}, {'p': '##ark', 's': 2, 'e': 5}]
+      WHEN 'stream' THEN [{'p': 'str', 's': 0, 'e': 3}, {'p': '##eam', 's': 3, 'e': 6}]
+      WHEN 'vector' THEN [{'p': 'vec', 's': 0, 'e': 3}, {'p': '##tor', 's': 3, 'e': 6}]
+      WHEN 'window' THEN [{'p': 'win', 's': 0, 'e': 3}, {'p': '##dow', 's': 3, 'e': 6}]
+      ELSE [{'p': word, 's': 0, 'e': CAST(length(word) AS INT)}]
+    END) AS pc
+  FROM pos)
+SELECT doc_id, struct_extract(pc, 'p') AS token,
+  CAST(wstart + struct_extract(pc, 's') AS BIGINT) AS start_cp,
+  CAST(wstart + struct_extract(pc, 'e') AS BIGINT) AS end_cp
+FROM pieces ORDER BY doc_id, start_cp, token"""
+
+  /** Stage the bundled `hf_tokenizer_fixture.json` resource to a readable
+    * temp file once per JVM — the gate takes a filesystem path. */
+  private lazy val hfFixtureJsonPath: String = {
+    val in = getClass.getResourceAsStream("/graft/hf_tokenizer_fixture.json")
+    require(in != null, "hf_tokenizer_fixture.json missing from resources")
+    val p = java.nio.file.Files.createTempFile("graft-hf-tokenizer-", ".json")
+    try java.nio.file.Files.copy(in, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    p.toString
+  }
+
+  /** Open the HF tokenizer.json gate (staged fixture, default model id)
+    * for exactly the span of `body`; resolve() caches the loaded backend
+    * in the registry, which is the loader's documented serve-once
+    * contract. */
+  private def withHfJsonGate[T](body: => T): T = {
+    val pathProp = graft.text.HfTokenizerGate.TokenizerJsonProp
+    val idProp = graft.text.HfTokenizerGate.ModelIdProp
+    val prevPath = sys.props.get(pathProp)
+    val prevId = sys.props.get(idProp)
+    sys.props(pathProp) = hfFixtureJsonPath
+    sys.props(idProp) = graft.text.HfTokenizerGate.DefaultModelId
+    try body
+    finally {
+      prevPath match { case Some(v) => sys.props(pathProp) = v; case None => sys.props -= pathProp }
+      prevId match { case Some(v) => sys.props(idProp) = v; case None => sys.props -= idProp }
+    }
+  }
+
   /** Enable the `lindera:*`→bundled-dict fallback for exactly the span of
     * `body` (plan build resolves the backend eagerly, so the returned
     * Column keeps working after the gate is restored). The opt-in stays
@@ -888,6 +950,26 @@ FROM graft_documents ORDER BY doc_id""")
       wordPieceRegistered
       tbl(s, dir, "documents")
         .select(col("doc_id"), explode(Tokenize.tokenize(col("text"), WordPieceModelId)).as("t"))
+        .select(
+          col("doc_id"),
+          col("t.token").as("token"),
+          col("t.start").as("start_cp"),
+          col("t.end").as("end_cp"))
+        .orderBy("doc_id", "start_cp", "token")
+    }),
+
+    // §2.2 #5 tokenize, the gated HF `tokenizer.json` loader under the
+    // oracle: the bundled fixture json carries the SAME vocabulary as
+    // wordpiece_vocab.txt, so the loader path — gate props → json parse →
+    // WordPiece backend cached under the huggingface: id — must
+    // reproduce q_tokenize_wordpiece's hand-derived oracle exactly
+    // (##-prefix + unprefixed-substring offsets,
+    // tests/test_tokenize_with_offsets.py:64-78)
+    "q_tokenize_hf_json" -> ((s, dir) => {
+      val tok = withHfJsonGate(
+        Tokenize.tokenize(col("text"), graft.text.HfTokenizerGate.DefaultModelId))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tok).as("t"))
         .select(
           col("doc_id"),
           col("t.token").as("token"),
@@ -2906,33 +2988,12 @@ FROM documents ORDER BY doc_id""",
     // WordPiece greedy decomposition hand-derived per corpus word (the
     // vocab fixture makes it unambiguous); word starts recomputed from the
     // single-spaced corpus via a running-length window.
-    "q_tokenize_wordpiece" ->
-      """WITH w AS (
-  SELECT doc_id,
-    unnest(string_split(text, ' ')) AS word,
-    unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
-  FROM documents),
-pos AS (
-  SELECT doc_id, word, idx,
-    coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id ORDER BY idx
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
-  FROM w),
-pieces AS (
-  SELECT doc_id, wstart,
-    unnest(CASE word
-      WHEN 'column' THEN [{'p': 'col', 's': 0, 'e': 3}, {'p': '##umn', 's': 3, 'e': 6}]
-      WHEN 'customer' THEN [{'p': 'custom', 's': 0, 'e': 6}, {'p': '##er', 's': 6, 'e': 8}]
-      WHEN 'spark' THEN [{'p': 'sp', 's': 0, 'e': 2}, {'p': '##ark', 's': 2, 'e': 5}]
-      WHEN 'stream' THEN [{'p': 'str', 's': 0, 'e': 3}, {'p': '##eam', 's': 3, 'e': 6}]
-      WHEN 'vector' THEN [{'p': 'vec', 's': 0, 'e': 3}, {'p': '##tor', 's': 3, 'e': 6}]
-      WHEN 'window' THEN [{'p': 'win', 's': 0, 'e': 3}, {'p': '##dow', 's': 3, 'e': 6}]
-      ELSE [{'p': word, 's': 0, 'e': CAST(length(word) AS INT)}]
-    END) AS pc
-  FROM pos)
-SELECT doc_id, struct_extract(pc, 'p') AS token,
-  CAST(wstart + struct_extract(pc, 's') AS BIGINT) AS start_cp,
-  CAST(wstart + struct_extract(pc, 'e') AS BIGINT) AS end_cp
-FROM pieces ORDER BY doc_id, start_cp, token""",
+    "q_tokenize_wordpiece" -> wordPieceOracleSql,
+
+    // SAME oracle for the gated tokenizer.json loader: the staged fixture
+    // carries the identical vocabulary, so the loader path must reproduce
+    // the registry-built WordPiece backend token-for-token
+    "q_tokenize_hf_json" -> wordPieceOracleSql,
 
     // CJK tokenize rows: the phrase mapping and decompositions come from
     // CjkQueryFixture (spec-pinned against the real gated backends)

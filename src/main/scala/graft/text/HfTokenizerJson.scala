@@ -37,10 +37,18 @@ object HfTokenizerGate {
   val ModelIdEnv = "GRAFT_HF_TOKENIZER_MODEL_ID"
   val DefaultModelId = "huggingface:bert-base-uncased"
 
-  def tokenizerJsonPath: Option[String] =
-    sys.env.get(TokenizerJsonEnv).filter(p => new java.io.File(p).isFile)
+  /** System properties take precedence over env (the LinderaFallbackProp
+    * pattern) so in-JVM callers — the q_tokenize_hf_json query, specs —
+    * can open the gate for a scoped span without process env. */
+  val TokenizerJsonProp = "graft.hf.tokenizer.json"
+  val ModelIdProp = "graft.hf.tokenizer.model.id"
 
-  def configuredModelId: String = sys.env.getOrElse(ModelIdEnv, DefaultModelId)
+  def tokenizerJsonPath: Option[String] =
+    sys.props.get(TokenizerJsonProp).orElse(sys.env.get(TokenizerJsonEnv))
+      .filter(p => new java.io.File(p).isFile)
+
+  def configuredModelId: String =
+    sys.props.get(ModelIdProp).orElse(sys.env.get(ModelIdEnv)).getOrElse(DefaultModelId)
 
   def available: Boolean = tokenizerJsonPath.isDefined
 

@@ -381,6 +381,17 @@ FROM pieces ORDER BY doc_id, start_cp, token"""
   val ImageResizeW = 10
   val ImageResizeH = 7
 
+  /** `(clip_id, sampleRateHz, channels, pcmFrames)` for the real-WAV
+    * decode round-trips — shared by q_media_audio_meta (which ENCODES
+    * square-wave clips at these shapes, then re-derives everything by
+    * actually parsing the WAV through javax.sound.sampled) and its
+    * oracle (literals: config shared, computation real). Frame counts
+    * chosen so the 2-way segmentation splits evenly and duration math is
+    * integral at every stage. */
+  val AudioFixtureClips: Seq[(Long, Int, Int, Int)] =
+    Seq((0L, 8000, 1, 4000), (1L, 16000, 2, 4800), (2L, 44100, 1, 882))
+  val AudioSegments = 2
+
   /** Scratch cache roots for the typed-cache queries (one per JVM, the
     * tokCacheDir pattern: the bench warmup populates, timed passes hit). */
   private lazy val typedTokCacheDir: String =
@@ -1931,6 +1942,50 @@ FROM graft_documents ORDER BY doc_id""")
           col("rs_meta.width").as("rs_width"),
           col("rs_meta.height").as("rs_height"))
         .orderBy("img_id")
+    }),
+
+    // multimodal tier: REAL audio decode (javax.sound.sampled — no
+    // stub; video is now the only stubbed modality). The query
+    // WAV-encodes deterministic square-wave clips at known shapes, then
+    // re-derives rate/channels/frames/duration by actually parsing the
+    // WAV headers+PCM through the batched decode path; `features`
+    // computes real windowed RMS over the PCM (±0.5 samples → RMS
+    // exactly 0.5, no float tolerance needed); sampleFrames re-encodes
+    // 2 standalone-WAV segments per clip which are decoded AGAIN to
+    // prove the segmentation round trip; a corrupt payload exercises
+    // the (-1,-1) undecodable marker. Oracle: literals from the shared
+    // fixture constants (config shared, decode real)
+    "q_media_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val dec = new graft.multimodal.WavAudioDecoder()
+      val rows = AudioFixtureClips.map { case (id, rate, ch, frames) =>
+        (id, graft.multimodal.WavAudioDecoder.testToneWav(rate, ch, frames), "audio/wav")
+      } :+ ((99L, "not audio".getBytes("UTF-8"), "audio/wav"))
+      val base = rows.toDF("clip_id", "payload", "mime").repartition(2)
+      // the clip itself, plus its re-encoded segments, through ONE
+      // decode+features pipeline ("full" | "seg0" | "seg1"; the corrupt
+      // clip yields no segments by the no-frames contract)
+      val segs = graft.multimodal.Multimodal
+        .sampleFrames(base, "payload", "mime", maxFrames = AudioSegments, decoder = dec)
+        .select(col("clip_id"),
+          concat(lit("seg"), col("frame_idx")).as("part"),
+          col("frame").as("payload"), col("mime"))
+      val all = base
+        .select(col("clip_id"), lit("full").as("part"), col("payload"), col("mime"))
+        .unionByName(segs)
+      val meta = graft.multimodal.Multimodal
+        .extractMetadata(all, "payload", "mime", decoder = dec)
+      graft.multimodal.Multimodal
+        .mediaFeatures(meta, "payload", "mime", dim = 4, decoder = dec)
+        .select(
+          col("clip_id"),
+          col("part"),
+          col("media_meta.width").as("sample_rate"),
+          col("media_meta.height").as("channels"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.duration_ms").as("duration_ms"),
+          round(element_at(col("media_features"), 1).cast("double"), 6).as("rms"))
+        .orderBy("clip_id", "part")
     }),
 
     // multimodal tier: feature extraction — the stub's per-dimension
@@ -3858,6 +3913,24 @@ WHERE rank <= 3 ORDER BY o_custkey, rank""",
   CAST(rs_width AS INT) AS rs_width, CAST(rs_height AS INT) AS rs_height
 FROM (VALUES $vals) AS t(img_id, width, height, n_frames, rs_width, rs_height)
 ORDER BY img_id"""
+    },
+
+    "q_media_audio_meta" -> {
+      val vals = (AudioFixtureClips.flatMap { case (id, rate, ch, frames) =>
+        def row(part: String, f: Int) =
+          s"($id, '$part', $rate, $ch, $f, ${f.toLong * 1000L / rate}, 0.5)"
+        row("full", frames) +: (0 until AudioSegments).map { i =>
+          val from = i.toLong * frames / AudioSegments
+          val until = (i + 1).toLong * frames / AudioSegments
+          row(s"seg$i", (until - from).toInt)
+        }
+      } :+ "(99, 'full', -1, -1, 0, 0, 0.0)").mkString(", ")
+      s"""SELECT CAST(clip_id AS BIGINT) AS clip_id, part,
+  CAST(sample_rate AS INT) AS sample_rate, CAST(channels AS INT) AS channels,
+  CAST(n_frames AS INT) AS n_frames, CAST(duration_ms AS BIGINT) AS duration_ms,
+  CAST(rms AS DOUBLE) AS rms
+FROM (VALUES $vals) AS t(clip_id, part, sample_rate, channels, n_frames, duration_ms, rms)
+ORDER BY clip_id, part"""
     },
 
     "q_media_features" -> mediaFeaturesSql,

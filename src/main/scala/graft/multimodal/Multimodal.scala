@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * `mapPartitions`''' (the Scala analog of `mapInPandas`): elementwise, no
   * shuffle, decoder state amortized per batch, partitioning preserved.
   *
-  * The decode step itself is a clearly-marked '''STUB''' — image/audio
-  * codecs are not available in this container — implemented as a
-  * deterministic fake derived from the bytes, so the Spark-side contract
-  * (schemas, batching, null handling, partition preservation) is real and
-  * tested while the codec is swappable: implement [[MediaDecoder]] with a
-  * real library and nothing else changes. */
+  * Decode is REAL for images ([[ImageIoDecoder]], javax.imageio) and
+  * audio ([[WavAudioDecoder]], javax.sound.sampled) — both pure-JDK, no
+  * new dependency. Only VIDEO decode remains a clearly-marked '''STUB'''
+  * (no video codec ships with the JVM), implemented as a deterministic
+  * fake derived from the bytes, so the Spark-side contract (schemas,
+  * batching, null handling, partition preservation) is real and tested
+  * while the codec is swappable: implement [[MediaDecoder]] with a real
+  * library and nothing else changes. */
 trait MediaDecoder extends Serializable {
   def decode(bytes: Array[Byte], mime: String): MediaMeta
   /** Fixed-dimension feature vector (e.g. a CLIP-style embedding). */

@@ -192,6 +192,19 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), ivfCentroidsFor(s, dir), "vec_id", "embedding",
         PqM, PqCent, IvfSeed, IvfSampleSize)
     }
+
+  /** One persisted PQ index per (JVM, data dir) — the BUILD job of the
+    * persist-and-serve contract, run lazily the first time a serving
+    * query needs it (a bench's warmup pass builds, timed passes serve). */
+  private val pqIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndexDirFor(s: SparkSession, dir: String): String =
+    pqIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-pq-index-").toString
+      graft.similarity.IndexStore.writePqIndex(
+        tbl(s, dir, "embeddings"), d, "vec_id", "embedding",
+        PqM, PqCent, IvfSeed, IvfSampleSize, pqCodebooksFor(s, dir))
+      d
+    })
   // q_semdedup: the synthetic embeddings are hash-random (max pairwise
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
@@ -1394,6 +1407,22 @@ FROM graft_documents ORDER BY doc_id""")
           k = IvfK, shortlistK = PqShortlist,
           m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
           codebooks = pqCodebooksFor(s, dir))
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // the persist-and-serve contract: the same ADC-shortlist + exact
+    // re-rank pipeline as q_knn_pq_rerank, but served ENTIRELY from the
+    // parquet index a separate build job wrote (codebooks + corpus
+    // codes) — the serving plan contains no k-means and no encode scan,
+    // the production split where index build and query are different
+    // jobs. Deterministic training ⇒ served results are bit-identical
+    // to the in-session path, so the same exact oracle applies
+    "q_knn_served" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .servePqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb, pqIndexDirFor(s, dir),
+          k = IvfK, shortlistK = PqShortlist)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -2920,6 +2949,9 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
       ("q_pq_codes" -> pqCodesOracleSql(spark, dir)) +
       ("q_knn_pq" -> pqKnnOracleSql(spark, dir)) +
       ("q_knn_pq_rerank" -> pqRerankOracleSql(spark, dir)) +
+      // served-from-parquet path: same trained artifacts, same contract,
+      // same exact oracle as the in-session rerank pipeline
+      ("q_knn_served" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 

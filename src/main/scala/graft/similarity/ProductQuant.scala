@@ -122,9 +122,23 @@ object ProductQuant {
     val codes = corpus.select(
       col(idCol).as("neighbor_id"),
       encodeCol(col(vecCol), cbs).as("codes"))
+    adcTopK(codes, queries, cbs, idCol, vecCol, k)
+  }
+
+  /** ADC ranking over an ALREADY-ENCODED code table `(neighbor_id,
+    * codes)` — the serving-time stage, shared by [[pqTopK]] (codes from
+    * an inline encode scan) and [[IndexStore.servePqTopK]] (codes read
+    * from the persisted index). */
+  def adcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
     val luts = broadcast(queries.select(
       col(idCol).as("query_id"),
-      lutCol(col(vecCol), cbs).as("lut")))
+      lutCol(col(vecCol), codebooks).as("lut")))
     // sim = −adist so the shared highest-sim prune/rank machinery orders
     // by ascending approximate distance
     val scored = codes
@@ -142,6 +156,30 @@ object ProductQuant {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(-col("sim"), 6).as("adist"))
+  }
+
+  /** Exact float-cosine re-rank of a `(query_id, neighbor_id)` shortlist
+    * — the serving-time stage shared by [[pqTopKRerank]] and the
+    * persisted-index path. Shortlist is queries×shortlistK rows →
+    * broadcast (with query vectors attached) against the corpus scan
+    * supplying exact neighbor vectors. */
+  def rerankShortlist(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cand = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(shortlist.join(qv, "query_id")), Seq("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("sim", Similarity.cosineFast(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
   /** The full PQ serving contract: ADC produces a `shortlistK` candidate
@@ -167,19 +205,7 @@ object ProductQuant {
     val shortlist =
       pqTopK(queries, corpus, idCol, vecCol, shortlistK, m, kCent, seed, sampleSize, codebooks)
         .select(col("query_id"), col("neighbor_id"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    // shortlist is queries×shortlistK rows — broadcast it (with the query
-    // vectors attached) against the corpus scan that supplies the exact
-    // neighbor vectors
-    val cand = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(shortlist.join(qv, "query_id")), Seq("neighbor_id"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    cand
-      .withColumn("sim", Similarity.cosineFast(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    rerankShortlist(shortlist, queries, corpus, idCol, vecCol, k)
   }
 }
 

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persist-and-serve contract: build writes the two artifacts, the
+  * serving path reproduces the in-session pipeline bit-for-bit, and the
+  * served plan contains neither training nor an encode scan. */
+class IndexStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  private def corpus(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("served top-k equals the in-session ADC+rerank pipeline exactly") {
+    val df = corpus(300, 16, seed = 11L)
+    val queries = df.filter($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString
+    IndexStore.writePqIndex(df, dir, m = 4, kCent = 8, seed = 7L, sampleSize = 300)
+    val served = IndexStore.servePqTopK(queries, df, dir, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inSession = ProductQuant.pqTopKRerank(queries, df, k = 5, shortlistK = 20,
+        m = 4, kCent = 8, seed = 7L, sampleSize = 300)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == inSession)
+  }
+
+  test("codebooks round-trip the [m][k][dsub] layout through parquet") {
+    val df = corpus(200, 16, seed = 13L)
+    val cbs = ProductQuant.trainedCodebooks(df, m = 4, k = 8, seed = 3L, sampleSize = 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString
+    IndexStore.writePqIndex(df, dir, m = 4, kCent = 8, seed = 3L, sampleSize = 200, codebooks = cbs)
+    val back = IndexStore.readCodebooks(spark, dir)
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("the served plan reads the persisted codes and never re-encodes or trains") {
+    val df = corpus(200, 16, seed = 17L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString
+    IndexStore.writePqIndex(df, dir, m = 4, kCent = 8, seed = 3L, sampleSize = 200)
+    val served = IndexStore.servePqTopK(df.filter($"vec_id" < 2), df, dir, k = 3, shortlistK = 10)
+    // the persisted codes table appears as a parquet scan leaf...
+    val leaves = served.queryExecution.sparkPlan.collectLeaves().map(_.toString)
+    assert(leaves.exists(l => l.contains("parquet") && l.contains("codes")),
+      s"serving must scan the persisted codes table; leaves=\n${leaves.mkString("\n")}")
+    // ...and nothing in the plan re-encodes (codes come from the index)
+    val plan = served.queryExecution.sparkPlan.toString
+    assert(!plan.toLowerCase.contains("pqencode"),
+      "serving must not re-encode the corpus — codes come from the index")
+  }
+}

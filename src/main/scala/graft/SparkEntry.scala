@@ -394,6 +394,16 @@ FROM pieces ORDER BY doc_id, start_cp, token"""
   val ImageResizeW = 10
   val ImageResizeH = 7
 
+  /** The deterministic stage list of the topic pipeline's
+    * `stage_timings_ms` instrumentation (reference `mod.rs:223-390`
+    * stage table) for the exact (≤ maxDriverChunks) path topicRun takes
+    * — shared by q_topic_stage_timings and its oracle literals. */
+  val TopicStageNames: Seq[String] = Seq(
+    "embedder_load", "chunking", "embedding", "reduce_clustering",
+    "hdbscan", "reduce_coordinates", "topic_coordinates",
+    "ctfidf_count_terms", "ctfidf_scores", "rollup", "assemble_topics",
+    "total")
+
   /** `(clip_id, sampleRateHz, channels, pcmFrames)` for the real-WAV
     * decode round-trips — shared by q_media_audio_meta (which ENCODES
     * square-wave clips at these shapes, then re-derives everything by
@@ -2128,6 +2138,24 @@ FROM graft_documents ORDER BY doc_id""")
           col("n_topics"),
           col("n_chunks"))
         .orderBy("doc_id", "topic_id")
+    }),
+
+    // the stage_timings_ms instrumentation contract (BASELINE.md's
+    // per-stage table) as a checkable relation: the stage SET and ORDER
+    // are deterministic, elapsed values are not — so the row carries
+    // (idx, stage, ok) with ok = elapsed ≥ 0 per stage plus the
+    // total-covers-parts inequality (timed stages are disjoint spans
+    // inside the total span, so sum(parts) ≤ total up to scheduler
+    // gaps). Oracle: the expected (idx, stage, true) literals from the
+    // shared TopicStageNames constant
+    "q_topic_stage_timings" -> ((s, dir) => {
+      import s.implicits._
+      val t = topicRun(s, dir).stageTimings
+      val total = t.collectFirst { case ("total", e) => e }.getOrElse(-1.0)
+      val parts = t.collect { case (n, e) if n != "total" => e }
+      val rows = t.zipWithIndex.map { case ((stage, e), i) => (i.toLong, stage, e >= 0.0) } :+
+        ((t.length.toLong, "_total_covers_parts", total >= parts.sum))
+      rows.toDF("idx", "stage", "ok").orderBy("idx")
     }),
 
     // §2.6 #17/#18 the DEFAULT topic pipeline — PaCMAP reduction +
@@ -3945,6 +3973,13 @@ WHERE rank <= 3 ORDER BY o_custkey, rank""",
   CAST(rs_width AS INT) AS rs_width, CAST(rs_height AS INT) AS rs_height
 FROM (VALUES $vals) AS t(img_id, width, height, n_frames, rs_width, rs_height)
 ORDER BY img_id"""
+    },
+
+    "q_topic_stage_timings" -> {
+      val vals = (TopicStageNames.zipWithIndex.map { case (s, i) => s"($i, '$s', true)" } :+
+        s"(${TopicStageNames.length}, '_total_covers_parts', true)").mkString(", ")
+      s"""SELECT CAST(idx AS BIGINT) AS idx, stage, ok
+FROM (VALUES $vals) AS t(idx, stage, ok) ORDER BY idx"""
     },
 
     "q_media_audio_meta" -> {

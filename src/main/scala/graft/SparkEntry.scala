@@ -4071,16 +4071,25 @@ FROM (SELECT doc_id, regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS
 q AS (SELECT quantile_cont(wc, 0.10) AS lo, quantile_cont(wc, 0.99) AS hi FROM w)
 SELECT doc_id, wc FROM w, q WHERE wc >= lo AND wc <= hi ORDER BY doc_id""",
 
+    // The engine drops any candidate bucket whose membership exceeds
+    // maxBucket WHOLE (PostingLists.members cap) — model that cap here
+    // (kept CTE) so the oracle contract keeps holding at scale factors
+    // where a lang|source bucket outgrows the cap, instead of silently
+    // diverging
     "q_jaccard_pairs" ->
       s"""WITH tok AS (
   SELECT DISTINCT doc_id, bucket, token FROM (
     SELECT doc_id, lang || '|' || source AS bucket,
            unnest(${toksArrSql()}) AS token
     FROM documents)),
-sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+kept AS (
+  SELECT bucket FROM (SELECT bucket, count(DISTINCT doc_id) AS bn FROM tok GROUP BY 1)
+  WHERE bn <= ${graft.util.PostingLists.DefaultMaxBucket}),
+ctok AS (SELECT t.* FROM tok t JOIN kept USING (bucket)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ctok GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM tok a JOIN tok b ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
+  FROM ctok a JOIN ctok b ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
   round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard

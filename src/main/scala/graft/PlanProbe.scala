@@ -18,7 +18,9 @@ object PlanProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+    val dir = sys.env.getOrElse("PP_DIR", "/root/testdata/sf0.01")
+    val passes = sys.env.getOrElse("PP_PASSES", "1").toInt
+    val df = SparkEntry.queries(name)(spark, dir)
     def report(tag: String, plan: String): Unit = {
       println(s"${tag}_REUSED=" + "ReusedExchange".r.findAllIn(plan).length)
       println(s"${tag}_SCANS=" + "FileScan parquet".r.findAllIn(plan).length)
@@ -30,8 +32,13 @@ object PlanProbe {
     }
     report("STATIC", df.queryExecution.executedPlan.toString)
     if (dump) println(df.queryExecution.executedPlan.toString)
-    df.collect()
-    report("FINAL", finalSection(df.queryExecution.executedPlan.toString))
+    (1 to passes).foreach { p =>
+      val fresh = SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      fresh.count()
+      println(f"PASS $p SEC=${(System.nanoTime() - t0) / 1e9}%.3f")
+      if (p == passes) report("FINAL", finalSection(fresh.queryExecution.executedPlan.toString))
+    }
     spark.stop()
   }
 }

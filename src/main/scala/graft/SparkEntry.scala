@@ -469,6 +469,24 @@ FROM pieces ORDER BY doc_id, start_cp, token"""
 FROM graft_documents ORDER BY doc_id""")
     }),
 
+    // the injected OPTIMIZER RULE under the oracle: the SQL user's
+    // obvious token-string projection (transform(tokenize_plain(text),
+    // x -> x.token)) is CodegenFallback as written; TokenStringsRewrite
+    // (installed here via experimental.extraOptimizations; the
+    // spark.sql.extensions path registers the same rule at build time)
+    // rewrites it to the native codegen'd TokenStringsExpr — same
+    // values, intact codegen span. TokenStringsRewriteSpec pins the
+    // plan shape; this row pins the values against the plain-tokenize
+    // oracle
+    "q_sql_token_strings" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      graft.sql.GraftFunctions.installOptimizerRule(s)
+      tbl(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id, tok AS token FROM graft_documents
+LATERAL VIEW explode(transform(tokenize_plain(text), x -> x.token)) t AS tok
+ORDER BY doc_id, token""")
+    }),
+
     // sink/source fidelity under the oracle: the corpus leaves through
     // the JSON sink and comes back through the schema'd JSON source; the
     // oracle reads the ORIGINAL table, so any engine-side interchange
@@ -3098,6 +3116,10 @@ FROM c GROUP BY lang ORDER BY lang"""),
 FROM documents ORDER BY doc_id""",
 
     "q_tokenize_tokens" ->
+      s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
+
+    // SQL-surface transform(tokenize)→token rewrite: same token stream
+    "q_sql_token_strings" ->
       s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",
 
     // WordPiece greedy decomposition hand-derived per corpus word (the

@@ -99,4 +99,33 @@ object GraftFunctions {
         new ExpressionInfo("graft.sql.GraftFunctions", name),
         builder)
     }
+
+  /** Idempotently install the graft optimizer rules on an ALREADY-BUILT
+    * session via `experimental.extraOptimizations` (the post-build end of
+    * the ladder [[GraftExtensions]] covers at session-build time). */
+  def installOptimizerRule(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(TokenStringsRewrite))
+      spark.experimental.extraOptimizations = cur :+ TokenStringsRewrite
+  }
+
+  private[sql] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = builders
+}
+
+/** The `spark.sql.extensions` entry point — the canonical production
+  * deployment: `--conf spark.sql.extensions=graft.sql.GraftExtensions`
+  * gives every session the graft SQL functions AND the optimizer
+  * rewrites with no driver-side code. The same builders/rules as
+  * [[GraftFunctions.register]]/[[GraftFunctions.installOptimizerRule]] —
+  * one implementation, two registration ladders. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    GraftFunctions.allBuilders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.sql.GraftFunctions", name),
+          builder))
+    }
+    ext.injectOptimizerRule(_ => TokenStringsRewrite)
+  }
 }

@@ -205,12 +205,33 @@ object SparkEntry {
         PqM, PqCent, IvfSeed, IvfSampleSize, pqCodebooksFor(s, dir))
       d
     })
+
+  /** The INCREMENTAL variant: index built over half the corpus, the
+    * other half appended as a delta (codebooks read back from the
+    * index, never retrained). Same final code table as the one-shot
+    * build — which is the whole point — so the serving query shares the
+    * exact oracle. */
+  private val pqAppendIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqAppendedIndexDirFor(s: SparkSession, dir: String): String =
+    pqAppendIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-pq-index-append-").toString
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore.writePqIndex(
+        emb.filter(col("vec_id") % 2 === 0), d, "vec_id", "embedding",
+        PqM, PqCent, IvfSeed, IvfSampleSize, pqCodebooksFor(s, dir))
+      graft.similarity.IndexStore.appendToPqIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), d)
+      d
+    })
   // q_semdedup: the synthetic embeddings are hash-random (max pairwise
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
   val SemDedupThreshold = 0.4
   // q_edit_pairs: Levenshtein cutoff (shared with the oracle SQL)
   val EditMaxDistance = 32
+  // q_heavy_hitters: MG capacity; > the 31-word closed vocabulary, so
+  // the sketch is provably exact on this corpus (see the query comment)
+  val HeavyHittersK = 64
   /** The WordPiece decomposition oracle, shared by q_tokenize_wordpiece
     * (registry-built backend from `wordpiece_vocab.txt`) and
     * q_tokenize_hf_json (the gated `tokenizer.json` loader over the same
@@ -1078,6 +1099,25 @@ ORDER BY doc_id, token""")
         .orderBy("doc_id", "start_cp", "token")
     }),
 
+    // sketch tier: Misra–Gries heavy hitters as a MERGEABLE typed
+    // Aggregator — one aggregation with O(k) state per map task (no
+    // token-type shuffle), the pre-pass a 100 TB top-tokens job runs.
+    // k=64 exceeds the 31-word corpus vocabulary, so no decrement ever
+    // fires and the summary provably equals the exact counts (merge-
+    // order-independent) — DuckDB's GROUP BY is the exact oracle; the
+    // eviction regime's ε-guarantee is MisraGriesSpec territory
+    "q_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tbl(s, dir, "documents")
+        .select(explode(Tokenize.tokenStrings(col("text"))).as("tok"))
+        .as[String]
+      val agg = new graft.util.MisraGries.Agg(HeavyHittersK)
+      toks.select(agg.toColumn).toDF("hh")
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1").as("token"), col("e._2").as("est_freq"))
+        .orderBy("token")
+    }),
+
     // §2.4 #11 token_frequencies
     "q_token_freq" -> ((s, dir) =>
       TokenFrequencies
@@ -1450,6 +1490,22 @@ ORDER BY doc_id, token""")
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.IndexStore
         .servePqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb, pqIndexDirFor(s, dir),
+          k = IvfK, shortlistK = PqShortlist)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // incremental index maintenance under the oracle: the index is
+    // built over the even half of the corpus and the odd half arrives
+    // as an appended DELTA encoded with the PERSISTED codebooks (read
+    // back, never retrained). The final code table must equal the
+    // one-shot build's — so serving from it shares q_knn_pq_rerank's
+    // exact oracle, which is precisely the invariant that makes
+    // daily-delta ingestion safe at 100 TB
+    "q_knn_index_append" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .servePqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb, pqAppendedIndexDirFor(s, dir),
           k = IvfK, shortlistK = PqShortlist)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("query_id", "rank")
@@ -2998,6 +3054,7 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
       // served-from-parquet path: same trained artifacts, same contract,
       // same exact oracle as the in-session rerank pipeline
       ("q_knn_served" -> pqRerankOracleSql(spark, dir)) +
+      ("q_knn_index_append" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 
@@ -3142,6 +3199,10 @@ FROM documents ORDER BY doc_id""",
 
     "q_token_freq" ->
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",
+
+    // MG with k > |vocab| is provably the exact count table
+    "q_heavy_hitters" ->
+      s"SELECT token, count(*) AS est_freq FROM ($tokSql) GROUP BY token ORDER BY token",
 
     // salted two-phase == direct GROUP BY (algebraic-aggregate identity)
     "q_salted_token_counts" ->

@@ -72,6 +72,23 @@ object IndexStore {
     out
   }
 
+  /** Incremental index maintenance: encode NEW vectors with the
+    * persisted codebooks (read back, never retrained — retraining would
+    * silently invalidate every previously stored code) and append their
+    * codes. The streaming-ingest half of the serving contract: a 100 TB
+    * index is built once and then receives daily/hourly deltas; append
+    * cost is one elementwise encode scan over the delta only. */
+  def appendToPqIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cbs = readCodebooks(newVectors.sparkSession, path)
+    newVectors
+      .select(col(idCol).as("neighbor_id"), ProductQuant.encodeCol(col(vecCol), cbs).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Serve top-k from the persisted index: ADC shortlist over the stored
     * codes, exact cosine re-rank against the vector table. No training,
     * no corpus encode — the build job already paid both. */

@@ -44,6 +44,23 @@ class IndexStoreSpec extends SparkSpec {
     assert(back.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("append encodes deltas with the persisted codebooks — equals the one-shot build") {
+    val df = corpus(300, 16, seed = 19L)
+    val cbs = ProductQuant.trainedCodebooks(df, m = 4, k = 8, seed = 7L, sampleSize = 300)
+    val full = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString
+    IndexStore.writePqIndex(df, full, m = 4, kCent = 8, seed = 7L, sampleSize = 300, codebooks = cbs)
+    val inc = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString
+    IndexStore.writePqIndex(df.filter($"vec_id" < 150), inc,
+      m = 4, kCent = 8, seed = 7L, sampleSize = 300, codebooks = cbs)
+    IndexStore.appendToPqIndex(df.filter($"vec_id" >= 150), inc)
+    val q = df.filter($"vec_id" < 3)
+    val a = IndexStore.servePqTopK(q, df, full, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = IndexStore.servePqTopK(q, df, inc, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
   test("the served plan reads the persisted codes and never re-encodes or trains") {
     val df = corpus(200, 16, seed = 17L)
     val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString

@@ -714,6 +714,47 @@ ORDER BY doc_id, token""")
         .orderBy("key")
     }),
 
+    // the MODERN arbitrary-state API (Spark 4 transformWithState +
+    // named ValueState on the RocksDB state store) under the exact
+    // oracle: per-user running event stats in Update mode. Totals are
+    // monotone in n_events, so max_by in the sink reads the final
+    // state however the source splits into batches. The provider conf
+    // is scoped to the start() call (read at stream start), restored
+    // after — the HDFS-backed default stays in place for every other
+    // stateful stream
+    "q_stream_user_stats" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = tbl(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(stagedDir(s"$dir/events.parquet"))
+      val stats = graft.streaming.TextStream.userEventStats(stream)
+        .toDF("user_id", "n_events", "sum_value")
+      s.catalog.dropTempView("graft_stream_user_stats")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q =
+        try withStreamShufflePartitions(s, StreamStateParts)(stats.writeStream
+          .format("memory")
+          .queryName("graft_stream_user_stats")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        finally prevProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_user_stats")
+        .groupBy(col("user_id"))
+        .agg(
+          max("n_events").as("n_events"),
+          expr("max_by(sum_value, n_events)").as("sv"))
+        .select(col("user_id"), col("n_events"), round(col("sv"), 6).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // streaming tier: the curation gate run as a STREAM — stateless
     // scan-speed filtering (quality + repetition + lang-id) over a file
     // source, answering the SAME oracle as the batch formulation (a
@@ -3203,6 +3244,13 @@ FROM documents ORDER BY doc_id""",
     // MG with k > |vocab| is provably the exact count table
     "q_heavy_hitters" ->
       s"SELECT token, count(*) AS est_freq FROM ($tokSql) GROUP BY token ORDER BY token",
+
+    // transformWithState running stats == the batch aggregate (the
+    // AvailableNow drain covers every event exactly once)
+    "q_stream_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+  round(sum(coalesce(value, 0.0)), 6) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id""",
 
     // salted two-phase == direct GROUP BY (algebraic-aggregate identity)
     "q_salted_token_counts" ->

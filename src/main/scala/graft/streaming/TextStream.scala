@@ -142,6 +142,50 @@ object TextStream {
     * partitions regardless of key cardinality — and the state update
     * merely adds two longs per row. Tokenizing inside the group function
     * would cap throughput at the number of distinct keys. */
+  /** Per-user running event stats on the MODERN arbitrary-state API:
+    * Spark 4's `transformWithState` with a named `ValueState` — the
+    * successor to `mapGroupsWithState` (multiple independent state
+    * variables per key, per-state TTL, timers; requires the RocksDB
+    * state store provider). Same scale shape as [[runningTotals]]: the
+    * stateless projection runs before the state shuffle, the per-key
+    * update adds a long and a double. Output mode Update: each batch
+    * emits the keys it touched with their post-batch totals (monotone
+    * in n, so max-per-key in the sink is the final state). */
+  final class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var stats: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Double)](
+        "stats",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, sum) = if (stats.exists()) stats.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; sum += v }
+      stats.update((n, sum))
+      Iterator.single((key, n, sum))
+    }
+  }
+
+  def userEventStats(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        coalesce(col("value"), lit(0.0)).cast("double").as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   def runningTotals(
       stream: DataFrame,
       keyCol: String,

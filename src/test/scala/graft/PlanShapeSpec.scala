@@ -416,4 +416,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"sample barrier grew a global sort exchange:\n$plan")
   }
+
+  test("heavy hitters: one scan, one tokenize, join-free — O(k) summary, no token-type shuffle") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    assert(count(plan, "tokenize_plain_words") == 1, plan)
+    // the only wide payload is the bounded MG summary, never a per-token
+    // aggregation keyed on the token itself
+    assert(!plan.toLowerCase.contains("hashaggregate(keys=[tok"), plan)
+  }
+
+  test("served PQ top-k never trains or re-encodes on the query surface") {
+    val df = SparkEntry.queries("q_knn_served")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.toLowerCase.contains("pqencode"),
+      "serving must read stored codes, not re-encode")
+    // codes parquet + embeddings (LUT side and exact re-rank side)
+    assert(count(plan, "FileScan parquet") >= 2, plan)
+    // both joins broadcast: the LUT batch and the shortlist
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+  }
+
+  test("sql token-strings rewrite holds on the query surface") {
+    val df = SparkEntry.queries("q_sql_token_strings")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("token_strings"), plan)
+    assert(!plan.contains("transform("), plan)
+  }
 }

@@ -206,6 +206,41 @@ object SparkEntry {
       d
     })
 
+  /** The corpus written hive-partitioned by `lang`, once per (JVM, dir)
+    * — the layout partition pruning needs. */
+  private val partitionedDocsRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedDocsDirFor(s: SparkSession, dir: String): String =
+    partitionedDocsRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-part-docs-").toString + "/docs"
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(d)
+      d
+    })
+
+  /** Orders + lineitem as EXTERNAL tables bucketed by the join key (8
+    * buckets, sorted within buckets), once per (JVM, dir): both sides
+    * hash-clustered identically, so the fact-fact join — and any
+    * aggregation keyed on the same column — plans with zero
+    * hashpartitioning exchanges. External paths (temp dirs) keep the
+    * in-memory catalog free of warehouse/metastore state. */
+  private val bucketedRoots = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def bucketedTablesFor(s: SparkSession, dir: String): Unit = {
+    bucketedRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bucketed-").toString
+      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$d/orders_b").saveAsTable("graft_orders_b")
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$d/lineitem_b").saveAsTable("graft_lineitem_b")
+      true
+    })
+    ()
+  }
+
   /** The INCREMENTAL variant: index built over half the corpus, the
     * other half appended as a delta (codebooks read back from the
     * index, never retrained). Same final code table as the one-shot
@@ -521,6 +556,64 @@ ORDER BY doc_id, token""")
         .select(col("doc_id"), col("lang"),
           TextFunctions.charCount(col("text")).as("char_cnt"))
         .orderBy("doc_id")
+    }),
+
+    // same fidelity contract through the CSV interchange path —
+    // header + quoted strings; text is single-line by corpus shape, so
+    // quoting/escaping of the delimiter class is what's under test
+    "q_sink_roundtrip_csv" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString + "/docs_csv"
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      docs.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(docs.schema).option("header", "true").csv(out)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charCount(col("text")).as("char_cnt"))
+        .orderBy("doc_id")
+    }),
+
+    // and through ORC — the second columnar container a lakehouse
+    // deployment actually swaps in; same oracle against the original
+    "q_sink_roundtrip_orc" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sink-").toString + "/docs_orc"
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      docs.write.mode("overwrite").orc(out)
+      s.read.schema(docs.schema).orc(out)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charCount(col("text")).as("char_cnt"))
+        .orderBy("doc_id")
+    }),
+
+    // partition-pruned layout: the corpus written hive-partitioned by
+    // lang (once per JVM), then queried with a partition filter — the
+    // scan must touch ONE lang directory, not the corpus
+    // (PlanShapeSpec pins PartitionFilters + the pruned partition
+    // count; the oracle pins the values against the original table)
+    "q_partitioned_scan" -> ((s, dir) => {
+      val root = partitionedDocsDirFor(s, dir)
+      s.read.parquet(root)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.charCount(col("text")).as("char_cnt"))
+        .orderBy("doc_id")
+    }),
+
+    // co-located join: orders and lineitem written BUCKETED by the join
+    // key into external tables (once per JVM) — the join and the
+    // key-aligned aggregation then run with ZERO hashpartitioning
+    // exchanges (bucketed scans on both sides), the layout every 100 TB
+    // fact-fact join should run on. PlanShapeSpec pins the
+    // exchange-free shape; DuckDB pins the values from the originals
+    "q_bucketed_join" -> ((s, dir) => {
+      bucketedTablesFor(s, dir)
+      val one = lit(1).cast("decimal(18,2)")
+      s.table("graft_orders_b")
+        .join(s.table("graft_lineitem_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (one - col("l_discount").cast("decimal(18,2)"))).cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderkey")
     }),
 
     // standard relational surface (SURVEY §2.9): TPC-H-Q1-flavor pricing
@@ -3208,10 +3301,32 @@ SELECT lang, count(*) AS n_docs, CAST(sum(word_cnt) AS BIGINT) AS total_words,
   round(CAST(sum(char_cnt) AS BIGINT) / count(*), 6) AS avg_chars
 FROM c GROUP BY lang ORDER BY lang"""),
 
-    // the roundtripped corpus must equal the original table
+    // the roundtripped corpus must equal the original table — same
+    // contract for every interchange container (JSON / CSV / ORC) and
+    // for the partition-pruned layout (filtered slice)
     "q_sink_roundtrip" ->
       """SELECT doc_id, lang, CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt
 FROM documents ORDER BY doc_id""",
+
+    "q_sink_roundtrip_csv" ->
+      """SELECT doc_id, lang, CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt
+FROM documents ORDER BY doc_id""",
+
+    "q_sink_roundtrip_orc" ->
+      """SELECT doc_id, lang, CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt
+FROM documents ORDER BY doc_id""",
+
+    "q_partitioned_scan" ->
+      """SELECT doc_id, lang, CAST(length(coalesce(text, '')) AS BIGINT) AS char_cnt
+FROM documents WHERE lang = 'en' ORDER BY doc_id""",
+
+    // bucketed join == the plain join (layout changes cost, not answers)
+    "q_bucketed_join" ->
+      """SELECT o_orderkey,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+  count(*) AS n_items
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "q_tokenize_tokens" ->
       s"SELECT doc_id, token FROM ($tokSql) ORDER BY doc_id, token",

@@ -445,4 +445,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("token_strings"), plan)
     assert(!plan.contains("transform("), plan)
   }
+
+  test("bucketed join runs with zero hashpartitioning exchanges") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("Bucketed: true"), plan)
+    // join AND the key-aligned aggregation ride the bucket layout; the
+    // only exchange left is the rangepartitioning for the output order
+    assert(count(plan, "Exchange hashpartitioning") == 0, plan)
+  }
+
+  test("partitioned scan prunes to the one lang directory") {
+    val df = SparkEntry.queries("q_partitioned_scan")(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("lang"), plan)
+    // the executed scan reads exactly one of the five lang partitions
+    // (sparkPlan: the pre-AQE physical plan — AdaptiveSparkPlanExec
+    // hides its subtree from collect)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.listFiles(
+      scans.head.partitionFilters, Nil).length == 1),
+      "partition pruning must select exactly the lang='en' directory")
+  }
 }

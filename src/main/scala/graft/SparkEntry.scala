@@ -979,6 +979,25 @@ ORDER BY doc_id, token""")
         .orderBy("click_id", "purchase_id")
     }),
 
+    // time-series resampling (beyond-reference): per-user daily grid
+    // with forward fill — the pandas resample().ffill() normalization
+    // as ONE operator. Events collapse to one row per (user, day)
+    // BEFORE any window runs; the growing fill window walks grid-sized
+    // partitions keyed by user. Deterministic last-observation pick
+    // (ts, then event_id); DuckDB replays via generate_series + an
+    // IGNORE NULLS window
+    "q_resample_daily" -> ((s, dir) => {
+      graft.operators.Resample
+        .resampleFill(eventsWithTs(s, dir), "user_id", "ts", "value", "event_id",
+          step = "1 day", truncUnit = "DAY")
+        .select(
+          col("user_id"),
+          date_format(col("slot"), "yyyy-MM-dd").as("day"),
+          round(col("value"), 6).as("value"),
+          col("observed"))
+        .orderBy("user_id", "day")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -4275,6 +4294,23 @@ f AS (SELECT doc_id, len, nf, unnest(range(0, CAST(nf AS INT))) AS frame_idx FRO
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
   CAST(((frame_idx + 1) * len) // nf - (frame_idx * len) // nf AS BIGINT) AS frame_bytes
 FROM f ORDER BY doc_id, frame_idx""",
+
+    // resample+ffill replay: same deterministic last-per-slot pick
+    // (ts DESC, event_id DESC), generate_series grid, IGNORE NULLS fill
+    "q_resample_daily" ->
+      """WITH slotted AS (
+  SELECT user_id, date_trunc('day', ts) AS slot, value,
+    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+lastv AS (SELECT user_id, slot, value FROM slotted WHERE rn = 1),
+b AS (SELECT user_id, min(slot) AS t0, max(slot) AS t1 FROM lastv GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS slot FROM b)
+SELECT g.user_id, strftime(g.slot, '%Y-%m-%d') AS day,
+  round(last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot), 6) AS value,
+  l.value IS NOT NULL AS observed
+FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.slot = g.slot
+ORDER BY g.user_id, day""",
 
     "q_asof_purchase" ->
       """SELECT l.event_id, l.user_id, r.event_id AS purchase_id, r.value AS purchase_value

@@ -606,7 +606,12 @@ ORDER BY doc_id, token""")
     "q_bucketed_join" -> ((s, dir) => {
       bucketedTablesFor(s, dir)
       val one = lit(1).cast("decimal(18,2)")
-      s.table("graft_orders_b")
+      // merge hint: at test SFs AQE would happily broadcast the orders
+      // side, which hides exactly the property this query exists to
+      // pin — at 100 TB neither fact side broadcasts, and the bucketed
+      // SMJ must run with zero hashpartitioning exchanges (and zero
+      // sorts: the buckets are sorted on the key)
+      s.table("graft_orders_b").hint("merge")
         .join(s.table("graft_lineitem_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(

@@ -453,6 +453,10 @@ class PlanShapeSpec extends SparkSpec {
     // join AND the key-aligned aggregation ride the bucket layout; the
     // only exchange left is the rangepartitioning for the output order
     assert(count(plan, "Exchange hashpartitioning") == 0, plan)
+    // the merge hint keeps the shape honest at any SF: the 100 TB case
+    // where neither fact side broadcasts
+    assert(count(plan, "SortMergeJoin") == 1, plan)
+    assert(count(plan, "BroadcastHashJoin") == 0, plan)
   }
 
   test("partitioned scan prunes to the one lang directory") {

@@ -1637,6 +1637,30 @@ ORDER BY doc_id, token""")
         .orderBy("query_id", "rank")
     }),
 
+    // ANN evaluation tier: recall@k of the codes-only ADC ranking
+    // against the exact cosine top-k (valid because the embeddings are
+    // unit-norm: L2 and cosine orders agree) — the quality metric every
+    // production ANN deployment monitors. Both rankings and the overlap
+    // are deterministic, so even the EVALUATION sits under the exact
+    // oracle (DuckDB re-derives exact ranks, ADC ranks from the
+    // codebook literals, and the per-query overlap)
+    "q_knn_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < IvfQueryMax)
+      val exact = graft.similarity.Similarity
+        .bruteForceTopK(queries, emb, k = IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.similarity.ProductQuant
+        .pqTopK(queries, emb, k = IvfK, m = PqM, kCent = PqCent,
+          seed = IvfSeed, sampleSize = IvfSampleSize, codebooks = pqCodebooksFor(s, dir))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(IvfK), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // the persist-and-serve contract: the same ADC-shortlist + exact
     // re-rank pipeline as q_knn_pq_rerank, but served ENTIRELY from the
     // parquet index a separate build job wrote (codebooks + corpus
@@ -3129,6 +3153,26 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist
 FROM ranked WHERE rank <= $IvfK ORDER BY query_id, rank"""
 
+  /** recall@k replay: exact cosine top-k vs the ADC `ranked` CTE. */
+  private def pqRecallOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${pqAdcCtesSql(spark, dir)},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < $IvfQueryMax AND c.vec_id <> q.vec_id)
+  WHERE r <= $IvfK),
+approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $IvfK)
+SELECT e.query_id,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / $IvfK, 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id"""
+
   /** The re-ranked serving contract: the ADC shortlist (rank ≤
     * [[PqShortlist]], same ranked CTE as [[pqKnnOracleSql]]) joined back
     * to exact vectors and cosine re-ranked — the `list_cosine_similarity`
@@ -3213,6 +3257,7 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
       // same exact oracle as the in-session rerank pipeline
       ("q_knn_served" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_index_append" -> pqRerankOracleSql(spark, dir)) +
+      ("q_knn_recall" -> pqRecallOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 

@@ -516,6 +516,10 @@ FROM pieces ORDER BY doc_id, start_cp, token"""
     // user gets the exact Column-API semantics
     "q_sql_surface" -> ((s, dir) => {
       graft.sql.GraftFunctions.register(s)
+      // size(tokenize_plain(text)) below rewrites to the count-only
+      // native expression (TokenCountRewrite) — same counts, no
+      // token-struct array materialized per row
+      graft.sql.GraftFunctions.installOptimizerRule(s)
       tbl(s, dir, "documents").createOrReplaceTempView("graft_documents")
       s.sql("""SELECT doc_id, lang,
   clean_text(text) AS cleaned,

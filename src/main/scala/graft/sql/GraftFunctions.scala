@@ -104,9 +104,11 @@ object GraftFunctions {
     * session via `experimental.extraOptimizations` (the post-build end of
     * the ladder [[GraftExtensions]] covers at session-build time). */
   def installOptimizerRule(spark: SparkSession): Unit = {
+    val rules = Seq(TokenStringsRewrite, TokenCountRewrite)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(TokenStringsRewrite))
-      spark.experimental.extraOptimizations = cur :+ TokenStringsRewrite
+    val missing = rules.filterNot(cur.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ missing
   }
 
   private[sql] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = builders
@@ -127,5 +129,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           builder))
     }
     ext.injectOptimizerRule(_ => TokenStringsRewrite)
+    ext.injectOptimizerRule(_ => TokenCountRewrite)
   }
 }

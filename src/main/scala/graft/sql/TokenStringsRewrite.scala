@@ -47,3 +47,19 @@ object TokenStringsRewrite extends Rule[LogicalPlan] {
       TokenStringsExpr(child)
   }
 }
+
+/** Optimizer rule: `size(tokenize_plain(text))` → the count-only
+  * [[graft.text.TokenCountExpr]], skipping the token-struct array the
+  * count throws away (per-token row + string allocations on every
+  * corpus row). Semantics identical including the null contract:
+  * TokenizeExpr is non-nullable (null text → empty array), so
+  * `Size` returns 0 there under BOTH legacy and ANSI size-of-null
+  * settings — the rewrite can ignore `legacySizeOfNull`. Registered
+  * alongside [[TokenStringsRewrite]] by both ladders. */
+object TokenCountRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case org.apache.spark.sql.catalyst.expressions.Size(
+        t: graft.text.TokenizeExpr, _) =>
+      graft.text.TokenCountExpr(t.child, t.lowercase, t.removePunct)
+  }
+}

@@ -61,6 +61,24 @@ class TokenStringsRewriteSpec extends SparkSpec {
     GraftFunctions.installOptimizerRule(spark)
     GraftFunctions.installOptimizerRule(spark)
     assert(spark.experimental.extraOptimizations.count(_ == TokenStringsRewrite) == 1)
+    assert(spark.experimental.extraOptimizations.count(_ == TokenCountRewrite) == 1)
+  }
+
+  test("size(tokenize) rewrites to the count-only expression with identical counts") {
+    GraftFunctions.register(spark)
+    GraftFunctions.installOptimizerRule(spark)
+    docs.createOrReplaceTempView("tsr_docs")
+    val df = spark.sql("SELECT doc_id, size(tokenize_plain(text)) AS n FROM tsr_docs")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("token_count"), plan)
+    assert(!plan.contains("tokenize_plain_words"), plan)
+    val got = df.orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    val want = docs
+      .select($"doc_id", size(graft.text.Tokenize.tokenize($"text")).as("n"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(got == want)
+    // null contract: null text counts 0 through both paths
+    assert(graft.text.TokenCountExpr.run(null, true, true) == 0)
   }
 
   test("GraftExtensions wires functions + rule at session build time") {

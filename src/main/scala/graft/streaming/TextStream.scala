@@ -196,7 +196,7 @@ object TextStream {
     stream
       .select(
         col(keyCol).cast("string").as("key"),
-        coalesce(size(Tokenize.tokenize(coalesce(col(textCol), lit("")))), lit(0))
+        Tokenize.tokenCount(coalesce(col(textCol), lit("")))
           .cast("long").as("n_toks"))
       .as[(String, Long)]
       .groupByKey(_._1)

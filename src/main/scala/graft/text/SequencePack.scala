@@ -43,7 +43,7 @@ object SequencePack {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(
         col(idCol),
-        size(Tokenize.tokenize(col(textCol), model)).cast("long").as("n_tokens"))
+        Tokenize.tokenCount(col(textCol), model).cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
       .withColumn(
         "start_tok",

@@ -317,6 +317,23 @@ object Tokenize {
       TokenStringsExpr(org.apache.spark.sql.graft.Bridge.expression(
         tokenize(c, model, lowercase, removePunct))))
 
+  /** `size(tokenize(c))` without the array: the count-only native
+    * expression on the plain-words hot path (no per-token struct/string
+    * materialization — what [[graft.sql.TokenCountRewrite]] gives SQL
+    * users, offered to the Column API directly), `size(tokenize)` for
+    * every other backend. Null text counts 0 on both paths. */
+  def tokenCount(
+      c: Column,
+      model: String = TokenizerModels.PlainWordsEn,
+      lowercase: Boolean = true,
+      removePunct: Boolean = true): Column = {
+    val backend = TokenizerModels.resolve(model)
+    if (backend eq PlainBackend)
+      org.apache.spark.sql.graft.Bridge.column(
+        TokenCountExpr(org.apache.spark.sql.graft.Bridge.expression(c), lowercase, removePunct))
+    else org.apache.spark.sql.functions.size(tokenize(c, model, lowercase, removePunct))
+  }
+
   def tokenize(
       c: Column,
       model: String = TokenizerModels.PlainWordsEn,

@@ -233,12 +233,15 @@ class PlanShapeSpec extends SparkSpec {
       "library functions must not leave CacheManager entries behind")
   }
 
-  test("sequence packing is one scan, one tokenize, shard-partitioned windows") {
+  test("sequence packing is one scan, one count-only tokenize, shard-partitioned windows") {
     val df = SparkEntry.queries("q_seq_pack")(spark, dir)
     assertNoGlobalWindow(df, "q_seq_pack")
     val plan = finalPlan(df)
     assert(count(plan, "FileScan parquet") == 1, plan)
-    assert(count(plan, "tokenize_plain_words") == 1, plan)
+    // packing only needs counts: the count-only native expression, never
+    // the materializing tokenizer
+    assert(count(plan, "token_count") == 1, plan)
+    assert(count(plan, "tokenize_plain_words") == 0, plan)
     assert(!plan.contains("Join"), plan)
   }
 

@@ -1015,6 +1015,25 @@ ORDER BY doc_id, token""")
         .orderBy("user_id", "day")
     }),
 
+    // rolling window over the regularized series: 3-day moving average
+    // of the forward-filled daily values — the composition
+    // resample().ffill().rolling(3).mean() that motivates having the
+    // grid operator at all; the frame is rows-bounded per user, never
+    // global
+    "q_moving_avg" -> ((s, dir) => {
+      val daily = graft.operators.Resample
+        .resampleFill(eventsWithTs(s, dir), "user_id", "ts", "value", "event_id",
+          step = "1 day", truncUnit = "DAY")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("slot")).rowsBetween(-2, 0)
+      daily
+        .select(
+          col("user_id"),
+          date_format(col("slot"), "yyyy-MM-dd").as("day"),
+          round(avg(col("value")).over(w), 6).as("ma3"))
+        .orderBy("user_id", "day")
+    }),
+
     // as-of join (beyond-reference time-series operator): each click
     // joined to the user's latest purchase at or before it — single
     // shuffle union+window plan, never a range join; checked against
@@ -4429,6 +4448,26 @@ SELECT g.user_id, strftime(g.slot, '%Y-%m-%d') AS day,
   l.value IS NOT NULL AS observed
 FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.slot = g.slot
 ORDER BY g.user_id, day""",
+
+    // rolling mean over the same filled series (fill first, then avg —
+    // both unrounded until the final output)
+    "q_moving_avg" ->
+      """WITH slotted AS (
+  SELECT user_id, date_trunc('day', ts) AS slot, value,
+    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+lastv AS (SELECT user_id, slot, value FROM slotted WHERE rn = 1),
+b AS (SELECT user_id, min(slot) AS t0, max(slot) AS t1 FROM lastv GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS slot FROM b),
+filled AS (
+  SELECT g.user_id, g.slot,
+    last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot) AS v
+  FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.slot = g.slot)
+SELECT user_id, strftime(slot, '%Y-%m-%d') AS day,
+  round(avg(v) OVER (PARTITION BY user_id ORDER BY slot
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+FROM filled ORDER BY user_id, day""",
 
     "q_asof_purchase" ->
       """SELECT l.event_id, l.user_id, r.event_id AS purchase_id, r.value AS purchase_value

@@ -1379,6 +1379,16 @@ ORDER BY doc_id, token""")
         .orderBy("lang", "pick_rank")
     }),
 
+    // LLM-pipeline: WEIGHTED corpus sampling (Efraimidis–Spirakis
+    // without replacement) — length-biased per-lang sample: u from the
+    // content sha256 (both engines derive the same draw), key ln(u)/w
+    // with w = n_chars, per-stratum top-k window. The deterministic
+    // form of "sample the corpus proportional to document weight"
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.util.WeightedSample
+        .sampleByWeight(tbl(s, dir, "documents"), "lang", "doc_id", "text", "n_chars", k = 20)
+        .orderBy("lang", "pick_rank")),
+
     // LLM-pipeline: exact dedup — hash-partitioned window over sha256
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup
@@ -3637,6 +3647,18 @@ FROM ctx ORDER BY doc_id, start_idx""",
       PARTITION BY lang ORDER BY sha256(coalesce(text, '')), doc_id) AS BIGINT) AS pick_rank
   FROM documents)
 WHERE pick_rank <= 25 ORDER BY lang, pick_rank""",
+
+    // same sha256-derived u, same ln(u)/w key (IEEE ln agrees between
+    // engines; rank flips would need keys within 1 ulp)
+    "q_weighted_sample" ->
+      """SELECT lang, pick_rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+    CAST(row_number() OVER (
+      PARTITION BY lang
+      ORDER BY ln((CAST(concat('0x', substr(sha256(coalesce(text, '')), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
+               doc_id) AS BIGINT) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= 20 ORDER BY lang, pick_rank""",
 
     "q_dedup_exact" ->
       """SELECT doc_id,

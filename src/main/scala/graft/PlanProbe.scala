@@ -35,7 +35,11 @@ object PlanProbe {
     (1 to passes).foreach { p =>
       val fresh = SparkEntry.queries(name)(spark, dir)
       val t0 = System.nanoTime()
-      fresh.count()
+      // execute the query's OWN plan (collect, like the bench does) so
+      // the adaptive plan actually finalizes and the FINAL report below
+      // reflects the real query — a derived count() would let Spark
+      // prune ordering/columns and leave fresh's plan un-executed
+      fresh.collect()
       println(f"PASS $p SEC=${(System.nanoTime() - t0) / 1e9}%.3f")
       if (p == passes) report("FINAL", finalSection(fresh.queryExecution.executedPlan.toString))
     }

@@ -232,21 +232,31 @@ object SparkEntry {
     * aggregation keyed on the same column — plans with zero
     * hashpartitioning exchanges. External paths (temp dirs) keep the
     * in-memory catalog free of warehouse/metastore state. */
-  private val bucketedRoots = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-  private def bucketedTablesFor(s: SparkSession, dir: String): Unit = {
-    bucketedRoots.computeIfAbsent(dir, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-bucketed-").toString
-      tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$d/orders_b").saveAsTable("graft_orders_b")
-      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$d/lineitem_b").saveAsTable("graft_lineitem_b")
-      true
+  private val bucketedRoots = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) = {
+    // table names are dir-scoped (hash suffix) so two data dirs in one
+    // JVM never overwrite each other's catalog entries, and a memo hit
+    // is only trusted if the tables still exist in THIS session's
+    // catalog (a fresh SparkSession in the same JVM starts empty)
+    val suffix = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    val names = (s"graft_orders_b_$suffix", s"graft_lineitem_b_$suffix")
+    bucketedRoots.compute(dir, { (_, prev) =>
+      if (prev != null && s.catalog.tableExists(prev._1) &&
+          s.catalog.tableExists(prev._2)) prev
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-bucketed-").toString
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$d/orders_b").saveAsTable(names._1)
+        tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$d/lineitem_b").saveAsTable(names._2)
+        names
+      }
     })
-    ()
   }
 
   /** The INCREMENTAL variant: index built over half the corpus, the
@@ -616,15 +626,15 @@ ORDER BY doc_id, token""")
     // fact-fact join should run on. PlanShapeSpec pins the
     // exchange-free shape; DuckDB pins the values from the originals
     "q_bucketed_join" -> ((s, dir) => {
-      bucketedTablesFor(s, dir)
+      val (ordersTbl, lineitemTbl) = bucketedTablesFor(s, dir)
       val one = lit(1).cast("decimal(18,2)")
       // merge hint: at test SFs AQE would happily broadcast the orders
       // side, which hides exactly the property this query exists to
       // pin — at 100 TB neither fact side broadcasts, and the bucketed
       // SMJ must run with zero hashpartitioning exchanges (and zero
       // sorts: the buckets are sorted on the key)
-      s.table("graft_orders_b").hint("merge")
-        .join(s.table("graft_lineitem_b"), col("l_orderkey") === col("o_orderkey"))
+      s.table(ordersTbl).hint("merge")
+        .join(s.table(lineitemTbl), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(
           round(sum(col("l_extendedprice").cast("decimal(18,2)") *

@@ -43,9 +43,14 @@ object HfTokenizerGate {
   val TokenizerJsonProp = "graft.hf.tokenizer.json"
   val ModelIdProp = "graft.hf.tokenizer.model.id"
 
-  def tokenizerJsonPath: Option[String] =
-    sys.props.get(TokenizerJsonProp).orElse(sys.env.get(TokenizerJsonEnv))
-      .filter(p => new java.io.File(p).isFile)
+  def tokenizerJsonPath: Option[String] = {
+    // filter each source independently: a property pointing at a
+    // missing/stale file falls through to the env var instead of
+    // silently disabling it
+    def existing(p: Option[String]) = p.filter(f => new java.io.File(f).isFile)
+    existing(sys.props.get(TokenizerJsonProp))
+      .orElse(existing(sys.env.get(TokenizerJsonEnv)))
+  }
 
   def configuredModelId: String =
     sys.props.get(ModelIdProp).orElse(sys.env.get(ModelIdEnv)).getOrElse(DefaultModelId)

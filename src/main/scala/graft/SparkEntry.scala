@@ -201,6 +201,24 @@ object SparkEntry {
         PqM, PqCent, IvfSeed, IvfSampleSize)
     }
 
+  /** OPQ composed with IVFADC (Ge 2013 §5 / the FAISS `OPQ,IVF,PQ`
+    * production stack): the learned rotation is the PRE-TRANSFORM, and
+    * the coarse quantizer + residual codebooks are trained in the
+    * ROTATED space — rotating after training the cells would misalign
+    * the residuals the codes quantize. */
+  private[graft] def opqIvfFor(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Float]], Array[Array[Array[Float]]]) =
+    memoTrained(s"opqivf|$dir|$IvfCells|$PqM|$PqCent|$IvfSeed|$IvfSampleSize") {
+      val (rot, _) = opqFor(s, dir)
+      val rotEmb = tbl(s, dir, "embeddings").select(
+        col("vec_id"), graft.similarity.Opq.rotateCol(col("embedding"), rot).as("embedding"))
+      val cents = graft.similarity.Similarity.trainedCentroids(
+        rotEmb, "vec_id", "embedding", IvfCells, IvfSeed, IvfSampleSize)
+      val rcbs = graft.similarity.IvfPq.trainedResidualCodebooks(
+        rotEmb, cents, "vec_id", "embedding", PqM, PqCent, IvfSeed, IvfSampleSize)
+      (rot, cents, rcbs)
+    }
+
   /** One persisted PQ index per (JVM, data dir) — the BUILD job of the
     * persist-and-serve contract, run lazily the first time a serving
     * query needs it (a bench's warmup pass builds, timed passes serve). */
@@ -1298,6 +1316,30 @@ ORDER BY doc_id, token""")
         .orderBy("doc_id", "start_cp", "token")
     }),
 
+    // ...and the third dictionary family: `lindera:ko-dic` → bundled ko
+    // word list. The ko phrase design pins the josa (particle) split-off
+    // (회사의사람 → 회사|의|사람), OOV Hangul-syllable fallback (김치 →
+    // 김|치) and the mixed-script run (API분석 → api|분석) — the
+    // reference's ko morpheme invariants re-expressed as exact-match
+    // rows. Runs over the de-labeled slice (any closed-vocab slice
+    // works; de keeps the row cheap and distinct from ja=all / zh=zh)
+    "q_tokenize_cjk_ko" -> ((s, dir) => {
+      val tok = withLinderaGate(Tokenize.tokenize(col("ko_text"), "lindera:ko-dic"))
+      val phrase = typedLit(graft.text.CjkQueryFixture.koPhrase)
+      tbl(s, dir, "documents")
+        .filter(col("lang") === "de")
+        .withColumn("ko_text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => coalesce(element_at(phrase, w), w))))
+        .select(col("doc_id"), explode(tok).as("t"))
+        .select(
+          col("doc_id"),
+          col("t.token").as("token"),
+          col("t.start").as("start_cp"),
+          col("t.end").as("end_cp"))
+        .orderBy("doc_id", "start_cp", "token")
+    }),
+
     // sketch tier: Misra–Gries heavy hitters as a MERGEABLE typed
     // Aggregator — one aggregation with O(k) state per map task (no
     // token-type shuffle), the pre-pass a 100 TB top-tokens job runs.
@@ -1780,6 +1822,27 @@ ORDER BY doc_id, token""")
           m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
           coarseCentroids = ivfCentroidsFor(s, dir),
           residCodebooks = ivfResidCodebooksFor(s, dir))
+        .orderBy("query_id", "rank")
+    }),
+
+    // OPQ composed with IVFADC — the FAISS-style `OPQ,IVF,PQ` config a
+    // real 100 TB ANN deployment runs (Ge 2013 §5): one codegen'd
+    // mat-vec rotates each vector, then the UNCHANGED IVFADC stack
+    // (coarse routing + residual codes + per-probe LUTs) runs in the
+    // rotated space. Rotation is orthogonal so exact geometry is
+    // invariant; cells and residual codebooks are trained rotated.
+    // Oracle replays rotation, cells, codes and ranks from exported
+    // literals; the recall-vs-plain-IVFADC inequality is OpqSpec's
+    "q_knn_opq_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val (rot, cents, rcbs) = opqIvfFor(s, dir)
+      val rotAll = emb.select(
+        col("vec_id"), graft.similarity.Opq.rotateCol(col("embedding"), rot).as("embedding"))
+      graft.similarity.IvfPq
+        .ivfPqTopK(rotAll.filter(col("vec_id") < IvfQueryMax), rotAll,
+          k = IvfK, nCells = IvfCells, nProbe = IvfProbe,
+          m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
+          coarseCentroids = cents, residCodebooks = rcbs)
         .orderBy("query_id", "rank")
     }),
 
@@ -3072,14 +3135,16 @@ ORDER BY b.doc_id"""
   /** The CTE prefix both IVF oracles share: centroid literals (trained on
     * the directory's own embeddings with the engine's code path), squared
     * distances, cell assignment, and nProbe probing for the query set. */
-  private def ivfCtesSql(spark: SparkSession, dir: String): String = {
-    val centroids = ivfCentroidsFor(spark, dir)
+  /** cent/v/d/assign/probe over any `v(vec_id, vec DOUBLE[])` source —
+    * shared by the raw-space IVF oracles and the OPQ×IVFADC oracle
+    * (rotated vectors, rotated-space centroids). */
+  private def ivfCellCtesSql(centroids: Array[Array[Float]], vSql: String): String = {
     val vals = centroids.zipWithIndex
       .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n  ")
     s"""cent(cell, cv) AS (VALUES
   $vals),
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+v AS ($vSql),
 d AS (
   SELECT vec_id, cell,
     list_inner_product(list_transform(range(1, len(vec) + 1), i -> vec[i] - cv[i]),
@@ -3095,6 +3160,10 @@ probe AS (
     FROM d WHERE vec_id < $IvfQueryMax)
   WHERE rn <= $IvfProbe)"""
   }
+
+  private def ivfCtesSql(spark: SparkSession, dir: String): String =
+    ivfCellCtesSql(ivfCentroidsFor(spark, dir),
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings")
 
   private def ivfOracleSql(spark: SparkSession, dir: String): String =
     s"""WITH ${ivfCtesSql(spark, dir)},
@@ -3303,16 +3372,17 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
     * OWN cell's codebook entries (→ argmin codes), `qsd` the queries'
     * per-probed-cell lookup tables; the ADC join recombines them and the
     * ordered reduce reproduces the engine's ascending-subspace fold. */
-  private def ivfPqOracleSql(spark: SparkSession, dir: String): String = {
-    val cbs = ivfResidCodebooksFor(spark, dir)
+  /** The residual-ADC tail over cent/v/assign/probe (raw or rotated):
+    * rcb literals, residual codes, per-probe LUTs, the ordered fold and
+    * the final rank select. */
+  private def ivfAdcTailSql(cbs: Array[Array[Array[Float]]]): String = {
     val dsub = cbs(0)(0).length
     val vals = (for {
       m <- cbs.indices
       k <- cbs(m).indices
     } yield s"($m, $k, [${cbs(m)(k).map(_.toDouble).mkString(", ")}]::DOUBLE[])")
       .mkString(",\n  ")
-    s"""WITH ${ivfCtesSql(spark, dir)},
-rcb(m, k, rcv) AS (VALUES
+    s"""rcb(m, k, rcv) AS (VALUES
   $vals),
 rsd AS (
   SELECT a.vec_id, rcb.m, rcb.k,
@@ -3346,6 +3416,30 @@ SELECT query_id, neighbor_id, rank, round(adist, 6) AS adist FROM (
 WHERE rank <= $IvfK ORDER BY query_id, rank"""
   }
 
+  private def ivfPqOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${ivfCtesSql(spark, dir)},
+${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}"""
+
+  /** OPQ×IVFADC replay: the OPQ rotation as row literals, every vector
+    * rotated with the expression's exact arithmetic (DOUBLE dot, FLOAT
+    * round, lifted back to DOUBLE — the [[opqAdcCtesSql]] contract),
+    * then the UNCHANGED cell + residual-ADC machinery in the rotated
+    * space with the rotated-space centroid/codebook literals. */
+  private def opqIvfPqOracleSql(spark: SparkSession, dir: String): String = {
+    val (rot, cents, rcbs) = opqIvfFor(spark, dir)
+    val rotVals = rot.zipWithIndex
+      .map { case (row, i) => s"(${i + 1}, [${row.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n  ")
+    val vSql =
+      "SELECT vec_id, list(CAST(CAST(list_inner_product(rv, x) AS FLOAT) AS DOUBLE) ORDER BY i) AS vec " +
+        "FROM v0 CROSS JOIN rot GROUP BY vec_id"
+    s"""WITH rot(i, rv) AS (VALUES
+  $rotVals),
+v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+${ivfCellCtesSql(cents, vSql)},
+${ivfAdcTailSql(rcbs)}"""
+  }
+
   /** The full oracle map for one sf directory: the static [[oracleSql]]
     * entries plus the data-dependent ones (IVF centroids are trained on
     * the directory's own tables before being inlined as SQL literals).
@@ -3365,7 +3459,8 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
       ("q_knn_index_append" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_recall" -> pqRecallOracleSql(spark, dir)) +
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
-      ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) ++
+      ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
+      ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3528,6 +3623,9 @@ GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "q_tokenize_cjk_zh" -> cjkTokenizeOracleSql(
       Some("zh"), graft.text.CjkQueryFixture.zhPhrase, graft.text.CjkQueryFixture.zhPieces),
+
+    "q_tokenize_cjk_ko" -> cjkTokenizeOracleSql(
+      Some("de"), graft.text.CjkQueryFixture.koPhrase, graft.text.CjkQueryFixture.koPieces),
 
     "q_token_freq" ->
       s"SELECT token, count(*) AS freq FROM ($tokSql) GROUP BY token ORDER BY token",

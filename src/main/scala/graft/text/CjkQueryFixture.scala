@@ -129,6 +129,64 @@ object CjkQueryFixture {
     "vector" -> Seq(("今天", 0, 2), ("天气", 2, 4), ("很好", 4, 6)),
     "window" -> Seq(("我们", 0, 2), ("喜欢", 2, 4), ("编程", 4, 6)))
 
-  require(jaPhrase.keySet == jaPieces.keySet && zhPhrase.keySet == zhPieces.keySet,
+  /** corpus word → synthetic Korean phrase (segmented by
+    * `lindera:ko-dic` via the bundled [[TokenizerModels.KoDict]]).
+    * Phrase design mirrors the ja/zh tiers: josa (particle) split-off
+    * (회사의사람 → 회사|의|사람, the morpheme behavior the reference's ko
+    * invariants exercise, `tests/test_lindera_integration.py:34-80`),
+    * multi-word DP routes (한국어형태소분석 → 한국어|형태소|분석 — the
+    * 한국|어 route loses to the listed 한국어), whole-word preference
+    * over a listed prefix (형태소 whole, not 형태|소), OOV
+    * syllable-level fallback (김치 → 김|치: neither syllable nor the
+    * compound is in the dictionary), and a mixed-script run
+    * (API분석 → api|분석: the Latin run passes through lowercased and
+    * intact, only the Hangul span segments). */
+  val koPhrase: Map[String, String] = Map(
+    "a" -> "의", "agg" -> "분석하다", "batch" -> "학교", "big" -> "크다",
+    "column" -> "단어", "customer" -> "회사의사람", "data" -> "김치",
+    "dup" -> "그것", "fast" -> "빠르다", "filter" -> "물", "group" -> "가족",
+    "hash" -> "사진", "join" -> "친구와가다", "key" -> "이름", "line" -> "길",
+    "merge" -> "산과강", "order" -> "시간", "part" -> "월", "query" -> "무엇",
+    "row" -> "일", "scan" -> "읽다", "slow" -> "느리다", "small" -> "작다",
+    "sort" -> "아침", "spark" -> "API분석", "stream" -> "바다",
+    "table" -> "형태소", "the" -> "은", "value" -> "사랑",
+    "vector" -> "오늘은좋다", "window" -> "한국어형태소분석")
+
+  val koPieces: Map[String, Seq[(String, Int, Int)]] = Map(
+    "a" -> Seq(("의", 0, 1)),
+    "agg" -> Seq(("분석", 0, 2), ("하다", 2, 4)),
+    "batch" -> Seq(("학교", 0, 2)),
+    "big" -> Seq(("크다", 0, 2)),
+    "column" -> Seq(("단어", 0, 2)),
+    "customer" -> Seq(("회사", 0, 2), ("의", 2, 3), ("사람", 3, 5)),
+    "data" -> Seq(("김", 0, 1), ("치", 1, 2)),
+    "dup" -> Seq(("그것", 0, 2)),
+    "fast" -> Seq(("빠르다", 0, 3)),
+    "filter" -> Seq(("물", 0, 1)),
+    "group" -> Seq(("가족", 0, 2)),
+    "hash" -> Seq(("사진", 0, 2)),
+    "join" -> Seq(("친구", 0, 2), ("와", 2, 3), ("가다", 3, 5)),
+    "key" -> Seq(("이름", 0, 2)),
+    "line" -> Seq(("길", 0, 1)),
+    "merge" -> Seq(("산", 0, 1), ("과", 1, 2), ("강", 2, 3)),
+    "order" -> Seq(("시간", 0, 2)),
+    "part" -> Seq(("월", 0, 1)),
+    "query" -> Seq(("무엇", 0, 2)),
+    "row" -> Seq(("일", 0, 1)),
+    "scan" -> Seq(("읽다", 0, 2)),
+    "slow" -> Seq(("느리다", 0, 3)),
+    "small" -> Seq(("작다", 0, 2)),
+    "sort" -> Seq(("아침", 0, 2)),
+    "spark" -> Seq(("api", 0, 3), ("분석", 3, 5)),
+    "stream" -> Seq(("바다", 0, 2)),
+    "table" -> Seq(("형태소", 0, 3)),
+    "the" -> Seq(("은", 0, 1)),
+    "value" -> Seq(("사랑", 0, 2)),
+    "vector" -> Seq(("오늘", 0, 2), ("은", 2, 3), ("좋다", 3, 5)),
+    "window" -> Seq(("한국어", 0, 3), ("형태소", 3, 6), ("분석", 6, 8)))
+
+  require(jaPhrase.keySet == jaPieces.keySet && zhPhrase.keySet == zhPieces.keySet &&
+    koPhrase.keySet == koPieces.keySet &&
+    koPhrase.keySet == jaPhrase.keySet,
     "CjkQueryFixture: phrase/pieces key sets must match")
 }

@@ -442,6 +442,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0, plan)
   }
 
+  test("OPQ x IVFADC: rotation rides the scans, probe join broadcast, never all-pairs") {
+    val df = SparkEntry.queries("q_knn_opq_ivf")(spark, dir)
+    val plan = finalPlan(df)
+    // the rotation is the codegen'd mat-vec on the scan, not a UDF pass
+    assert(plan.contains("mat_vec"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // candidates come from the one cell-keyed broadcast probe join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+  }
+
   test("sql token-strings rewrite holds on the query surface") {
     val df = SparkEntry.queries("q_sql_token_strings")(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString

@@ -86,4 +86,33 @@ class OpqSpec extends SparkSpec {
       assert(rOpq > rPlain, f"OPQ ($rOpq%.3f) must beat plain PQ ($rPlain%.3f) here")
     } finally { df.unpersist(); () }
   }
+
+  test("OPQ x IVFADC recall >= plain IVFADC at identical code size (anisotropic)") {
+    // the composed production stack (q_knn_opq_ivf): rotation as
+    // pre-transform, cells + residual codebooks trained in the rotated
+    // space — vs the same IVFADC with no rotation
+    val df = anisotropic(600, 16, seed = 13L).cache()
+    try {
+      val nq = 8; val k = 10; val nCells = 6; val nProbe = 3
+      val exact = exactTopK(df, nq, k)
+      val queries = df.filter($"vec_id" < nq)
+
+      val plain = IvfPq.ivfPqTopK(queries, df, k = k, nCells = nCells, nProbe = nProbe,
+          m = 4, kCent = 8, seed = 3L, sampleSize = 600)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+      val (r, _) = Opq.trainedRotation(df, m = 4, k = 8, seed = 3L, sampleSize = 600, iters = 8)
+      val rotAll = df.select($"vec_id", Opq.rotateCol($"embedding", r).as("embedding"))
+      val opqIvf = IvfPq.ivfPqTopK(rotAll.filter($"vec_id" < nq), rotAll,
+          k = k, nCells = nCells, nProbe = nProbe,
+          m = 4, kCent = 8, seed = 3L, sampleSize = 600)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+      val rPlain = recallOf(plain, exact)
+      val rOpq = recallOf(opqIvf, exact)
+      info(f"recall@$k: plain IVFADC $rPlain%.3f vs OPQ+IVFADC $rOpq%.3f")
+      assert(rOpq >= rPlain,
+        f"OPQ+IVFADC ($rOpq%.3f) must not lose to plain IVFADC ($rPlain%.3f) here")
+    } finally { df.unpersist(); () }
+  }
 }

@@ -40,6 +40,10 @@ class CjkQueryFixtureSpec extends AnyFunSuite {
     check("lindera:jieba", CjkQueryFixture.zhPhrase, CjkQueryFixture.zhPieces)
   }
 
+  test("ko fixture decompositions match lindera:ko-dic (bundled dict)") {
+    check("lindera:ko-dic", CjkQueryFixture.koPhrase, CjkQueryFixture.koPieces)
+  }
+
   test("fixture covers the whole closed corpus vocabulary") {
     val vocab = Set(
       "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
@@ -48,12 +52,14 @@ class CjkQueryFixtureSpec extends AnyFunSuite {
       "stream", "table", "the", "value", "vector", "window")
     assert(CjkQueryFixture.jaPhrase.keySet == vocab)
     assert(CjkQueryFixture.zhPhrase.keySet == vocab)
+    assert(CjkQueryFixture.koPhrase.keySet == vocab)
   }
 
   test("multi-token phrases tile their phrase exactly (offsets reslice)") {
     for ((phrase, pieces) <- Seq(
         (CjkQueryFixture.jaPhrase, CjkQueryFixture.jaPieces),
-        (CjkQueryFixture.zhPhrase, CjkQueryFixture.zhPieces));
+        (CjkQueryFixture.zhPhrase, CjkQueryFixture.zhPieces),
+        (CjkQueryFixture.koPhrase, CjkQueryFixture.koPieces));
         (word, p) <- phrase) {
       val ps = pieces(word)
       // contiguous tiling from 0 to the phrase's code-point length

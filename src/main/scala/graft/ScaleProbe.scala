@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Knob-scaling probe for the SCALING.md study: times SemDeDup over a
+  * data dir with a CONFIGURABLE cell count. SemDeDup's per-cell pair
+  * generation is quadratic in cell size by design (the paper's
+  * within-cluster restriction); its scale knob is `nCells` growing with
+  * the corpus (the paper runs ~100k clusters at web scale, keeping cell
+  * size — and therefore pair volume per row — constant). The oracle
+  * query `q_semdedup` pins correctness at a FIXED toy nCells; this probe
+  * measures the knob doing its job on scaled corpora.
+  *
+  * A second mode compares the two MinHash near-dup shapes (fused
+  * signature-in-payload vs checkpoint+join, [[graft.dedup.Dedup]]) —
+  * the SCALING.md shuffle-amplification experiment.
+  *
+  * Usage: runMain graft.ScaleProbe <dir> <nCells> [passes]
+  *        runMain graft.ScaleProbe <dir> minhash_fused|minhash_join [passes]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = args(1)
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(): Long = mode match {
+      case "minhash_fused" =>
+        graft.dedup.Dedup.nearDuplicates(
+          spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32, threshold = 0.125, seed = 42L).count()
+      case "minhash_join" =>
+        graft.dedup.Dedup.nearDuplicatesViaJoin(
+          spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32, threshold = 0.125, seed = 42L).count()
+      case "minhash_sig" => // the signature scan alone — cost attribution
+        graft.dedup.Dedup.minHashSignatures(
+          spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+          numHashes = 32, shingleSize = 3, seed = 42L)
+          .select(org.apache.spark.sql.functions.element_at(col("signature"), 1)
+            .cast("double").as("s1"))
+          .agg(org.apache.spark.sql.functions.sum("s1"))
+          .collect().length.toLong
+      case nCells =>
+        graft.similarity.Similarity.semDedup(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          threshold = SparkEntry.SemDedupThreshold, nCells = nCells.toInt, seed = 42L).count()
+    }
+    // one untimed warmup, then median-style repeated passes (printed raw)
+    val times = (0 to passes).map { p =>
+      val t0 = System.nanoTime()
+      val n = run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (p > 0) println(f"""{"pass":$p,"mode":"$mode","rows":$n,"sec":$sec%.3f}""")
+      sec
+    }
+    val timed = times.drop(1).sorted
+    println(f"""{"metric":"probe_median","dir":"$dir","mode":"$mode","sec":${timed(timed.length / 2)}%.3f}""")
+    spark.stop()
+  }
+}

@@ -294,6 +294,35 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 =!= 0), d)
       d
     })
+
+  /** The STREAMING-ingest variant: same even-half build, but the odd
+    * half arrives as a 3-file drop directory drained by the
+    * checkpointed exactly-once foreachBatch ingest (one delta
+    * subdirectory per micro-batch, batch-id-scoped overwrite). The
+    * final code set must equal the one-shot build's, so serving shares
+    * q_knn_pq_rerank's exact oracle — the full production delta path,
+    * stream edition. */
+  private val pqStreamIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqStreamIndexDirFor(s: SparkSession, dir: String): String =
+    pqStreamIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-pq-index-stream-").toString
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore.writePqIndex(
+        emb.filter(col("vec_id") % 2 === 0), d, "vec_id", "embedding",
+        PqM, PqCent, IvfSeed, IvfSampleSize, pqCodebooksFor(s, dir))
+      val drop = java.nio.file.Files.createTempDirectory("graft-pq-drop-").toString
+      val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      for (slice <- 0 until 3)
+        odd.filter(col("vec_id") % 6 === (2 * slice + 1))
+          .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice$slice")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-pq-ingest-ckpt-").toString
+      val stream = s.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+      val q = graft.similarity.IndexStore.streamAppendToPqIndex(stream, d, ckpt)
+      try q.awaitTermination()
+      finally q.stop()
+      d
+    })
   // q_semdedup: the synthetic embeddings are hash-random (max pairwise
   // cosine ~0.5), so the semantic-duplicate threshold sits where the
   // corpus has real pair structure; production corpora use ~0.95+
@@ -506,6 +535,16 @@ FROM pieces ORDER BY doc_id, start_cp, token"""
   val AudioFixtureClips: Seq[(Long, Int, Int, Int)] =
     Seq((0L, 8000, 1, 4000), (1L, 16000, 2, 4800), (2L, 44100, 1, 882))
   val AudioSegments = 2
+
+  /** `(vid_id, width, height, nFrames, perFrameDelayCs)` for the real
+    * multi-frame-GIF video round-trips — shared by q_media_video_meta
+    * (which ENCODES animated clips at these shapes, then re-derives
+    * frame count / duration by actually reading the GIF sequence +
+    * GraphicControlExtension delays) and its oracle literals. One clip
+    * is shorter than the sample budget to pin the take-all path. */
+  val VideoFixtureClips: Seq[(Long, Int, Int, Int, Int)] =
+    Seq((0L, 24, 16, 6, 4), (1L, 8, 8, 2, 10), (2L, 33, 7, 5, 2))
+  val VideoSampleFrames = 3
 
   /** Scratch cache roots for the typed-cache queries (one per JVM, the
     * tokCacheDir pattern: the bench warmup populates, timed passes hit). */
@@ -1807,6 +1846,21 @@ ORDER BY doc_id, token""")
         .orderBy("query_id", "rank")
     }),
 
+    // ...and the STREAMING delta path: the odd half drains through a
+    // checkpointed foreachBatch ingest (AvailableNow, one delta dir per
+    // micro-batch, exactly-once by idempotent batch-scoped overwrite —
+    // restart-after-kill appends no duplicate codes, the
+    // StreamIndexIngestSpec pin). Served results must still equal the
+    // one-shot build's, under the same exact oracle
+    "q_stream_index_append" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .servePqTopK(emb.filter(col("vec_id") < IvfQueryMax), emb, pqStreamIndexDirFor(s, dir),
+          k = IvfK, shortlistK = PqShortlist)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN capstone — IVFADC (Jégou 2011 §IV), the paper's composed
     // layout: coarse cells route, PQ codes the RESIDUAL to the cell
     // centroid, queries probe nProbe cells with one residual lookup
@@ -2418,6 +2472,42 @@ ORDER BY doc_id, token""")
         .orderBy("clip_id", "part")
     }),
 
+    // multimodal tier: REAL video decode for the one pure-JDK container
+    // (multi-frame GIF; the stub is now CODEC video only). The query
+    // encodes animated clips at known (w, h, frames, delay) shapes, then
+    // re-derives frame count and summed-delay duration by actually
+    // reading the GIF sequence; sampleFrames re-encodes evenly-spaced
+    // REAL frames as standalone GIFs which are decoded AGAIN (n_frames=1,
+    // zero duration) to prove the frame-sampling round trip; a corrupt
+    // payload exercises the (-1,-1) marker. Oracle: literals from the
+    // shared fixture constants (config shared, decode real)
+    "q_media_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val dec = new graft.multimodal.GifVideoDecoder()
+      val rows = VideoFixtureClips.map { case (id, w, h, n, delayCs) =>
+        (id, graft.multimodal.GifVideoDecoder.testAnimGif(w, h, n, delayCs), "video/gif")
+      } :+ ((99L, "not a gif".getBytes("UTF-8"), "video/gif"))
+      val base = rows.toDF("vid_id", "payload", "mime").repartition(2)
+      val segs = graft.multimodal.Multimodal
+        .sampleFrames(base, "payload", "mime", maxFrames = VideoSampleFrames, decoder = dec)
+        .select(col("vid_id"),
+          concat(lit("frame"), col("frame_idx")).as("part"),
+          col("frame").as("payload"), col("mime"))
+      val all = base
+        .select(col("vid_id"), lit("full").as("part"), col("payload"), col("mime"))
+        .unionByName(segs)
+      graft.multimodal.Multimodal
+        .extractMetadata(all, "payload", "mime", decoder = dec)
+        .select(
+          col("vid_id"),
+          col("part"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.duration_ms").as("duration_ms"))
+        .orderBy("vid_id", "part")
+    }),
+
     // multimodal tier: feature extraction — the stub's per-dimension
     // splitmix values are recomputed in SQL (wrap-around multiplies as
     // HUGEINT mod 2^64, unsigned shifts as division, xor on the signed
@@ -2590,6 +2680,26 @@ ORDER BY doc_id, token""")
           col("doc_id"),
           col("lang"),
           col("source"),
+          size(col("emb")).cast("long").as("emb_dim"),
+          round(
+            sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
+              lit(0.0), (acc, v) => acc + v * v)), 4).as("emb_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // the UNGATED real-forward-pass tier: the MiniLM-shape pure-JVM
+    // encoder (deterministic random-init weights — the seed is the
+    // fixture) through the same batch-32 mapPartitions engine. Vector
+    // VALUES are weight-dependent and not SQL-recomputable, so the
+    // oracle pins the lifecycle contract instead: every row embeds, at
+    // the declared dim, to an L2-unit vector — plus TransformerModelSpec
+    // for the batch-independence/attention/truncation pins
+    "q_embed_transformer" -> ((s, dir) => {
+      graft.embed.Embedders
+        .embed(tbl(s, dir, "documents").filter(col("doc_id") < 50),
+          "text", "emb", modelId = graft.embed.TransformerModel.FixtureModelId)
+        .select(
+          col("doc_id"),
           size(col("emb")).cast("long").as("emb_dim"),
           round(
             sqrt(aggregate(transform(col("emb"), x => x.cast("double")),
@@ -3457,6 +3567,7 @@ ${ivfAdcTailSql(rcbs)}"""
       // same exact oracle as the in-session rerank pipeline
       ("q_knn_served" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_index_append" -> pqRerankOracleSql(spark, dir)) +
+      ("q_stream_index_append" -> pqRerankOracleSql(spark, dir)) +
       ("q_knn_recall" -> pqRecallOracleSql(spark, dir)) +
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
@@ -4530,6 +4641,23 @@ FROM (VALUES $vals) AS t(idx, stage, ok) ORDER BY idx"""
   CAST(rms AS DOUBLE) AS rms
 FROM (VALUES $vals) AS t(clip_id, part, sample_rate, channels, n_frames, duration_ms, rms)
 ORDER BY clip_id, part"""
+    },
+
+    "q_embed_transformer" ->
+      """SELECT doc_id, CAST(32 AS BIGINT) AS emb_dim, 1.0 AS emb_norm
+FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "q_media_video_meta" -> {
+      val vals = (VideoFixtureClips.flatMap { case (id, w, h, n, delayCs) =>
+        val take = math.min(VideoSampleFrames, n)
+        s"($id, 'full', $w, $h, $n, ${n.toLong * delayCs * 10L})" +:
+          (0 until take).map(i => s"($id, 'frame$i', $w, $h, 1, 0)")
+      } :+ "(99, 'full', -1, -1, 0, 0)").mkString(", ")
+      s"""SELECT CAST(vid_id AS BIGINT) AS vid_id, part,
+  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(n_frames AS INT) AS n_frames, CAST(duration_ms AS BIGINT) AS duration_ms
+FROM (VALUES $vals) AS t(vid_id, part, width, height, n_frames, duration_ms)
+ORDER BY vid_id, part"""
     },
 
     "q_media_features" -> mediaFeaturesSql,

@@ -246,6 +246,45 @@ object Dedup {
       .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
   }
 
+  /** [[nearDuplicates]] in its LARGE-CORPUS shape: identical results,
+    * different shuffle algebra. The fused shape above ships the full
+    * signature on every band row — a `bands`× amplification of the
+    * posting-list exchange (32 × 32 longs per doc here) that measures
+    * super-linear once the shuffle outgrows memory (SCALING.md: slope
+    * 1.20 for the 10×→100× decade). This variant shuffles band rows
+    * id-only, checkpoints the signatures ONCE (the artifact a production
+    * pipeline persists anyway), and joins them back to the deduplicated
+    * candidates — so signatures cross the wire once per CANDIDATE side
+    * instead of once per band row. Wins when `corpus × bands × sigBytes`
+    * outgrows the shuffle comfort zone; at small scale the fused shape's
+    * single pass wins, which is why both exist. */
+  def nearDuplicatesViaJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
+      .localCheckpoint(true) // one signature pass feeds bands + both joins
+    def est(x: Column, y: Column): Column =
+      when(size(x) > 0 && size(y) > 0,
+        aggregate(
+          zip_with(x, y, (u, v) => when(u === v, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / size(x))
+        .otherwise(lit(0.0))
+    lshCandidatePairs(sigs, bands, maxBucket)
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        est(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token unigrams (term-frequency weighted). */

@@ -188,6 +188,11 @@ object EmbedderRegistry {
     case s if s.startsWith("pseudo:hash-projection-") =>
       val dim = s.stripPrefix("pseudo:hash-projection-").toInt
       HashProjectionModel(dim)
+    case TransformerModel.FixtureModelId =>
+      // the ungated real-forward-pass tier: MiniLM-shape encoder at
+      // reduced width, deterministic random-init weights (see
+      // [[TransformerModel]]) — loads with no env, no artifact
+      TransformerModel.fixture()
     case s if s.startsWith("onnx:") && OnnxRuntimeGate.available =>
       if (!onnxNameMatches(s))
         throw new IllegalArgumentException(

@@ -53,41 +53,7 @@ final class ImageIoDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaDe
     else {
       val img = read(bytes)
       if (img == null) new Array[Float](dim) // undecodable → zero vector
-      else {
-        val g = math.ceil(math.sqrt(dim.toDouble)).toInt.max(1)
-        val out = new Array[Float](dim)
-        val w = img.getWidth
-        val h = img.getHeight
-        var d = 0
-        while (d < dim) {
-          val cx = d % g
-          val cy = d / g
-          // cell bounds (empty cells beyond the g×g grid stay 0)
-          val x0 = cx * w / g; val x1 = math.max(x0 + 1, (cx + 1) * w / g)
-          val y0 = cy * h / g; val y1 = math.max(y0 + 1, (cy + 1) * h / g)
-          if (cy < g && x0 < w && y0 < h) {
-            var sum = 0.0
-            var n = 0
-            var y = y0
-            while (y < math.min(y1, h)) {
-              var x = x0
-              while (x < math.min(x1, w)) {
-                val rgb = img.getRGB(x, y)
-                // ITU-R BT.601 luma from the sRGB bytes
-                val lum = 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                sum += lum / 255.0
-                n += 1
-                x += 1
-              }
-              y += 1
-            }
-            if (n > 0) out(d) = (sum / n - 0.5).toFloat
-          }
-          d += 1
-        }
-        out
-      }
+      else ImageIoDecoder.lumaGrid(img, dim)
     }
 
   override def resize(bytes: Array[Byte], mime: String, width: Int, height: Int): Array[Byte] =
@@ -121,6 +87,46 @@ object ImageIoDecoder {
     * default temp-file cache (an executor decoding millions of images
     * must not hit the local disk per payload). */
   lazy val useCacheOff: Unit = ImageIO.setUseCache(false)
+
+  /** Mean-luminance grid descriptor over a decoded frame — the stand-in
+    * visual embedding shared by the image decoder and the GIF video
+    * decoder (frame 0): g×g cells (g = ⌈√dim⌉), ITU-R BT.601 luma,
+    * centered to [−0.5, 0.5]; cells beyond the image stay 0. */
+  def lumaGrid(img: BufferedImage, dim: Int): Array[Float] = {
+    val g = math.ceil(math.sqrt(dim.toDouble)).toInt.max(1)
+    val out = new Array[Float](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var d = 0
+    while (d < dim) {
+      val cx = d % g
+      val cy = d / g
+      // cell bounds (empty cells beyond the g×g grid stay 0)
+      val x0 = cx * w / g; val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+      val y0 = cy * h / g; val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+      if (cy < g && x0 < w && y0 < h) {
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 luma from the sRGB bytes
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            sum += lum / 255.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        if (n > 0) out(d) = (sum / n - 0.5).toFloat
+      }
+      d += 1
+    }
+    out
+  }
 
   /** PNG-encode a synthetic RGB test card (deterministic gradient) —
     * shared by the fixture spec and the oracle-checked metadata query so

@@ -13,14 +13,16 @@ import org.apache.spark.sql.types._
   * `mapPartitions`''' (the Scala analog of `mapInPandas`): elementwise, no
   * shuffle, decoder state amortized per batch, partitioning preserved.
   *
-  * Decode is REAL for images ([[ImageIoDecoder]], javax.imageio) and
-  * audio ([[WavAudioDecoder]], javax.sound.sampled) — both pure-JDK, no
-  * new dependency. Only VIDEO decode remains a clearly-marked '''STUB'''
-  * (no video codec ships with the JVM), implemented as a deterministic
-  * fake derived from the bytes, so the Spark-side contract (schemas,
-  * batching, null handling, partition preservation) is real and tested
-  * while the codec is swappable: implement [[MediaDecoder]] with a real
-  * library and nothing else changes. */
+  * Decode is REAL for images ([[ImageIoDecoder]], javax.imageio), audio
+  * ([[WavAudioDecoder]], javax.sound.sampled) and ONE video container —
+  * multi-frame GIF ([[GifVideoDecoder]], the javax.imageio GIF sequence
+  * reader) — all pure-JDK, no new dependency. Only CODEC video (H.264
+  * etc.) remains a clearly-marked '''STUB''' (no such decoder exists in
+  * any JVM), implemented as a deterministic fake derived from the
+  * bytes, so the Spark-side contract (schemas, batching, null handling,
+  * partition preservation) is real and tested while the codec is
+  * swappable: implement [[MediaDecoder]] with a real library and
+  * nothing else changes. */
 trait MediaDecoder extends Serializable {
   def decode(bytes: Array[Byte], mime: String): MediaMeta
   /** Fixed-dimension feature vector (e.g. a CLIP-style embedding). */

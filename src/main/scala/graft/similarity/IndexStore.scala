@@ -89,6 +89,43 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Streaming delta ingest — the production shape of [[appendToPqIndex]]:
+    * index deltas arrive as a STREAM (a file-source drop directory, a log
+    * at 100 TB) and must land exactly once across restarts. Each
+    * micro-batch is encoded with the PERSISTED codebooks (read once
+    * before the stream starts — they never change; retraining would
+    * invalidate stored codes) and written to a batch-id-scoped
+    * subdirectory with overwrite semantics: a replayed batch after a
+    * crash rewrites the SAME directory, so the sink is idempotent and
+    * the checkpoint + deterministic-path pair gives exactly-once codes —
+    * the standard foreachBatch idempotent-sink construction.
+    * [[servePqTopK]] reads the codes tree recursively, so served results
+    * include every committed delta with no compaction step. */
+  def streamAppendToPqIndex(
+      deltas: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cbs = readCodebooks(deltas.sparkSession, path)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col(idCol).as("neighbor_id"),
+            ProductQuant.encodeCol(col(vecCol), cbs).as("codes"))
+          .write.mode("overwrite").parquet(s"$path/codes/delta-$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The full code table: the build job's flat files plus every
+    * committed streaming delta subdirectory. */
+  def readCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
+
   /** Serve top-k from the persisted index: ADC shortlist over the stored
     * codes, exact cosine re-rank against the vector table. No training,
     * no corpus encode — the build job already paid both. */
@@ -102,7 +139,7 @@ object IndexStore {
       shortlistK: Int = 40): DataFrame = {
     val spark = corpus.sparkSession
     val cbs = readCodebooks(spark, path)
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readCodes(spark, path)
     val shortlist = ProductQuant
       .adcTopK(codes, queries, cbs, idCol, vecCol, shortlistK)
       .select(col("query_id"), col("neighbor_id"))

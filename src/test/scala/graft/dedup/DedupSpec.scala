@@ -59,6 +59,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("join-shape minhash near-dups equal the fused shape exactly") {
+    // same signatures, same candidates, same estimator — the two shapes
+    // differ only in shuffle algebra (SCALING.md: the fused shape ships
+    // signatures on every band row; the join shape checkpoints them once)
+    val nearDup = base.replace("lazy dog", "sleepy dog")
+    val unrelated =
+      "completely distinct subject matter about databases indexes partitions " +
+        "shuffles joins aggregations filters projections scans and columnar storage formats"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val fused = rows(Dedup.nearDuplicates(df, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.25))
+    val joined = rows(Dedup.nearDuplicatesViaJoin(df, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.25))
+    assert(fused.nonEmpty && fused == joined)
+  }
+
   test("simhash: identical → distance 0; near-dup small; unrelated large") {
     val nearDup = base.replace("lazy", "sleepy")
     assert(Dedup.simHash64(base) == Dedup.simHash64(base))

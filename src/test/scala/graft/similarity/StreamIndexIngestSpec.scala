@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exactly-once streaming index ingest: deltas drain through the
+  * checkpointed foreachBatch path, a mid-stream crash is injected after
+  * the first committed batch, and the RESTARTED stream must complete the
+  * index with no duplicated and no dropped codes — the final code table
+  * equals the one-shot batch build's exactly. Pins the idempotent
+  * batch-scoped-overwrite construction `streamAppendToPqIndex` uses. */
+class StreamIndexIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  private def corpus(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("restart after a mid-ingest kill appends no duplicate codes") {
+    val df = corpus(300, 16, seed = 23L).cache()
+    try {
+      val cbs = ProductQuant.trainedCodebooks(df, m = 4, k = 8, seed = 7L, sampleSize = 300)
+      // one-shot reference build over the full corpus
+      val full = java.nio.file.Files.createTempDirectory("graft-ingest-full-").toString
+      IndexStore.writePqIndex(df, full, m = 4, kCent = 8, seed = 7L, sampleSize = 300,
+        codebooks = cbs)
+
+      // streamed build: base over the first half, 3 delta files for the rest
+      val inc = java.nio.file.Files.createTempDirectory("graft-ingest-inc-").toString
+      IndexStore.writePqIndex(df.filter($"vec_id" < 150), inc,
+        m = 4, kCent = 8, seed = 7L, sampleSize = 300, codebooks = cbs)
+      val drop = java.nio.file.Files.createTempDirectory("graft-ingest-drop-").toString
+      for (slice <- 0 until 3)
+        df.filter($"vec_id" >= 150 && $"vec_id" % 3 === slice)
+          .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice$slice")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt-").toString
+      val schema = df.schema
+
+      // run 1: the ingest sink itself throws before batch 1 writes —
+      // batch 0's delta directory is committed, batch 1's offsets are not
+      def ingest(kill: Boolean) = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+        val cbsRead = IndexStore.readCodebooks(spark, inc)
+        stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (kill && batchId >= 1)
+              throw new RuntimeException("injected mid-ingest failure")
+            batch
+              .select(col("vec_id").as("neighbor_id"),
+                ProductQuant.encodeCol(col("embedding"), cbsRead).as("codes"))
+              .write.mode("overwrite").parquet(s"$inc/codes/delta-$batchId")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        ingest(kill = true).awaitTermination()
+      }
+      val afterCrash = IndexStore.readCodes(spark, inc).count()
+      assert(afterCrash < 300, s"crash must leave the ingest incomplete (saw $afterCrash codes)")
+
+      // run 2: same checkpoint — remaining batches drain; batch-scoped
+      // overwrite makes any replay idempotent
+      val q2 = ingest(kill = false)
+      try q2.awaitTermination()
+      finally q2.stop()
+
+      val streamed = IndexStore.readCodes(spark, inc)
+        .orderBy("neighbor_id").as[(Long, Seq[Int])].collect().toSeq
+      val oneShot = IndexStore.readCodes(spark, full)
+        .orderBy("neighbor_id").as[(Long, Seq[Int])].collect().toSeq
+      assert(streamed.map(_._1).distinct.size == 300, "every id exactly once")
+      assert(streamed == oneShot, "streamed index must equal the one-shot build")
+    } finally { df.unpersist(); () }
+  }
+}

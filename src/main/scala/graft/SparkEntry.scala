@@ -295,6 +295,22 @@ object SparkEntry {
       d
     })
 
+  /** One persisted IVFADC index per (JVM, dir): the composed layout's
+    * persist-and-serve artifact (coarse + residual codebooks + codes
+    * PARTITIONED BY CELL), built from the SAME memoized trained
+    * artifacts q_knn_ivfpq uses — so serving is bit-identical and
+    * shares its oracle. */
+  private val ivfIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexDirFor(s: SparkSession, dir: String): String =
+    ivfIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
+      graft.similarity.IndexStore.writeIvfPqIndex(
+        tbl(s, dir, "embeddings"), d, "vec_id", "embedding",
+        IvfCells, PqM, PqCent, IvfSeed, IvfSampleSize,
+        ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
+      d
+    })
+
   /** The STREAMING-ingest variant: same even-half build, but the odd
     * half arrives as a 3-file drop directory drained by the
     * checkpointed exactly-once foreachBatch ingest (one delta
@@ -1876,6 +1892,20 @@ ORDER BY doc_id, token""")
           m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
           coarseCentroids = ivfCentroidsFor(s, dir),
           residCodebooks = ivfResidCodebooksFor(s, dir))
+        .orderBy("query_id", "rank")
+    }),
+
+    // the IVFADC persist-and-serve path: coarse/resid artifacts + codes
+    // partitioned by cell on disk; serving probes nProbe cells and the
+    // broadcast probe join DYNAMICALLY PRUNES unprobed cell partitions
+    // from the codes scan (PlanShapeSpec pins the pruning subquery) —
+    // at 100 TB the query reads nProbe/nCells of the index. Same
+    // trained artifacts as q_knn_ivfpq ⇒ bit-identical, same oracle
+    "q_knn_ivf_served" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .serveIvfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), ivfIndexDirFor(s, dir),
+          k = IvfK, nProbe = IvfProbe)
         .orderBy("query_id", "rank")
     }),
 
@@ -3571,6 +3601,7 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_recall" -> pqRecallOracleSql(spark, dir)) +
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
+      ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 

@@ -126,6 +126,101 @@ object IndexStore {
   def readCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
 
+  /** Compact the codes tree — the maintenance job the streaming ingest
+    * eventually needs: months of micro-batch deltas are thousands of
+    * tiny parquet files, and scan throughput dies by file-open overhead
+    * long before data volume matters. Rewrites base + all deltas into
+    * `targetFiles` fresh files and swaps them in; codes are
+    * content-identical (spec-pinned: served results unchanged, delta
+    * dirs gone). The swap is two directory renames — NOT atomic against
+    * a concurrently running serving job (a production deployment puts a
+    * manifest or table format in front; documented limitation, same
+    * class as the parquet-overwrite the build job already does). */
+  def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    val tmp = java.nio.file.Paths.get(path, "codes_compacting")
+    readCodes(spark, path)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val codes = java.nio.file.Paths.get(path, "codes")
+    val old = java.nio.file.Paths.get(path, "codes_precompact")
+    java.nio.file.Files.move(codes, old)
+    java.nio.file.Files.move(tmp, codes)
+    // old tree removed only after the new one is in place
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverseIterator
+      .foreach(java.nio.file.Files.delete)
+  }
+
+  /** Persist the IVFADC index (the composed production layout): coarse
+    * centroids + residual codebooks as tiny artifacts, and the encoded
+    * `(neighbor_id, cell, codes)` lists PARTITIONED BY CELL — serving
+    * probes nProbe cells, and the cell-keyed broadcast join lets
+    * dynamic partition pruning drop every unprobed cell directory from
+    * the scan: at 100 TB the query reads nProbe/nCells of the index,
+    * not all of it. */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nCells: Int = 8,
+      m: Int = 8,
+      kCent: Int = 16,
+      seed: Long = 42L,
+      sampleSize: Int = 10000,
+      coarseCentroids: Array[Array[Float]] = null,
+      residCodebooks: Array[Array[Array[Float]]] = null): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents =
+      if (coarseCentroids != null) coarseCentroids
+      else Similarity.trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+    val cbs =
+      if (residCodebooks != null) residCodebooks
+      else IvfPq.trainedResidualCodebooks(corpus, cents, idCol, vecCol, m, kCent, seed, sampleSize)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for { mi <- cbs.indices; ki <- cbs(mi).indices } yield (mi, ki, cbs(mi)(ki).toSeq))
+      .toDF("m", "k", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/resid_codebooks")
+    IvfPq.encodeIvfLists(corpus, cents, cbs, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/ivf_codes")
+  }
+
+  /** Load the two tiny IVF artifacts back (bounded driver actions). */
+  def readIvfArtifacts(
+      spark: SparkSession, path: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/coarse")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    val rows = spark.read.parquet(s"$path/resid_codebooks")
+      .as[(Int, Int, Seq[Float])].collect()
+    val out = Array.ofDim[Array[Float]](rows.map(_._1).max + 1, rows.map(_._2).max + 1)
+    rows.foreach { case (mi, ki, c) => out(mi)(ki) = c.toArray }
+    require(out.forall(_.forall(_ != null)), s"IndexStore: sparse residual grid at $path")
+    (cents, out)
+  }
+
+  /** Serve IVFADC top-k entirely from the persisted index: no k-means,
+    * no encode scan — the probes' broadcast join against the
+    * cell-partitioned codes prunes unprobed cells dynamically. Results
+    * are bit-identical to the in-session [[IvfPq.ivfPqTopK]] built from
+    * the same artifacts (shared query stages). */
+  def serveIvfPqTopK(
+      queries: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, cbs) = readIvfArtifacts(spark, path)
+    val lists = spark.read.parquet(s"$path/ivf_codes")
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
+    IvfPq.ivfPqTopKFromLists(lists, queries, cents, cbs, idCol, vecCol, k, nProbe)
+  }
+
   /** Serve top-k from the persisted index: ADC shortlist over the stored
     * codes, exact cosine re-rank against the vector table. No training,
     * no corpus encode — the build job already paid both. */

@@ -281,15 +281,46 @@ object IvfPq {
     val cbs =
       if (residCodebooks != null) residCodebooks
       else trainedResidualCodebooks(corpus, centroids, idCol, vecCol, m, kCent, seed, sampleSize)
+    val lists = encodeIvfLists(corpus, centroids, cbs, idCol, vecCol)
+    ivfPqTopKFromLists(lists, queries, centroids, cbs, idCol, vecCol, k, nProbe)
+  }
+
+  /** The IVFADC build scan: `(neighbor_id, cell, codes)` — one
+    * elementwise pass routing each vector to its cell and coding the
+    * residual. The corpus-sized artifact an IVF index persists. */
+  def encodeIvfLists(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      cbs: Array[Array[Array[Float]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     def cells(vec: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(
         NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
-    val lists = corpus.select(
+    corpus.select(
       col(idCol).as("neighbor_id"),
       element_at(cells(col(vecCol), 1), 1).as("cell"),
       org.apache.spark.sql.graft.Bridge.column(
         PqEncodeResidExpr(
           org.apache.spark.sql.graft.Bridge.expression(col(vecCol)), centroids, cbs)).as("codes"))
+  }
+
+  /** The IVFADC query stages over an already-encoded `lists` table —
+    * shared by the in-session path and the persisted-index serving path
+    * ([[IndexStore.serveIvfPqTopK]]), which is what makes served
+    * results bit-identical to the in-session ones. */
+  def ivfPqTopKFromLists(
+      lists: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      cbs: Array[Array[Array[Float]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    def cells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
     val probes = broadcast(
       queries
         .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

@@ -442,6 +442,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0, plan)
   }
 
+  test("served IVFADC prunes unprobed cell partitions dynamically") {
+    val df = SparkEntry.queries("q_knn_ivf_served")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.toLowerCase.contains("pq_encode_resid"),
+      "serving must read stored codes, not re-encode")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"cell-partitioned codes scan must carry the pruning subquery:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+  }
+
+  test("stream-ingested index serves with the same no-reencode plan") {
+    // the serving plan over a stream-built index (base files + delta
+    // subdirectories) must look exactly like the one-shot index's —
+    // the recursive codes read is a detail of the scan, not the plan
+    val df = SparkEntry.queries("q_stream_index_append")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.toLowerCase.contains("pqencode"), plan)
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+  }
+
+  test("transformer embedding is one scan through the batch engine — no shuffle before pooling") {
+    val df = SparkEntry.queries("q_embed_transformer")(spark, dir)
+    val plan = finalPlan(df)
+    assert(count(plan, "FileScan parquet") == 1, plan)
+    // elementwise mapPartitions + the output sort only: no joins, no aggs
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("video meta runs batched and join-free over the fixture frame") {
+    val df = SparkEntry.queries("q_media_video_meta")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("OPQ x IVFADC: rotation rides the scans, probe join broadcast, never all-pairs") {
     val df = SparkEntry.queries("q_knn_opq_ivf")(spark, dir)
     val plan = finalPlan(df)

@@ -1,5 +1,7 @@
 package graft.similarity
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -83,6 +85,54 @@ class StreamIndexIngestSpec extends SparkSpec {
         .orderBy("neighbor_id").as[(Long, Seq[Int])].collect().toSeq
       assert(streamed.map(_._1).distinct.size == 300, "every id exactly once")
       assert(streamed == oneShot, "streamed index must equal the one-shot build")
+
+      // compaction: delta dirs collapse into fresh files, codes and
+      // served results identical
+      val q = df.filter($"vec_id" < 3)
+      val servedBefore = IndexStore.servePqTopK(q, df, inc, k = 5, shortlistK = 20)
+        .orderBy("query_id", "rank").collect().toSeq
+      IndexStore.compactPqIndex(spark, inc, targetFiles = 2)
+      val codesDir = java.nio.file.Paths.get(inc, "codes")
+      assert(java.nio.file.Files.list(codesDir).iterator().asScala
+        .forall(p => !p.getFileName.toString.startsWith("delta-")),
+        "compaction must remove delta subdirectories")
+      val compacted = IndexStore.readCodes(spark, inc)
+        .orderBy("neighbor_id").as[(Long, Seq[Int])].collect().toSeq
+      assert(compacted == oneShot, "compaction must preserve every code")
+      val servedAfter = IndexStore.servePqTopK(q, df, inc, k = 5, shortlistK = 20)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(servedAfter == servedBefore, "serving must be unchanged by compaction")
+    } finally { df.unpersist(); () }
+  }
+
+  test("persisted IVFADC index serves bit-identical to the in-session path, cell-pruned") {
+    val df = corpus(400, 16, seed = 29L).cache()
+    try {
+      val queries = df.filter($"vec_id" < 4)
+      val cents = Similarity.trainedCentroids(df, nCells = 8, seed = 5L, sampleSize = 400)
+      val cbs = IvfPq.trainedResidualCodebooks(df, cents, m = 4, k = 8, seed = 5L, sampleSize = 400)
+      val inSession = IvfPq.ivfPqTopK(queries, df, k = 5, nCells = 8, nProbe = 2,
+          m = 4, kCent = 8, seed = 5L, sampleSize = 400,
+          coarseCentroids = cents, residCodebooks = cbs)
+        .orderBy("query_id", "rank").collect().toSeq
+
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
+      IndexStore.writeIvfPqIndex(df, dir, nCells = 8, m = 4, kCent = 8, seed = 5L,
+        sampleSize = 400, coarseCentroids = cents, residCodebooks = cbs)
+      // cell-partitioned layout on disk
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir, "ivf_codes"))
+        .iterator().asScala.exists(_.getFileName.toString.startsWith("cell=")))
+
+      val servedDf = IndexStore.serveIvfPqTopK(queries, dir, k = 5, nProbe = 2)
+      val served = servedDf.orderBy("query_id", "rank").collect().toSeq
+      assert(served == inSession, "served IVFADC must equal the in-session ranking")
+
+      val plan = servedDf.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("pq_encode_resid"),
+        "serving must read stored codes, not re-encode")
+      // the probe join dynamically prunes unprobed cell partitions
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected dynamic partition pruning on the cell-partitioned codes scan:\n$plan")
     } finally { df.unpersist(); () }
   }
 }

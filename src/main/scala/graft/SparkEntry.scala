@@ -1895,6 +1895,37 @@ ORDER BY doc_id, token""")
         .orderBy("query_id", "rank")
     }),
 
+    // the recall/latency dial every IVF deployment tunes: recall@k per
+    // nProbe (1..IvfProbe) against the exact cosine top-k. The oracle
+    // re-derives the whole sweep from exported literals, so even the
+    // evaluation curve is exact. NOTE the curve is typically but not
+    // universally increasing: the candidate SET grows monotonically
+    // (ProbeSweepSpec pins that), while codes-only ADC ranking can
+    // displace a true hit with a quantization-flattered newcomer — the
+    // dip the rerank stage (q_knn_pq_rerank) exists to remove
+    "q_knn_probe_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < IvfQueryMax)
+      val exact = graft.similarity.Similarity
+        .bruteForceTopK(queries, emb, k = IvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val perProbe = (1 to IvfProbe).map { p =>
+        graft.similarity.IvfPq
+          .ivfPqTopK(queries, emb, k = IvfK, nCells = IvfCells, nProbe = p,
+            m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
+            coarseCentroids = ivfCentroidsFor(s, dir),
+            residCodebooks = ivfResidCodebooksFor(s, dir))
+          .select(lit(p).as("n_probe"), col("query_id"), col("neighbor_id"),
+            lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      exact
+        .withColumn("n_probe", explode(array((1 to IvfProbe).map(lit): _*)))
+        .join(perProbe, Seq("n_probe", "query_id", "neighbor_id"), "left")
+        .groupBy(col("n_probe"), col("query_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(IvfK), 6).as("recall"))
+        .orderBy("n_probe", "query_id")
+    }),
+
     // the IVFADC persist-and-serve path: coarse/resid artifacts + codes
     // partitioned by cell on disk; serving probes nProbe cells and the
     // broadcast probe join DYNAMICALLY PRUNES unprobed cell partitions
@@ -3560,6 +3591,86 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
     s"""WITH ${ivfCtesSql(spark, dir)},
 ${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}"""
 
+  /** The nProbe sweep replay: same cent/v/d/assign as [[ivfCtesSql]]
+    * but the probe CTE keeps its rank, candidates materialize per probe
+    * level p (probed-cell rank ≤ p), ADC ranks per (p, query), and the
+    * per-query recall against the exact cosine top-k — the whole
+    * recall/latency curve from exported literals. */
+  private def ivfProbeSweepOracleSql(spark: SparkSession, dir: String): String = {
+    val cbs = ivfResidCodebooksFor(spark, dir)
+    val dsub = cbs(0)(0).length
+    val vals = (for {
+      m <- cbs.indices
+      k <- cbs(m).indices
+    } yield s"($m, $k, [${cbs(m)(k).map(_.toDouble).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    val ps = (1 to IvfProbe).map(p => s"($p)").mkString(", ")
+    s"""WITH ${ivfCtesSql(spark, dir).replace(
+      s"""probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d WHERE vec_id < $IvfQueryMax)
+  WHERE rn <= $IvfProbe)""",
+      s"""probe AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d WHERE vec_id < $IvfQueryMax)
+  WHERE rn <= $IvfProbe)""")},
+rcb(m, k, rcv) AS (VALUES
+  $vals),
+rsd AS (
+  SELECT a.vec_id, rcb.m, rcb.k,
+    list_inner_product(
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
+  FROM assign a JOIN v USING (vec_id) JOIN cent c ON c.cell = a.cell CROSS JOIN rcb),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM rsd)
+  WHERE rn = 1),
+qsd AS (
+  SELECT p.vec_id AS query_id, p.cell, rcb.m, rcb.k,
+    list_inner_product(
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
+      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
+  FROM probe p JOIN v ON v.vec_id = p.vec_id JOIN cent c ON c.cell = p.cell CROSS JOIN rcb),
+ps(p) AS (VALUES $ps),
+cand AS (
+  SELECT ps.p, pr.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell
+  FROM probe pr CROSS JOIN ps
+  JOIN assign a ON a.cell = pr.cell AND a.vec_id <> pr.vec_id
+  WHERE pr.rn <= ps.p),
+adc AS (
+  SELECT c.p, c.query_id, c.neighbor_id,
+    list_reduce(list(q.d2 ORDER BY q.m), (x, y) -> x + y) AS adist
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.neighbor_id
+  JOIN qsd q ON q.query_id = c.query_id AND q.cell = c.cell AND q.m = cd.m AND q.k = cd.code
+  GROUP BY 1, 2, 3),
+approx AS (
+  SELECT p, query_id, neighbor_id FROM (
+    SELECT p, query_id, neighbor_id,
+      row_number() OVER (PARTITION BY p, query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adc)
+  WHERE rank <= $IvfK),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id) AS r
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id < $IvfQueryMax AND c.vec_id <> q.vec_id)
+  WHERE r <= $IvfK)
+SELECT ps.p AS n_probe, e.query_id,
+  round(CAST(count(a2.neighbor_id) AS DOUBLE) / $IvfK, 6) AS recall
+FROM exact e CROSS JOIN ps
+LEFT JOIN approx a2
+  ON a2.p = ps.p AND a2.query_id = e.query_id AND a2.neighbor_id = e.neighbor_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** OPQ×IVFADC replay: the OPQ rotation as row literals, every vector
     * rotated with the expression's exact arithmetic (DOUBLE dot, FLOAT
     * round, lifted back to DOUBLE — the [[opqAdcCtesSql]] contract),
@@ -3602,6 +3713,7 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
+      ("q_knn_probe_recall" -> ivfProbeSweepOracleSql(spark, dir)) +
       ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 

@@ -202,6 +202,24 @@ object IndexStore {
     (cents, out)
   }
 
+  /** Incremental IVF maintenance — the PQ-append contract applied to
+    * the composed layout: new vectors are routed and residual-coded
+    * with the PERSISTED coarse centroids + codebooks (read back, never
+    * retrained) and appended into the cell-partitioned codes table.
+    * Append cost is one elementwise scan over the delta; dynamic
+    * append into `partitionBy(cell)` lands each delta row in its cell
+    * directory, so serving's partition pruning keeps working with no
+    * compaction step. */
+  def appendToIvfPqIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val (cents, cbs) = readIvfArtifacts(newVectors.sparkSession, path)
+    IvfPq.encodeIvfLists(newVectors, cents, cbs, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/ivf_codes")
+  }
+
   /** Serve IVFADC top-k entirely from the persisted index: no k-means,
     * no encode scan — the probes' broadcast join against the
     * cell-partitioned codes prunes unprobed cells dynamically. Results

@@ -135,4 +135,25 @@ class StreamIndexIngestSpec extends SparkSpec {
         s"expected dynamic partition pruning on the cell-partitioned codes scan:\n$plan")
     } finally { df.unpersist(); () }
   }
+
+  test("IVF delta append with persisted artifacts equals the one-shot build") {
+    val df = corpus(400, 16, seed = 31L).cache()
+    try {
+      val queries = df.filter($"vec_id" < 4)
+      val cents = Similarity.trainedCentroids(df, nCells = 8, seed = 5L, sampleSize = 400)
+      val cbs = IvfPq.trainedResidualCodebooks(df, cents, m = 4, k = 8, seed = 5L, sampleSize = 400)
+      val full = java.nio.file.Files.createTempDirectory("graft-ivf-full-").toString
+      IndexStore.writeIvfPqIndex(df, full, nCells = 8, m = 4, kCent = 8, seed = 5L,
+        sampleSize = 400, coarseCentroids = cents, residCodebooks = cbs)
+      val inc = java.nio.file.Files.createTempDirectory("graft-ivf-inc-").toString
+      IndexStore.writeIvfPqIndex(df.filter($"vec_id" < 200), inc, nCells = 8, m = 4,
+        kCent = 8, seed = 5L, sampleSize = 400, coarseCentroids = cents, residCodebooks = cbs)
+      IndexStore.appendToIvfPqIndex(df.filter($"vec_id" >= 200), inc)
+      val a = IndexStore.serveIvfPqTopK(queries, full, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      val b = IndexStore.serveIvfPqTopK(queries, inc, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(a.nonEmpty && a == b, "appended IVF index must serve identically to one-shot")
+    } finally { df.unpersist(); () }
+  }
 }

@@ -948,6 +948,46 @@ ORDER BY doc_id, token""")
         .orderBy("user_id")
     }),
 
+    // the sketch tier streamed: per-lang Misra–Gries summaries as
+    // transformWithState state — O(k) per key on the state store, no
+    // per-token-type streaming aggregation state. Run in the provably
+    // exact regime (k > |vocab|): emitted counts are then monotone per
+    // (lang, token), so max-per-pair over the Update-mode emissions is
+    // the final summary and DuckDB's per-lang GROUP BY is the exact
+    // oracle (the q_heavy_hitters argument, composed with the
+    // q_stream_user_stats sink pattern)
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      val schema = tbl(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema).parquet(stagedDir(s"$dir/documents.parquet"))
+      val hh = graft.streaming.TextStream
+        .streamingHeavyHitters(stream, "lang", "text", HeavyHittersK)
+        .toDF("lang", "token", "est")
+      s.catalog.dropTempView("graft_stream_heavy_hitters")
+      // transformWithState requires the RocksDB provider (multiple
+      // column families); conf scoped to the stream start and restored
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q =
+        try withStreamShufflePartitions(s, StreamStateParts)(hh.writeStream
+          .format("memory")
+          .queryName("graft_stream_heavy_hitters")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        finally prevProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_heavy_hitters")
+        .groupBy(col("lang"), col("token"))
+        .agg(max(col("est")).as("est_freq"))
+        .orderBy("lang", "token")
+    }),
+
     // streaming tier: the curation gate run as a STREAM — stateless
     // scan-speed filtering (quality + repetition + lang-id) over a file
     // source, answering the SAME oracle as the batch formulation (a
@@ -3894,6 +3934,10 @@ GROUP BY o_orderkey ORDER BY o_orderkey""",
       """SELECT user_id, count(*) AS n_events,
   round(sum(coalesce(value, 0.0)), 6) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // streamed MG at k > |vocab| is provably the exact per-lang counts
+    "q_stream_heavy_hitters" ->
+      s"SELECT lang, token, count(*) AS est_freq FROM ($tokSql) GROUP BY 1, 2 ORDER BY 1, 2",
 
     // salted two-phase == direct GROUP BY (algebraic-aggregate identity)
     "q_salted_token_counts" ->

@@ -172,6 +172,65 @@ object TextStream {
     }
   }
 
+  /** Streaming Misra–Gries: the heavy-hitters sketch maintained as
+    * per-key `transformWithState` state — "top tokens over the
+    * firehose" with O(k) state per key instead of per-token-type
+    * streaming aggregation state. Each batch folds its tokens into the
+    * stored summary ([[graft.util.MisraGries.update]], the same point
+    * update the batch Aggregator uses) and emits the key's CURRENT
+    * summary rows (Update mode). In the provably-exact regime
+    * (k ≥ distinct tokens per key) every emitted count is monotone
+    * non-decreasing, so a max-per-(key, token) read of the sink equals
+    * the final state — the q_stream_user_stats sink pattern.
+    * The summary persists in the state store as a compact
+    * `token:count` string (tokens are whitespace/punct-free by
+    * construction, so the encoding is unambiguous). */
+  final class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, String), (String, String, Long)] {
+    @transient private var mg: org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      mg = getHandle.getValueState[String](
+        "mg",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def decode(s: String): Map[String, Long] =
+      if (s == null || s.isEmpty) Map.empty
+      else s.split(',').iterator.map { e =>
+        val i = e.lastIndexOf(':')
+        e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap
+    private def encode(m: Map[String, Long]): String =
+      m.iterator.map { case (t, c) => s"$t:$c" }.mkString(",")
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, String, Long)] = {
+      var m = if (mg.exists()) decode(mg.get()) else Map.empty[String, Long]
+      rows.foreach { case (_, tok) => m = graft.util.MisraGries.update(m, tok, k) }
+      mg.update(encode(m))
+      m.iterator.map { case (t, c) => (key, t, c) }
+    }
+  }
+
+  def streamingHeavyHitters(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(keyCol).cast("string").as("key"),
+        explode(Tokenize.tokenStrings(coalesce(col(textCol), lit("")))).as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   def userEventStats(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import events.sparkSession.implicits._
     events

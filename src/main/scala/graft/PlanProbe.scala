@@ -35,10 +35,13 @@ object PlanProbe {
     (1 to passes).foreach { p =>
       val fresh = SparkEntry.queries(name)(spark, dir)
       val t0 = System.nanoTime()
-      // execute the query's OWN plan (collect, like the bench does) so
-      // the adaptive plan actually finalizes and the FINAL report below
-      // reflects the real query — a derived count() would let Spark
-      // prune ordering/columns and leave fresh's plan un-executed
+      // execute the query's OWN plan so the adaptive plan actually
+      // finalizes and the FINAL report below reflects the real query —
+      // a derived count() would let Spark prune ordering/columns and
+      // leave fresh's plan un-executed. NOTE: collect() additionally
+      // pays result serialization to the driver, which Bench's count()
+      // does not — PASS timings here are for relative comparison across
+      // probe runs, not for cross-referencing against bench medians
       fresh.collect()
       println(f"PASS $p SEC=${(System.nanoTime() - t0) / 1e9}%.3f")
       if (p == passes) report("FINAL", finalSection(fresh.queryExecution.executedPlan.toString))

@@ -58,10 +58,13 @@ object ScaleGen {
   private def writeSingleFile(df: DataFrame, outFile: java.nio.file.Path): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scalegen-").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try listing
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      finally listing.close()
     java.nio.file.Files.move(part, outFile,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }

@@ -1949,12 +1949,15 @@ ORDER BY doc_id, token""")
       val exact = graft.similarity.Similarity
         .bruteForceTopK(queries, emb, k = IvfK)
         .select(col("query_id"), col("neighbor_id"))
+      // encode ONCE, rank per probe depth — the codes are independent
+      // of nProbe, so the sweep shares a single corpus encode scan
+      val lists = graft.similarity.IvfPq.encodeIvfLists(
+        emb, ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
       val perProbe = (1 to IvfProbe).map { p =>
         graft.similarity.IvfPq
-          .ivfPqTopK(queries, emb, k = IvfK, nCells = IvfCells, nProbe = p,
-            m = PqM, kCent = PqCent, seed = IvfSeed, sampleSize = IvfSampleSize,
-            coarseCentroids = ivfCentroidsFor(s, dir),
-            residCodebooks = ivfResidCodebooksFor(s, dir))
+          .ivfPqTopKFromLists(lists, queries,
+            ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir),
+            k = IvfK, nProbe = p)
           .select(lit(p).as("n_probe"), col("query_id"), col("neighbor_id"),
             lit(1L).as("hit"))
       }.reduce(_ unionByName _)
@@ -2796,8 +2799,13 @@ ORDER BY doc_id, token""")
     // the declared dim, to an L2-unit vector — plus TransformerModelSpec
     // for the batch-independence/attention/truncation pins
     "q_embed_transformer" -> ((s, dir) => {
+      // null/blank guard mirrored in the oracle: those rows embed to
+      // the empty row / zero vector by the null contract (spec-pinned),
+      // which the unconditional (dim, norm=1) literals don't model —
+      // guarding keeps the oracle corpus-regeneration-proof
       graft.embed.Embedders
-        .embed(tbl(s, dir, "documents").filter(col("doc_id") < 50),
+        .embed(tbl(s, dir, "documents")
+            .filter(col("doc_id") < 50 && length(trim(coalesce(col("text"), lit("")))) > 0),
           "text", "emb", modelId = graft.embed.TransformerModel.FixtureModelId)
         .select(
           col("doc_id"),
@@ -3349,10 +3357,16 @@ ORDER BY b.doc_id"""
   /** cent/v/d/assign/probe over any `v(vec_id, vec DOUBLE[])` source —
     * shared by the raw-space IVF oracles and the OPQ×IVFADC oracle
     * (rotated vectors, rotated-space centroids). */
-  private def ivfCellCtesSql(centroids: Array[Array[Float]], vSql: String): String = {
+  private def ivfCellCtesSql(
+      centroids: Array[Array[Float]],
+      vSql: String,
+      keepProbeRank: Boolean = false): String = {
     val vals = centroids.zipWithIndex
       .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n  ")
+    // the sweep oracle ranks candidates per probe DEPTH, so it needs
+    // the probe rank column the plain oracles drop
+    val probeCols = if (keepProbeRank) "vec_id, cell, rn" else "vec_id, cell"
     s"""cent(cell, cv) AS (VALUES
   $vals),
 v AS ($vSql),
@@ -3366,7 +3380,7 @@ assign AS (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d)
   WHERE rn = 1),
 probe AS (
-  SELECT vec_id, cell FROM (
+  SELECT $probeCols FROM (
     SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM d WHERE vec_id < $IvfQueryMax)
   WHERE rn <= $IvfProbe)"""
@@ -3586,7 +3600,10 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
   /** The residual-ADC tail over cent/v/assign/probe (raw or rotated):
     * rcb literals, residual codes, per-probe LUTs, the ordered fold and
     * the final rank select. */
-  private def ivfAdcTailSql(cbs: Array[Array[Array[Float]]]): String = {
+  /** rcb/rsd/codes/qsd — the residual-code core over cent/v/assign/probe,
+    * shared by [[ivfAdcTailSql]] and the probe-sweep oracle so the
+    * residual-ADC math exists in exactly one place. */
+  private def residCoreCtes(cbs: Array[Array[Array[Float]]]): String = {
     val dsub = cbs(0)(0).length
     val vals = (for {
       m <- cbs.indices
@@ -3610,7 +3627,11 @@ qsd AS (
     list_inner_product(
       list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
       list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
-  FROM probe p JOIN v ON v.vec_id = p.vec_id JOIN cent c ON c.cell = p.cell CROSS JOIN rcb),
+  FROM probe p JOIN v ON v.vec_id = p.vec_id JOIN cent c ON c.cell = p.cell CROSS JOIN rcb)"""
+  }
+
+  private def ivfAdcTailSql(cbs: Array[Array[Array[Float]]]): String = {
+    s"""${residCoreCtes(cbs)},
 terms AS (
   SELECT q.query_id, cd.vec_id AS neighbor_id, q.m, q.d2
   FROM qsd q
@@ -3637,43 +3658,11 @@ ${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}"""
     * per-query recall against the exact cosine top-k — the whole
     * recall/latency curve from exported literals. */
   private def ivfProbeSweepOracleSql(spark: SparkSession, dir: String): String = {
-    val cbs = ivfResidCodebooksFor(spark, dir)
-    val dsub = cbs(0)(0).length
-    val vals = (for {
-      m <- cbs.indices
-      k <- cbs(m).indices
-    } yield s"($m, $k, [${cbs(m)(k).map(_.toDouble).mkString(", ")}]::DOUBLE[])")
-      .mkString(",\n  ")
     val ps = (1 to IvfProbe).map(p => s"($p)").mkString(", ")
-    s"""WITH ${ivfCtesSql(spark, dir).replace(
-      s"""probe AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM d WHERE vec_id < $IvfQueryMax)
-  WHERE rn <= $IvfProbe)""",
-      s"""probe AS (
-  SELECT vec_id, cell, rn FROM (
-    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM d WHERE vec_id < $IvfQueryMax)
-  WHERE rn <= $IvfProbe)""")},
-rcb(m, k, rcv) AS (VALUES
-  $vals),
-rsd AS (
-  SELECT a.vec_id, rcb.m, rcb.k,
-    list_inner_product(
-      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
-      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
-  FROM assign a JOIN v USING (vec_id) JOIN cent c ON c.cell = a.cell CROSS JOIN rcb),
-codes AS (
-  SELECT vec_id, m, k AS code FROM (
-    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM rsd)
-  WHERE rn = 1),
-qsd AS (
-  SELECT p.vec_id AS query_id, p.cell, rcb.m, rcb.k,
-    list_inner_product(
-      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i]),
-      list_transform(range(1, $dsub + 1), i -> v.vec[rcb.m * $dsub + i] - c.cv[rcb.m * $dsub + i] - rcv[i])) AS d2
-  FROM probe p JOIN v ON v.vec_id = p.vec_id JOIN cent c ON c.cell = p.cell CROSS JOIN rcb),
+    s"""WITH ${ivfCellCtesSql(ivfCentroidsFor(spark, dir),
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings",
+      keepProbeRank = true)},
+${residCoreCtes(ivfResidCodebooksFor(spark, dir))},
 ps(p) AS (VALUES $ps),
 cand AS (
   SELECT ps.p, pr.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell
@@ -4832,7 +4821,9 @@ ORDER BY clip_id, part"""
 
     "q_embed_transformer" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS emb_dim, 1.0 AS emb_norm
-FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+FROM documents
+WHERE doc_id < 50 AND length(trim(coalesce(text, ''))) > 0
+ORDER BY doc_id""",
 
     "q_media_video_meta" -> {
       val vals = (VideoFixtureClips.flatMap { case (id, w, h, n, delayCs) =>

@@ -268,8 +268,13 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
+    // one signature pass feeds bands + both joins. The checkpoint
+    // blocks are released by the ContextCleaner once the returned
+    // plan's RDD becomes unreachable (the Bpe.trainedFor memo's
+    // lifecycle argument) — callers looping this at scale should hold
+    // only one result at a time
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
-      .localCheckpoint(true) // one signature pass feeds bands + both joins
+      .localCheckpoint(true)
     def est(x: Column, y: Column): Column =
       when(size(x) > 0 && size(y) > 0,
         aggregate(

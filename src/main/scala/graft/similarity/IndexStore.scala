@@ -145,10 +145,13 @@ object IndexStore {
     val old = java.nio.file.Paths.get(path, "codes_precompact")
     java.nio.file.Files.move(codes, old)
     java.nio.file.Files.move(tmp, codes)
-    // old tree removed only after the new one is in place
+    // old tree removed only after the new one is in place (stream
+    // closed promptly — it holds an open directory handle)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverseIterator
+    val walk = java.nio.file.Files.walk(old)
+    try walk.iterator().asScala.toSeq.reverseIterator
       .foreach(java.nio.file.Files.delete)
+    finally walk.close()
   }
 
   /** Persist the IVFADC index (the composed production layout): coarse

@@ -566,7 +566,12 @@ object Similarity {
     * Scale: one elementwise scan assigns cells + centroid similarity
     * (codegen'd [[NearestCellsExpr]] routing, broadcast centroid join);
     * the pair join shuffles ids+vectors once on cell; components touch
-    * ids only; full rows travel only through the final left-anti probe. */
+    * ids only; full rows travel only through the final left-anti probe.
+    * THE SCALE KNOB IS `nCells ∝ corpus` (keep cell size constant):
+    * per-cell pair volume is quadratic in cell size by design, so a
+    * fixed cell count on a growing corpus is the quadratic regime —
+    * measured in SCALING.md (10× data at fixed 16 cells: ~100×
+    * candidate pairs; at 160 cells: per-cell volume restored). */
   def semDedup(
       corpus: DataFrame,
       idCol: String = "vec_id",

@@ -45,6 +45,10 @@ object ScaleProbe {
             .cast("double").as("s1"))
           .agg(org.apache.spark.sql.functions.sum("s1"))
           .collect().length.toLong
+      case tc if tc.startsWith("traincells:") => // Lloyd training alone
+        graft.similarity.Similarity.trainedCentroids(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          tc.stripPrefix("traincells:").toInt, 42L, 10000).length.toLong
       case nCells =>
         graft.similarity.Similarity.semDedup(
           spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",

@@ -311,6 +311,19 @@ object SparkEntry {
       d
     })
 
+  /** One persisted OPQ×IVF index per (JVM, dir): rotation + rotated-
+    * space IVF artifacts, from the SAME memoized training q_knn_opq_ivf
+    * uses — served results bit-identical, same oracle. */
+  private val opqIvfIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def opqIvfIndexDirFor(s: SparkSession, dir: String): String =
+    opqIvfIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-opqivf-index-").toString
+      val (rot, cents, rcbs) = opqIvfFor(s, dir)
+      graft.similarity.IndexStore.writeOpqIvfIndex(
+        tbl(s, dir, "embeddings"), d, rot, cents, rcbs)
+      d
+    })
+
   /** The STREAMING-ingest variant: same even-half build, but the odd
     * half arrives as a 3-file drop directory drained by the
     * checkpointed exactly-once foreachBatch ingest (one delta
@@ -1979,6 +1992,19 @@ ORDER BY doc_id, token""")
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.IndexStore
         .serveIvfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), ivfIndexDirFor(s, dir),
+          k = IvfK, nProbe = IvfProbe)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ...and the composed stack SERVED from disk: persisted rotation +
+    // rotated-space IVF artifacts; queries rotate through the stored
+    // matrix and ride the cell-pruned serving path. Same training ⇒
+    // bit-identical to q_knn_opq_ivf, same oracle — the full
+    // `OPQ,IVF,PQ` production config end to end
+    "q_knn_opq_ivf_served" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .serveOpqIvfTopK(emb.filter(col("vec_id") < IvfQueryMax), opqIvfIndexDirFor(s, dir),
           k = IvfK, nProbe = IvfProbe)
         .orderBy("query_id", "rank")
     }),
@@ -3743,7 +3769,8 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_probe_recall" -> ivfProbeSweepOracleSql(spark, dir)) +
-      ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) ++
+      ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) +
+      ("q_knn_opq_ivf_served" -> opqIvfPqOracleSql(spark, dir)) ++
       topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -205,6 +205,54 @@ object IndexStore {
     (cents, out)
   }
 
+  /** Persist the FULL composed stack — OPQ rotation + IVFADC — the
+    * `OPQ,IVF,PQ` index a production deployment actually serves: the
+    * learned rotation lands as its own tiny artifact next to the
+    * rotated-space IVF layout (cells + residual codebooks + cell-
+    * partitioned codes of the ROTATED corpus). */
+  def writeOpqIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      rotation: Array[Array[Double]],
+      coarseCentroids: Array[Array[Float]],
+      residCodebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "row")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/rotation")
+    val rotated = corpus.select(
+      col(idCol), Opq.rotateCol(col(vecCol), rotation).as(vecCol))
+    writeIvfPqIndex(rotated, path, idCol, vecCol,
+      coarseCentroids = coarseCentroids, residCodebooks = residCodebooks)
+  }
+
+  /** Load the rotation artifact back (dim rows — bounded). */
+  def readRotation(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/rotation")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** Serve the composed index: rotate each query with the PERSISTED
+    * rotation (one codegen'd mat-vec), then the cell-pruned IVFADC
+    * serving path — no training, no encode, bit-identical to the
+    * in-session composed pipeline built from the same artifacts. */
+  def serveOpqIvfTopK(
+      queries: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    val rot = readRotation(queries.sparkSession, path)
+    val rotQ = queries.select(
+      col(idCol), Opq.rotateCol(col(vecCol), rot).as(vecCol))
+    serveIvfPqTopK(rotQ, path, idCol, vecCol, k, nProbe)
+  }
+
   /** Incremental IVF maintenance — the PQ-append contract applied to
     * the composed layout: new vectors are routed and residual-coded
     * with the PERSISTED coarse centroids + codebooks (read back, never

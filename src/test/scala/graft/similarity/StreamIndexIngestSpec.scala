@@ -136,6 +136,27 @@ class StreamIndexIngestSpec extends SparkSpec {
     } finally { df.unpersist(); () }
   }
 
+  test("persisted OPQ x IVF index serves bit-identical to the in-session composed stack") {
+    val df = corpus(400, 16, seed = 41L).cache()
+    try {
+      val queries = df.filter($"vec_id" < 4)
+      val (rot, _) = Opq.trainedRotation(df, m = 4, k = 8, seed = 5L, sampleSize = 400, iters = 4)
+      val rotAll = df.select($"vec_id", Opq.rotateCol($"embedding", rot).as("embedding"))
+      val cents = Similarity.trainedCentroids(rotAll, nCells = 8, seed = 5L, sampleSize = 400)
+      val cbs = IvfPq.trainedResidualCodebooks(rotAll, cents, m = 4, k = 8, seed = 5L, sampleSize = 400)
+      val inSession = IvfPq.ivfPqTopK(
+          rotAll.filter($"vec_id" < 4), rotAll, k = 5, nCells = 8, nProbe = 2,
+          m = 4, kCent = 8, seed = 5L, sampleSize = 400,
+          coarseCentroids = cents, residCodebooks = cbs)
+        .orderBy("query_id", "rank").collect().toSeq
+      val dir = java.nio.file.Files.createTempDirectory("graft-opqivf-").toString
+      IndexStore.writeOpqIvfIndex(df, dir, rot, cents, cbs)
+      val served = IndexStore.serveOpqIvfTopK(queries, dir, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(served.nonEmpty && served == inSession)
+    } finally { df.unpersist(); () }
+  }
+
   test("IVF delta append with persisted artifacts equals the one-shot build") {
     val df = corpus(400, 16, seed = 31L).cache()
     try {

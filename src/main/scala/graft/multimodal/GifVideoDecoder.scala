@@ -26,8 +26,9 @@ import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
   *     pixels (the [[ImageIoDecoder]] stand-in descriptor, applied to
   *     the first frame — swap in a video encoder without touching the
   *     Spark plumbing);
-  *   - `resize`: frame-0 bilinear scale re-encoded as a single-frame
-  *     GIF (documented simplification: thumbnailing, not transcoding);
+  *   - `resize`: a real transcode — every frame bilinear-scaled and
+  *     re-encoded with its original delay, so frame count and duration
+  *     survive the scale;
   *   - any non-`video/gif` mime delegates to `fallback`.
   *
   * Thread-safety: reader/writer instances are created per call (ImageIO
@@ -105,14 +106,20 @@ final class GifVideoDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaD
   override def resize(bytes: Array[Byte], mime: String, width: Int, height: Int): Array[Byte] =
     if (!isGifVideo(mime)) fallback.resize(bytes, mime, width, height)
     else withReader(bytes) { reader =>
-      val scaled = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-      val g = scaled.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(reader.read(0), 0, 0, width, height, null)
-      } finally g.dispose()
-      GifVideoDecoder.encodeGif(Seq((scaled, 0)))
+      // a real transcode: EVERY frame bilinear-scaled, per-frame delays
+      // preserved — the resized clip keeps its frame count and duration
+      val n = reader.getNumImages(true)
+      val frames = (0 until n).map { i =>
+        val scaled = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(reader.read(i), 0, 0, width, height, null)
+        } finally g.dispose()
+        (scaled, frameDelayCs(reader, i))
+      }
+      GifVideoDecoder.encodeGif(frames)
     }.getOrElse(bytes)
 }
 

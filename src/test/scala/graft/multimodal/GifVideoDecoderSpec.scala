@@ -53,10 +53,15 @@ class GifVideoDecoderSpec extends AnyFunSuite {
     assert(dec.sampleFrames(bytes, "video/gif", maxFrames = 3).size == 2)
   }
 
-  test("resize re-encodes frame 0 at the target shape") {
+  test("resize transcodes the whole animation: frame count and duration survive") {
     val bytes = GifVideoDecoder.testAnimGif(32, 20, nFrames = 4, delayCs = 3)
     val out = dec.resize(bytes, "video/gif", 8, 5)
-    assert(dec.decode(out, "video/gif") == MediaMeta("video/gif", 8, 5, 1, 0L))
+    assert(dec.decode(out, "video/gif") == MediaMeta("video/gif", 8, 5, 4, 4L * 3 * 10))
+    // frame identity survives the scale: frame 2's solid fill
+    val f = dec.sampleFrames(out, "video/gif", 4)(2)
+    val want = new java.awt.Color(40 * 2 + 15, 32, 200 - 24 * 2).getRGB
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+    assert(img.getRGB(2, 2) == want)
   }
 
   test("features are frame-0 luma: solid color gives a flat exact grid") {

@@ -1699,6 +1699,19 @@ ORDER BY doc_id, token""")
 
     // LLM-pipeline: exact token-set Jaccard over bucketed candidate pairs
     // (bucket = lang|source here; an LSH band at scale — never all-pairs)
+    // the production near-dup config: MinHash-band candidates (the
+    // scale-correct generator — see SCALING.md's jaccard-vs-minhash
+    // regimes) verified by EXACT token-set Jaccard. Oracle replays the
+    // banding from the inlined hash constants and the set intersection
+    "q_jaccard_banded" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .bandedJaccardPairs(
+          tbl(s, dir, "documents"), "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32,
+          threshold = 0.5, seed = 42L)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
     "q_jaccard_pairs" -> ((s, dir) =>
       graft.dedup.Dedup
         .jaccardPairs(
@@ -3061,6 +3074,31 @@ eq AS (
 SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM eq
 WHERE est >= 0.125 ORDER BY id_a, id_b"""
 
+  /** Banded exact Jaccard: the same LSH-candidate CTEs as
+    * [[minHashPairsSql]], verified by exact token-set intersection
+    * instead of the signature-agreement estimator. */
+  private def jaccardBandedSql: String =
+    s"""WITH ${minHashSigCtes(32, 42L)},
+bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+ts AS (
+  SELECT doc_id, list_sort(list(DISTINCT token)) AS toks
+  FROM ($tokSql) GROUP BY doc_id),
+j AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(ta.toks, tb.toks)) AS shared,
+    len(ta.toks) AS na, len(tb.toks) AS nb
+  FROM cand c
+  JOIN ts ta ON ta.doc_id = c.id_a
+  JOIN ts tb ON tb.doc_id = c.id_b)
+SELECT id_a, id_b,
+  round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM j
+WHERE shared >= 1 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+ORDER BY id_a, id_b"""
+
   /** CTE chain computing each document's signed 64-bit SimHash as
     * `fp(doc_id, simhash)` — shared by the per-doc dump and the pairs
     * oracle. */
@@ -4103,6 +4141,8 @@ FROM c ORDER BY doc_id""",
     "q_minhash_sig" -> minHashSql,
 
     "q_minhash_pairs" -> minHashPairsSql,
+
+    "q_jaccard_banded" -> jaccardBandedSql,
 
     "q_simhash" -> simHashSql,
 

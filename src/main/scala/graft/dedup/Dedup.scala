@@ -290,6 +290,48 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** LSH candidates verified by EXACT Jaccard — the production
+    * web-scale near-dup config: MinHash banding generates candidates
+    * (never all-pairs, never a coarse metadata bucket), then the exact
+    * token-set similarity decides. Complements [[nearDuplicates]]
+    * (which keeps the cheap signature-agreement ESTIMATOR as the
+    * verdict) for pipelines whose drop decisions need the true
+    * similarity. Candidates come id-only from the capped posting lists;
+    * token sets join back sorted for the zero-allocation two-pointer
+    * intersect. */
+  def bandedJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+      bands: Int = 32,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
+    val cands = lshCandidatePairs(sigs, bands, maxBucket)
+    val docSets = df
+      .select(col(idCol).as("id"),
+        explode(graft.text.Tokenize.tokenize(col(textCol))).as("t"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("t.token"))).as("toks"))
+    def intersectCount(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        SortedIntersectCountExpr(
+          org.apache.spark.sql.graft.Bridge.expression(a),
+          org.apache.spark.sql.graft.Bridge.expression(b)))
+    cands
+      .join(docSets.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .withColumn("shared", intersectCount(col("toks_a"), col("toks_b")))
+      .filter(col("shared") >= 1)
+      .withColumn("jaccard",
+        col("shared") / (size(col("toks_a")) + size(col("toks_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token unigrams (term-frequency weighted). */

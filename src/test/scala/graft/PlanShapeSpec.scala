@@ -442,6 +442,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0, plan)
   }
 
+  test("banded exact jaccard: LSH candidates, codegen intersect, never all-pairs") {
+    val df = SparkEntry.queries("q_jaccard_banded")(spark, dir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exact verify is the two-pointer codegen'd intersect, not a HOF
+    assert(plan.contains("sorted_intersect_count"), plan)
+    assert(count(plan, "minhash_signature") >= 1, plan)
+  }
+
   test("served IVFADC prunes unprobed cell partitions dynamically") {
     val df = SparkEntry.queries("q_knn_ivf_served")(spark, dir)
     val plan = finalPlan(df)

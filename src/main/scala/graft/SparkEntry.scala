@@ -2840,8 +2840,16 @@ ORDER BY doc_id, token""")
     "q_embed_transformer" -> ((s, dir) => {
       // null/blank guard mirrored in the oracle: those rows embed to
       // the empty row / zero vector by the null contract (spec-pinned),
-      // which the unconditional (dim, norm=1) literals don't model —
-      // guarding keeps the oracle corpus-regeneration-proof
+      // which the unconditional (dim, norm=1) literals don't model.
+      // CLOSED-VOCAB ASSUMPTION: norm=1 additionally requires ≥1 word
+      // of each doc to decompose under the 37-piece fixture vocab — a
+      // non-blank doc whose words are ALL OOV tokenizes to zero pieces
+      // and embeds to the zero vector (norm 0). That condition is not
+      // DuckDB-expressible, so it is pinned as an assumption instead:
+      // the sf* corpora are ASCII English whose every doc contains at
+      // least one covered word ("the"/"a" are in the vocab). A
+      // regenerated corpus violating it fails this oracle loudly
+      // (norm 0 vs 1.0 hash mismatch), not silently.
       graft.embed.Embedders
         .embed(tbl(s, dir, "documents")
             .filter(col("doc_id") < 50 && length(trim(coalesce(col("text"), lit("")))) > 0),

@@ -257,7 +257,15 @@ object Dedup {
     * candidates — so signatures cross the wire once per CANDIDATE side
     * instead of once per band row. Wins when `corpus × bands × sigBytes`
     * outgrows the shuffle comfort zone; at small scale the fused shape's
-    * single pass wins, which is why both exist. */
+    * single pass wins, which is why both exist.
+    *
+    * Checkpoint durability: when the session has a checkpoint dir set
+    * (`sc.setCheckpointDir` — the cluster posture this variant targets)
+    * the signatures use RELIABLE `checkpoint()`, surviving executor
+    * loss. Without one it falls back to `localCheckpoint` (executor
+    * block storage) — fine single-JVM, but at cluster scale an executor
+    * loss makes the blocks unrecoverable and fails the job, so
+    * production callers should set a checkpoint dir. */
   def nearDuplicatesViaJoin(
       df: DataFrame,
       textCol: String,
@@ -273,8 +281,10 @@ object Dedup {
     // plan's RDD becomes unreachable (the Bpe.trainedFor memo's
     // lifecycle argument) — callers looping this at scale should hold
     // only one result at a time
-    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
-      .localCheckpoint(true)
+    val raw = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
+    val sigs =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) raw.checkpoint(true)
+      else raw.localCheckpoint(true)
     def est(x: Column, y: Column): Column =
       when(size(x) > 0 && size(y) > 0,
         aggregate(

@@ -53,8 +53,10 @@ final class GifVideoDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaD
       // force a header parse so corrupt payloads fail HERE, not lazily
       if (reader.getNumImages(true) <= 0) None else Some(f(reader))
     } catch {
-      case _: java.io.IOException => None
-      case _: IndexOutOfBoundsException => None
+      // any decode failure on an untrusted payload — truncated stream,
+      // malformed LZW table, bogus metadata attribute — maps to the
+      // undecodable marker rather than failing the Spark task
+      case scala.util.control.NonFatal(_) => None
     } finally {
       reader.dispose()
       iis.close()
@@ -67,8 +69,12 @@ final class GifVideoDecoder(fallback: MediaDecoder = FakeDecoder) extends MediaD
     val root = reader.getImageMetadata(i).getAsTree(GifImageMeta).asInstanceOf[IIOMetadataNode]
     var child = root.getFirstChild
     while (child != null) {
-      if (child.getNodeName == "GraphicControlExtension")
-        return child.asInstanceOf[IIOMetadataNode].getAttribute("delayTime").toInt
+      if (child.getNodeName == "GraphicControlExtension") {
+        val raw = child.asInstanceOf[IIOMetadataNode].getAttribute("delayTime")
+        // absent/empty/garbage attribute on a malformed payload = no delay
+        return try { if (raw == null || raw.isEmpty) 0 else raw.toInt }
+        catch { case _: NumberFormatException => 0 }
+      }
       child = child.getNextSibling
     }
     0

@@ -137,21 +137,30 @@ object IndexStore {
     * manifest or table format in front; documented limitation, same
     * class as the parquet-overwrite the build job already does). */
   def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
-    val tmp = java.nio.file.Paths.get(path, "codes_compacting")
+    // Hadoop FS API throughout — the rest of the index IO goes through
+    // Spark's FS layer, so the store must work on HDFS/object stores
+    // too, not just the local filesystem.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = new org.apache.hadoop.fs.Path(hp, "codes")
+    val tmp = new org.apache.hadoop.fs.Path(hp, "codes_compacting")
+    val old = new org.apache.hadoop.fs.Path(hp, "codes_precompact")
+    // crash recovery: a prior run that died between the two renames
+    // leaves codes_precompact behind. If `codes` also exists the new
+    // tree was swapped in and the leftover is pure garbage — delete it.
+    // If `codes` is MISSING the crash was mid-swap: the old tree is
+    // still the only complete copy, so restore it before proceeding.
+    if (fs.exists(old)) {
+      if (fs.exists(codes)) fs.delete(old, true)
+      else { if (!fs.rename(old, codes)) sys.error(s"compactPqIndex: failed to restore $old -> $codes") }
+    }
     readCodes(spark, path)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val codes = java.nio.file.Paths.get(path, "codes")
-    val old = java.nio.file.Paths.get(path, "codes_precompact")
-    java.nio.file.Files.move(codes, old)
-    java.nio.file.Files.move(tmp, codes)
-    // old tree removed only after the new one is in place (stream
-    // closed promptly — it holds an open directory handle)
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(old)
-    try walk.iterator().asScala.toSeq.reverseIterator
-      .foreach(java.nio.file.Files.delete)
-    finally walk.close()
+    if (!fs.rename(codes, old)) sys.error(s"compactPqIndex: rename $codes -> $old failed")
+    if (!fs.rename(tmp, codes)) sys.error(s"compactPqIndex: rename $tmp -> $codes failed")
+    // old tree removed only after the new one is in place
+    fs.delete(old, true)
   }
 
   /** Persist the IVFADC index (the composed production layout): coarse

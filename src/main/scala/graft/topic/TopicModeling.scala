@@ -76,9 +76,13 @@ final case class ChunkAssignModel(
   * checkpoint blocks — the lazy `documents` plan handed back to the
   * caller contains NO chunking/embedding subtree in either path.
   *
-  * Deviations (documented): PaCMAP → seeded PCA ([[Reduce]]), HDBSCAN →
-  * deterministic DBSCAN ([[Cluster]]) — the `hdbscan` stage-timing key is
-  * kept for parity with the reference's key set. Stage names mirror
+  * Reduction/clustering ladder: the DEFAULT path is real PaCMAP
+  * ([[Pacmap]], exact neighbors ≤8k points — the reference crate's own
+  * `approx_threshold`) and real HDBSCAN ([[Hdbscan]] via [[Cluster]]).
+  * Seeded PCA is the documented over-cap fallback (PaCMAP has no
+  * out-of-sample transform for the sampled path), and eps-pinned
+  * DBSCAN is the oracle-stability override used by a few fixed-label
+  * query oracles — neither is the default anymore. Stage names mirror
   * `stage_timings_ms` (`mod.rs:223-390`), and the same
   * `stage_timings_ms` list is replicated onto every output row exactly
   * like the reference (`plugin.rs:242-280`).

@@ -61,6 +61,40 @@ class IndexStoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compaction recovers from a crashed prior compaction in either half-state") {
+    val df = corpus(200, 16, seed = 23L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString
+    IndexStore.writePqIndex(df, dir, m = 4, kCent = 8, seed = 3L, sampleSize = 200)
+    val q = df.filter($"vec_id" < 3)
+    val expected = IndexStore.servePqTopK(q, df, dir, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val root = java.nio.file.Paths.get(dir)
+    val codes = root.resolve("codes")
+    val pre = root.resolve("codes_precompact")
+
+    // half-state A: crash AFTER the swap — codes is the new tree, the
+    // old tree lingers as codes_precompact garbage. Compaction must
+    // clean it and succeed.
+    java.nio.file.Files.createDirectory(pre)
+    java.nio.file.Files.write(pre.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    IndexStore.compactPqIndex(spark, dir, targetFiles = 2)
+    assert(!java.nio.file.Files.exists(pre), "stale precompact garbage must be cleaned")
+    val afterA = IndexStore.servePqTopK(q, df, dir, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterA == expected)
+
+    // half-state B: crash MID-swap — codes was renamed away but the new
+    // tree never moved in; codes_precompact holds the only copy.
+    // Compaction must restore it before compacting.
+    java.nio.file.Files.move(codes, pre)
+    assert(!java.nio.file.Files.exists(codes))
+    IndexStore.compactPqIndex(spark, dir, targetFiles = 2)
+    assert(java.nio.file.Files.exists(codes) && !java.nio.file.Files.exists(pre))
+    val afterB = IndexStore.servePqTopK(q, df, dir, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterB == expected)
+  }
+
   test("the served plan reads the persisted codes and never re-encodes or trains") {
     val df = corpus(200, 16, seed = 17L)
     val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString

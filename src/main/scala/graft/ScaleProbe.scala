@@ -45,10 +45,24 @@ object ScaleProbe {
             .cast("double").as("s1"))
           .agg(org.apache.spark.sql.functions.sum("s1"))
           .collect().length.toLong
-      case tc if tc.startsWith("traincells:") => // Lloyd training alone
+      case tc if tc.startsWith("traincells:") =>
+        // Lloyd training alone: traincells:<k>[:<sampleSize>] — k ≥
+        // DistributedTrainFrom exercises the distributed partial-sum
+        // path (the k≈thousands regime the nCells ∝ corpus rule needs)
+        val parts = tc.stripPrefix("traincells:").split(":")
+        val k = parts(0).toInt
+        val ss = if (parts.length > 1) parts(1).toInt else 10000
         graft.similarity.Similarity.trainedCentroids(
           spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-          tc.stripPrefix("traincells:").toInt, 42L, 10000).length.toLong
+          k, 42L, ss).length.toLong
+      case tc if tc.startsWith("traincells_driver:") =>
+        // same knob forced through driver-side Lloyd — the comparison arm
+        val parts = tc.stripPrefix("traincells_driver:").split(":")
+        val k = parts(0).toInt
+        val ss = if (parts.length > 1) parts(1).toInt else 10000
+        graft.similarity.Similarity.trainedCentroids(
+          spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          k, 42L, ss, distributedFrom = Int.MaxValue).length.toLong
       case nCells =>
         graft.similarity.Similarity.semDedup(
           spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",

@@ -64,24 +64,135 @@ object ProductQuant {
       m: Int = 8,
       k: Int = 16,
       seed: Long = 42L,
-      sampleSize: Int = 10000): Array[Array[Array[Float]]] = {
-    import corpus.sparkSession.implicits._
-    val sample = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(lit(seed), col(idCol)))
-      .limit(sampleSize)
-      .select(col(vecCol))
-      .as[Seq[Float]]
-      .collect()
-      .map(_.toArray)
-    require(sample.nonEmpty, "trainedCodebooks: empty corpus")
-    val dim = sample.head.length
-    require(dim % m == 0, s"trainedCodebooks: dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
-    Array.tabulate(m) { i =>
-      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
-      Similarity.trainCentroids(slices, k, seed + i)
+      sampleSize: Int = 10000,
+      distributedFrom: Int = Similarity.DistributedTrainFrom): Array[Array[Array[Float]]] = {
+    if (k >= distributedFrom) {
+      val (rdd, n) = Similarity.positionedSample(corpus, idCol, vecCol, seed, sampleSize)
+      try trainCodebooksDistributed(rdd, n, m, k, seed)
+      finally { rdd.unpersist(blocking = false); () }
+    } else {
+      import corpus.sparkSession.implicits._
+      val sample = corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(lit(seed), col(idCol)))
+        .limit(sampleSize)
+        .select(col(vecCol))
+        .as[Seq[Float]]
+        .collect()
+        .map(_.toArray)
+      require(sample.nonEmpty, "trainedCodebooks: empty corpus")
+      val dim = sample.head.length
+      require(dim % m == 0, s"trainedCodebooks: dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      Array.tabulate(m) { i =>
+        val slices = sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+        Similarity.trainCentroids(slices, k, seed + i)
+      }
     }
+  }
+
+  /** Argmin sub-centroid for `v[off, off+dsub)` — [[subDist2]] distances,
+    * strict `<` so ties keep the lowest code (the driver path's
+    * `nearestCell` contract on a copied slice, minus the copy). */
+  private def nearestSubCell(v: Array[Float], off: Int, book: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val d = subDist2(v, off, book(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Distributed per-subspace Lloyd over a positioned sample — the
+    * [[Similarity.trainCentroidsDistributed]] partial-sum scheme run
+    * JOINTLY for all `m` subspaces: each iteration broadcasts all m
+    * codebooks and one `mapPartitions` pass accumulates the
+    * `[m][k][dsub]` sums + `[m][k]` counts (total `k × dim` doubles per
+    * partition — the same partial size as one full-space k-means), so
+    * training m codebooks costs the same number of passes as one.
+    * Subspace `i` initializes by replaying the driver path's
+    * `seed + i` index shuffle over the shared sample positions, and
+    * ties/empty-cells behave identically — the bitwise-parity posture
+    * `DistributedKmeansSpec` pins. */
+  private[similarity] def trainCodebooksDistributed(
+      sample: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+      n: Long,
+      m: Int,
+      k: Int,
+      seed: Long,
+      iters: Int = 10): Array[Array[Array[Float]]] = {
+    require(n > 0 && n <= Int.MaxValue, s"trainCodebooksDistributed: bad sample size $n")
+    val sc = sample.sparkContext
+    val dim = sample.map(_._2.length).first()
+    require(dim % m == 0, s"trainCodebooksDistributed: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val kEff = math.min(k, n.toInt)
+    val initSlots: Array[Map[Long, Int]] = Array.tabulate(m) { i =>
+      val rnd = new scala.util.Random(seed + i)
+      rnd.shuffle((0 until n.toInt).toList).take(kEff)
+        .zipWithIndex.map { case (pos, slot) => (pos.toLong, slot) }.toMap
+    }
+    val bcInit = sc.broadcast(initSlots)
+    var books: Array[Array[Array[Float]]] = {
+      val rows = sample.flatMap { case (pos, v) =>
+        (0 until m).iterator.flatMap { i =>
+          bcInit.value(i).get(pos).map { slot =>
+            (i, slot, java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+          }
+        }
+      }.collect()
+      val out = Array.fill(m)(new Array[Array[Float]](kEff))
+      rows.foreach { case (i, slot, slice) => out(i)(slot) = slice }
+      out
+    }
+    bcInit.destroy()
+    (0 until iters).foreach { _ =>
+      val bc = sc.broadcast(books)
+      val partials = sample.mapPartitionsWithIndex { case (pid, it) =>
+        val bks = bc.value
+        val sums = Array.fill(m, kEff)(new Array[Double](dsub))
+        val counts = Array.fill(m)(new Array[Long](kEff))
+        var any = false
+        it.foreach { case (_, v) =>
+          any = true
+          var i = 0
+          while (i < m) {
+            val off = i * dsub
+            val c = nearestSubCell(v, off, bks(i))
+            counts(i)(c) += 1
+            var d = 0
+            while (d < dsub) { sums(i)(c)(d) += v(off + d); d += 1 }
+            i += 1
+          }
+        }
+        if (any) Iterator((pid, sums, counts)) else Iterator.empty
+      }.collect().sortBy(_._1)
+      val sums = Array.fill(m, kEff)(new Array[Double](dsub))
+      val counts = Array.fill(m)(new Array[Long](kEff))
+      partials.foreach { case (_, ps, pc) =>
+        var i = 0
+        while (i < m) {
+          var c = 0
+          while (c < kEff) {
+            counts(i)(c) += pc(i)(c)
+            var d = 0
+            while (d < dsub) { sums(i)(c)(d) += ps(i)(c)(d); d += 1 }
+            c += 1
+          }
+          i += 1
+        }
+      }
+      books = Array.tabulate(m) { i =>
+        books(i).zipWithIndex.map { case (old, c) =>
+          if (counts(i)(c) == 0L) old
+          else sums(i)(c).map(x => (x / counts(i)(c)).toFloat)
+        }
+      }
+      bc.destroy()
+    }
+    books
   }
 
   /** `array<float>` vector → its `m` PQ codes as `array<int>`. */

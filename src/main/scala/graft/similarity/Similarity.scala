@@ -425,18 +425,168 @@ object Similarity {
       vecCol: String = "embedding",
       nCells: Int = 16,
       seed: Long = 42L,
-      sampleSize: Int = 10000): Array[Array[Float]] = {
-    import corpus.sparkSession.implicits._
-    val sample = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(lit(seed), col(idCol)))
-      .limit(sampleSize)
-      .select(col(vecCol))
+      sampleSize: Int = 10000,
+      distributedFrom: Int = DistributedTrainFrom): Array[Array[Float]] = {
+    if (nCells >= distributedFrom) {
+      val (rdd, n) = positionedSample(corpus, idCol, vecCol, seed, sampleSize)
+      try trainCentroidsDistributed(rdd, n, nCells, seed)
+      finally { rdd.unpersist(blocking = false); () }
+    } else {
+      import corpus.sparkSession.implicits._
+      val sample = corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(lit(seed), col(idCol)))
+        .limit(sampleSize)
+        .select(col(vecCol))
+        .as[Seq[Float]]
+        .collect()
+        .map(_.toArray)
+      require(sample.nonEmpty, "trainedCentroids: empty corpus")
+      trainCentroids(sample, nCells, seed)
+    }
+  }
+
+  // ------------------------------------------- distributed quantizer training
+
+  /** Cell-count threshold above which [[trainedCentroids]] /
+    * [[ProductQuant.trainedCodebooks]] (and therefore [[semDedup]] and
+    * every IVF/PQ surface built on them) switch from driver-side Lloyd
+    * to the distributed partial-sum Lloyd. The knob rule SCALING.md
+    * measured — `nCells ∝ corpus`, keep cell size constant — pushes k
+    * into the thousands at web scale, where driver Lloyd's
+    * `sample × k × dim` per iteration outgrows one driver thread long
+    * before the sample itself stops fitting; the distributed path keeps
+    * the per-iteration work on executors and moves only
+    * `partitions × k × dim` partial sums to the driver. */
+  val DistributedTrainFrom = 256
+
+  /** The SAME seeded hash-ordered sample as the driver path — the first
+    * `sampleSize` rows by `xxhash64(seed, id)` — but materialized as a
+    * position-tagged executor-resident RDD instead of a driver array.
+    *
+    * Scale shape: a hash-cutoff pre-filter (expected survivors ≈ 4×
+    * sampleSize, verified, falling back to unfiltered when the margin
+    * misses) bounds the sort input so the full corpus is never globally
+    * sorted; the survivor sort is range-partitioned (distributed — no
+    * single-task `limit` merge), and `zipWithIndex` assigns global
+    * hash-order positions so initialization can replay the driver
+    * path's seeded index shuffle exactly. Returns the persisted RDD and
+    * its exact row count; caller unpersists. */
+  private[similarity] def positionedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seed: Long,
+      sampleSize: Int): (org.apache.spark.rdd.RDD[(Long, Array[Float])], Long) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val hashed = corpus
+      .select(col(vecCol).as("v"), xxhash64(lit(seed), col(idCol)).as("__h"))
+    val total = hashed.count()
+    val cut =
+      if (total > 4L * sampleSize) {
+        // the approximate frac-quantile of a uniform 64-bit hash in
+        // signed-Long order: Long.MinValue + frac × 2^64
+        val frac = BigDecimal(4L * sampleSize) / BigDecimal(total)
+        val cutB = BigDecimal(Long.MinValue) + frac * BigDecimal(2).pow(64)
+        val cutL = cutB.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        val filtered = hashed.filter(col("__h") <= lit(cutL))
+        if (filtered.count() >= math.min(sampleSize.toLong, total)) filtered else hashed
+      } else hashed
+    val rdd = cut
+      .orderBy("__h")
+      .select("v")
       .as[Seq[Float]]
-      .collect()
-      .map(_.toArray)
-    require(sample.nonEmpty, "trainedCentroids: empty corpus")
-    trainCentroids(sample, nCells, seed)
+      .rdd
+      .zipWithIndex()
+      .filter(_._2 < sampleSize)
+      .map { case (v, pos) => (pos, v.toArray) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    require(n > 0, "positionedSample: empty corpus")
+    (rdd, n)
+  }
+
+  /** Distributed partial-sum Lloyd — the same algorithm as
+    * [[trainCentroids]], executed as `iters` broadcast-assign passes:
+    * initialization replays the driver path's seeded index shuffle over
+    * the sample positions (so both paths start from the same k rows);
+    * each iteration broadcasts the current centroids, every partition
+    * accumulates per-cell double sums + counts over its rows
+    * (`mapPartitions`, no shuffle), and the driver folds the bounded
+    * `partitions × k × dim` partials in ascending partition order —
+    * deterministic for a fixed sample layout. Empty cells keep their
+    * previous centroid and argmin ties keep the lowest cell id, exactly
+    * as the driver path.
+    *
+    * Parity: the per-iteration double sums group rows by partition
+    * (contiguous hash-order ranges) instead of one flat left-to-right
+    * fold, so they can differ from the driver fold in the last few
+    * double bits; each iteration then quantizes to Float (~1e-7
+    * relative), 5–6 orders coarser than the associativity noise, which
+    * is why `DistributedKmeansSpec` pins bitwise-equal Float centroids
+    * against driver Lloyd on fixed fixtures. Driver traffic per
+    * iteration is partitions × k × dim × 8 B (a treeAggregate fold in
+    * fixed pid-group order is the documented extension past ~1k
+    * partitions). */
+  private[similarity] def trainCentroidsDistributed(
+      sample: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+      n: Long,
+      nCells: Int,
+      seed: Long,
+      iters: Int = 10): Array[Array[Float]] = {
+    require(n > 0 && n <= Int.MaxValue, s"trainCentroidsDistributed: bad sample size $n")
+    val sc = sample.sparkContext
+    val rnd = new scala.util.Random(seed)
+    val k = math.min(nCells, n.toInt)
+    val initSlots: Map[Long, Int] = rnd.shuffle((0 until n.toInt).toList).take(k)
+      .zipWithIndex.map { case (pos, slot) => (pos.toLong, slot) }.toMap
+    val bcInit = sc.broadcast(initSlots)
+    var centroids: Array[Array[Float]] = {
+      val rows = sample.flatMap { case (pos, v) =>
+        bcInit.value.get(pos).map(slot => (slot, v))
+      }.collect()
+      val out = new Array[Array[Float]](k)
+      rows.foreach { case (slot, v) => out(slot) = v.clone() }
+      out
+    }
+    bcInit.destroy()
+    (0 until iters).foreach { _ =>
+      val bc = sc.broadcast(centroids)
+      val partials = sample.mapPartitionsWithIndex { case (pid, it) =>
+        val cents = bc.value
+        val dim = cents.head.length
+        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        val counts = new Array[Long](cents.length)
+        var any = false
+        it.foreach { case (_, v) =>
+          any = true
+          val c = nearestCell(v, cents)
+          counts(c) += 1
+          var d = 0
+          while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        }
+        if (any) Iterator((pid, sums, counts)) else Iterator.empty
+      }.collect().sortBy(_._1)
+      val dim = centroids.head.length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, ps, pc) =>
+        var c = 0
+        while (c < k) {
+          counts(c) += pc(c)
+          var d = 0
+          while (d < dim) { sums(c)(d) += ps(c)(d); d += 1 }
+          c += 1
+        }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+      bc.destroy()
+    }
+    centroids
   }
 
   /** IVF × int8: the composed serving stack a production ANN service
@@ -579,9 +729,11 @@ object Similarity {
       threshold: Double = 0.85,
       nCells: Int = 16,
       seed: Long = 42L,
-      sampleSize: Int = 10000): DataFrame = {
+      sampleSize: Int = 10000,
+      distributedFrom: Int = DistributedTrainFrom): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+    val centroids =
+      trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize, distributedFrom)
     def cellOf(vec: Column): Column = element_at(
       org.apache.spark.sql.graft.Bridge.column(
         NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, 1)),

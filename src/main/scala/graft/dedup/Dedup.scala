@@ -604,74 +604,136 @@ object Dedup {
 
   // -------------------------------------------------- cluster resolution
 
-  /** Transitive duplicate clusters from a near-dup pair list: connected
-    * components by iterative min-label propagation. Near-duplicate
-    * relations are not transitive pairwise (A≈B, B≈C but A̸≈C), yet a
-    * curation pipeline must keep ONE representative per connected group —
-    * this resolves the pair edges the MinHash/SimHash/Jaccard/cosine
-    * operators emit into `(doc_id, cluster_id, n_members)`, where
-    * `cluster_id` is the smallest member id (the canonical keep-candidate).
+  /** Connected components over an undirected pair list by ALTERNATING
+    * STAR CONTRACTION — the large-star / small-star algorithm of
+    * Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014
+    * ("Connected Components in MapReduce and Beyond", SoCC'14), which
+    * converges in O(log² n) rounds REGARDLESS of component shape — the
+    * property min-label propagation lacks: propagation is
+    * O(component diameter) rounds, fine for near-clique duplicate
+    * groups (diameter 2–3) but linear-round on a pathological
+    * chain-shaped component. Both operations preserve connectivity and
+    * monotonically contract components toward a star rooted at the
+    * minimum member id:
     *
-    * Scale design (100 TB of pairs): Pregel-style label propagation — each
-    * round updates every vertex's label to the min of its own and its
-    * neighbors' (one edge-keyed join + one min-aggregate per round),
-    * converging in at most the component diameter rounds. Duplicate
-    * clusters are near-cliques, so diameters are tiny (2–3). Each round's
-    * result is `localCheckpoint`ed: iterative plans otherwise grow the
-    * lineage exponentially, re-deriving every prior round per action (the
-    * canonical Spark iterative-algorithm pattern). The fixpoint is unique,
-    * so the output is deterministic regardless of execution order.
+    *   - large-star (per node u over the SYMMETRIZED neighborhood):
+    *     connect every strictly-larger neighbor to
+    *     `m = min(Γ(u) ∪ {u})` — emit `(v, m)` for v ∈ Γ(u), v > u;
+    *   - small-star (per node u over edges DIRECTED large→small):
+    *     connect every smaller-or-equal neighbor and u itself to m —
+    *     emit `(w, m)` for w ∈ Γ(u) ∪ {u}, w ≠ m.
     *
-    * ONE driver action per round: the checkpoint is lazy and the
-    * changed-label count is an aggregate over the checkpointed frame, so
-    * the same job both materializes the round and decides convergence —
-    * a separate `isEmpty` probe per round doubled the job count, and
-    * per-round job-submit latency (not compute) dominates this loop's
-    * wall-clock under concurrent scheduler load.
+    * The fixpoint is the star forest `(member, root)` with root = the
+    * component minimum, so labels are deterministic and identical to
+    * what min-label propagation produces. Each round is bounded
+    * shuffle algebra (a min-aggregate + an equi-join + a distinct per
+    * star op) with NO per-node state growth — unlike hash-to-min,
+    * where the minimum node's row accumulates its whole component (a
+    * skew bomb for web-scale duplicate groups).
+    *
+    * Convergence detection: each round's edge set is lazily
+    * `localCheckpoint`ed and ONE driver action computes its
+    * (count, xxhash64-xor) signature — equal signatures on identical
+    * sets always; a false positive needs a 64-bit hash-xor collision
+    * between consecutive DIFFERENT edge sets (~2⁻⁶⁴/round). The lazy
+    * checkpoint + signature-in-one-job posture matches the iterative
+    * pattern documented on the propagation loop this replaces: the
+    * plan would otherwise grow exponentially with rounds.
     *
     * Throws if `maxIterations` rounds don't converge — a silent partial
-    * clustering would under-merge and leak duplicates downstream. */
+    * contraction would under-merge and leak duplicates downstream. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIterations: Int = 30): DataFrame = {
+    // Each star op is ONE u-partitioned exchange: the neighborhood min
+    // rides a partitioned window over the same shuffle that groups the
+    // neighborhood, instead of a groupBy + join-back (two exchanges).
+    // Only small-star (the end of a round) canonicalizes with distinct —
+    // large-star's duplicate emissions are absorbed by small-star's
+    // window min, and the set semantics the xor-signature needs hold at
+    // the round boundary.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val w = Window.partitionBy("u")
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val w = Window.partitionBy("u")
+      val withM = dir.withColumn("m", min(col("v")).over(w)) // m ≤ u by direction
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // ONE eager checkpoint of the deduped input pairs: every round —
+    // and the final node/label derivation — reads these blocks, so the
+    // (possibly corpus-scanning) upstream pair plan executes exactly
+    // once. Self-pairs are kept here (their nodes must surface as
+    // singleton clusters) and dropped from the contraction edges below.
+    val e0 = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var e = e0.filter(col("u") =!= col("v"))
+    var prevSig = (-1L, -1L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(e))
+        .localCheckpoint(false) // lazy: the signature job below materializes it
+      val sig = next
+        // bit_xor, not sum: ANSI-safe (no overflow) and order-free; the
+        // set is distinct so nothing self-cancels
+        .agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(u, v))").as("h"))
+        .head()
+      val s = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
+      converged = s == prevSig
+      prevSig = s
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIterations rounds — " +
+        "raise maxIterations")
+
+    // star-forest fixpoint: every non-root carries exactly one (u, root)
+    // edge; roots carry none and label themselves. The min-aggregate is
+    // a no-op on the fixpoint (one row per node) — defense in depth.
+    val nodes = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id")))
+      .distinct()
+    val parents = e.groupBy(col("u").as("id")).agg(min(col("v")).as("parent"))
+    nodes.join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("parent"), col("id")).as("label"))
+  }
+
+  /** Transitive duplicate clusters from a near-dup pair list. Near-
+    * duplicate relations are not transitive pairwise (A≈B, B≈C but
+    * A̸≈C), yet a curation pipeline must keep ONE representative per
+    * connected group — this resolves the pair edges the MinHash/
+    * SimHash/Jaccard/cosine operators emit into
+    * `(doc_id, cluster_id, n_members)`, where `cluster_id` is the
+    * smallest member id (the canonical keep-candidate). Components come
+    * from [[connectedComponents]] — O(log² n)-round star contraction,
+    * so a pathological chain-shaped component converges in logarithmic
+    * rounds instead of diameter rounds (`DuplicateClustersSpec` pins
+    * label identity against ground-truth union-find, including an
+    * adversarial chain). */
   def duplicateClusters(
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIterations: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct() // symmetric, deduped: bounds the per-round join fanout
-      .localCheckpoint(true)
-
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("src") === labels("id"))
-        .groupBy(edges("dst").as("nid"))
-        .agg(min(col("label")).as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(
-          col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .localCheckpoint(false) // lazy: the changed-count job below materializes it
-      val changed = next
-        .agg(count(when(col("label") =!= col("prev"), lit(1))).as("changed"))
-        .head().getLong(0)
-      converged = changed == 0L
-      labels = next.select(col("id"), col("label"))
-      iter += 1
-    }
-    require(converged,
-      s"duplicateClusters did not converge in $maxIterations rounds — " +
-        "component diameter exceeds the bound; raise maxIterations")
-
-    labels
+      maxIterations: Int = 30): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIterations)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
-  }
 }

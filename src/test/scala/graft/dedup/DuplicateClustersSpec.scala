@@ -30,6 +30,53 @@ class DuplicateClustersSpec extends SparkSpec {
     assert(Set(1L, 2L, 3L).forall(c(_) == (1L, 3L)))
   }
 
+  /** Ground-truth union-find over the collected edge list. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("labels equal ground-truth union-find on a random multi-component graph") {
+    val rnd = new scala.util.Random(31L)
+    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2)
+    val truth = unionFind(pairs)
+    val got = clustersOf(pairs)
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (id, (label, n)) =>
+      assert(label == truth(id), s"node $id: got $label want ${truth(id)}")
+      assert(n == truth.values.count(_ == truth(id)).toLong)
+    }
+  }
+
+  test("adversarial chain converges in logarithmic rounds, not diameter rounds") {
+    // a 400-node chain with ids PERMUTED along it — diameter 399, the
+    // regime where min-label propagation needs ~diameter rounds (and the
+    // old 25-round bound threw). Star contraction must finish inside 12
+    // rounds (incl. the signature-equal confirmation round).
+    val rnd = new scala.util.Random(7L)
+    val ids = rnd.shuffle((0L until 400L).toVector)
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+    val c = clustersOf2(pairs, maxIterations = 12)
+    assert(c.size == 400 && c.values.toSet == Set(0L), "one component rooted at min id")
+  }
+
+  private def clustersOf2(pairs: Seq[(Long, Long)], maxIterations: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"), maxIterations = maxIterations)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
   test("non-convergence throws instead of returning a partial clustering") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

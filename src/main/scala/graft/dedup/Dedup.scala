@@ -292,9 +292,14 @@ object Dedup {
           lit(0),
           (acc, v) => acc + v).cast("double") / size(x))
         .otherwise(lit(0.0))
+    // merge-hint: the signature table is corpus-sized and must never be
+    // chosen as a broadcast build side (same hazard as the
+    // bandedJaccardPairs token-set joins — observed OOM class at 10×)
     lshCandidatePairs(sigs, bands, maxBucket)
-      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("signature").as("sig_a")).hint("merge"),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("signature").as("sig_b")).hint("merge"),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         est(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -331,9 +336,17 @@ object Dedup {
         SortedIntersectCountExpr(
           org.apache.spark.sql.graft.Bridge.expression(a),
           org.apache.spark.sql.graft.Bridge.expression(b)))
+    // merge-hint the token-set joins: docSets is CORPUS-SIZED, and at
+    // 10× AQE's runtime estimate already slipped it under the broadcast
+    // threshold — building a corpus-scaled HashedRelation on the driver
+    // is the one join strategy guaranteed to die at 100 TB (observed:
+    // intermittent broadcast OOM at scale10). SMJ spills gracefully and
+    // the docSets exchange is reused across both joins.
     cands
-      .join(docSets.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-      .join(docSets.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .join(docSets.select(col("id").as("id_a"), col("toks").as("toks_a")).hint("merge"),
+        Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("toks").as("toks_b")).hint("merge"),
+        Seq("id_b"))
       .withColumn("shared", intersectCount(col("toks_a"), col("toks_b")))
       .filter(col("shared") >= 1)
       .withColumn("jaccard",

@@ -1,7 +1,6 @@
 package graft.util
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared posting-list machinery for the self-similarity operators
@@ -9,17 +8,18 @@ import org.apache.spark.sql.functions._
   * key, collect each bucket's member structs, and expand candidate pairs
   * *within* the list — one pass over the input, no self-join.
   *
-  * Bucket bound: `collect_list` materializes a bucket into ONE row, which
-  * is unspillable — a mega-bucket (e.g. millions of exact duplicates whose
-  * identical signatures land every copy in the same LSH bucket) would
-  * build a multi-GB row and OOM where a streaming join would have
-  * spilled. `members` therefore drops buckets larger than `maxBucket`
-  * BEFORE collecting (the size check is a window count sharing the
-  * groupBy's hash partitioning — no extra shuffle). This is an explicit,
-  * documented cap, not a silent one: oversized buckets are
-  * near-universal-similarity clusters that belong to `exactDedup` (run it
-  * first), and `maxBucket` is a parameter on every public operator for
-  * corpora that legitimately need bigger buckets. */
+  * Bucket bound: a plain `collect_list` materializes a bucket into ONE
+  * row, which is unspillable — a mega-bucket (e.g. millions of exact
+  * duplicates whose identical signatures land every copy in the same LSH
+  * bucket) would build a multi-GB row and OOM where a streaming join
+  * would have spilled. `members` therefore collects through
+  * [[CollectListCapped]], whose buffers stop growing at `maxBucket + 1`
+  * elements, and drops the truncation-marker lists — oversized buckets
+  * never exist in memory at all. This is an explicit, documented cap,
+  * not a silent one: oversized buckets are near-universal-similarity
+  * clusters that belong to `exactDedup` (run it first), and `maxBucket`
+  * is a parameter on every public operator for corpora that legitimately
+  * need bigger buckets. */
 object PostingLists {
 
   /** Default bucket cap: 4096 members ≈ 4 MB/row at a 1 KB payload
@@ -29,18 +29,36 @@ object PostingLists {
 
   /** `keys* → members: Array[Struct]` with buckets over `maxBucket`
     * dropped. The payload struct MUST carry the pair id as a field named
-    * `id` for [[pairs]] to order on. */
+    * `id` for [[pairs]] to order on. Keys must be named columns
+    * resolvable on `df` (every self-similarity caller passes plain
+    * `col(...)` refs).
+    *
+    * Cap mechanics (the r14→r15 superlinearity fix): the bound lives
+    * INSIDE the aggregate — [[CollectListCapped]] stops a bucket's
+    * buffer at `maxBucket + 1` elements, and oversized buckets surface
+    * as `maxBucket + 1`-length truncation markers this filter drops.
+    * The prior window count shared the groupBy's partitioning but
+    * forced a full SORT of every band row inside the exchange —
+    * per-partition sort state that measured slope 1.20 in the 10×→100×
+    * decade once it outgrew memory (SCALING.md, single-box spill). Now
+    * the plan is the groupBy exchange alone: no sort, no second scan,
+    * map-side partials that ship at most `maxBucket + 1` elements per
+    * bucket, and mega-buckets bounded in MEMORY as well as rows. */
   def members(
       df: DataFrame,
       keys: Seq[Column],
       payload: Column,
-      maxBucket: Int): DataFrame = {
-    val sized = df.withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
-    sized
-      .filter(col("bucket_n") <= maxBucket)
+      maxBucket: Int): DataFrame =
+    // repartition-first: rows cross the wire raw and the partial+final
+    // aggregate pair fuses into the post-shuffle stage. Letting the
+    // planner map-side-partial a collect aggregate is strictly worse —
+    // collection partials compact nothing (every element still crosses
+    // the wire) and pay buffer serialization plus a SECOND sort-fallback
+    // pass on the reduce side.
+    df.repartition(keys: _*)
       .groupBy(keys: _*)
-      .agg(collect_list(payload).as("members"))
-  }
+      .agg(CollectListCapped.collectListCapped(payload, maxBucket).as("members"))
+      .filter(size(col("members")) <= maxBucket)
 
   /** Distinct unordered pairs within each members list: rows `(a, b)` with
     * `a.id < b.id`. Row blowup is bounded by `maxBucket`²/2: the second

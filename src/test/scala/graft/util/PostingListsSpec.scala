@@ -33,6 +33,30 @@ class PostingListsSpec extends SparkSpec {
     assert(full.count() == 60L * 59L / 2L)
   }
 
+  test("capped collect equals plain collect_list below the cap, marker above") {
+    // many partitions so partial buffers merge across tasks: the
+    // no-partial-truncation-below-the-bound property is what's pinned
+    val rows = spark.range(0, 1000, 1, 16)
+      .select((col("id") % 7).as("k"), col("id"))
+    val capped = rows.groupBy("k")
+      .agg(CollectListCapped.collectListCapped(col("id"), 200).as("m"))
+      .select(col("k"), size(col("m")).as("n"), col("m"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2).toSet)).toMap
+    val plain = rows.groupBy("k").agg(collect_list(col("id")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // 1000/7 ≈ 143 ≤ 200: every bucket is under the cap and must match
+    // collect_list exactly (as a set — list order is nondeterministic)
+    plain.foreach { case (k, want) =>
+      val (n, got) = capped(k)
+      assert(n == want.size && got == want, s"bucket $k diverges")
+    }
+    // over the cap: exactly cap+1 elements surface (the truncation marker)
+    val over = rows.groupBy(lit(1).as("k"))
+      .agg(CollectListCapped.collectListCapped(col("id"), 50).as("m"))
+      .select(size(col("m"))).head().getInt(0)
+    assert(over == 51, s"marker must be cap+1, got $over")
+  }
+
   test("bruteForceTopK with k = 0 returns an empty frame, not a crash") {
     val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val out = graft.similarity.Similarity.bruteForceTopK(vecs, vecs, k = 0)

@@ -193,6 +193,14 @@ object EmbedderRegistry {
       // reduced width, deterministic random-init weights (see
       // [[TransformerModel]]) — loads with no env, no artifact
       TransformerModel.fixture()
+    case BertWeightsGate.ModelId if BertWeightsGate.available =>
+      // gated real-weights pure-JVM BERT: a local safetensors checkpoint
+      // + vocab.txt, no extra runtime on the classpath (see [[BertModel]])
+      BertModel.fromGate()
+    case BertWeightsGate.ModelId =>
+      throw new UnsupportedOperationException(
+        s"embedder '${BertWeightsGate.ModelId}' needs local checkpoint files " +
+          s"(${BertWeightsGate.unavailableReason})")
     case s if s.startsWith("onnx:") && OnnxRuntimeGate.available =>
       if (!onnxNameMatches(s))
         throw new IllegalArgumentException(

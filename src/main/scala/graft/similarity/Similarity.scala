@@ -334,7 +334,7 @@ object Similarity {
   /** Seeded Lloyd k-means over a driver-side sample — the IVF coarse
     * quantizer. Returns `nCells` centroids. At cluster scale the sample is
     * a bounded `df.sample` collect; centroid count stays O(√n)-ish. */
-  private[similarity] def trainCentroids(
+  private[graft] def trainCentroids(
       sample: Array[Array[Float]],
       nCells: Int,
       seed: Long,
@@ -376,7 +376,7 @@ object Similarity {
     d
   }
 
-  private[similarity] def nearestCell(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+  private[graft] def nearestCell(v: Array[Float], centroids: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
@@ -387,7 +387,7 @@ object Similarity {
     best
   }
 
-  private[similarity] def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Seq[Int] =
+  private[graft] def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Seq[Int] =
     centroids.indices
       .map(c => (c, dist2(v, centroids(c))))
       .sortBy(_._2) // stable: ties keep ascending cell id

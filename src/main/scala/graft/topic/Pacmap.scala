@@ -31,18 +31,22 @@ package graft.topic
   *     (w_MN: 1000→3 linear, then 3, then 0; w_NB: 2, 3, 1; w_FP: 1).
   *   - '''Optimizer''': Adam (β₁=0.9, β₂=0.999, ε=1e-7, lr 1.0).
   *
-  * Scale posture: exact kNN is O(n²·dim) on the driver, so this runs on
-  * the ≤ [[TopicModeling.Config.maxDriverChunks]] exact path only when
-  * `n ≤ MaxExactPoints` (the reference crate's own `approx_threshold`
-  * boundary, 8 000, above which it switches to approximate neighbors);
-  * beyond that the topic pipeline's sampled path uses the linear PCA
-  * basis ([[Reduce]]) — PaCMAP has no out-of-sample transform, so a
-  * 100 TB corpus could not ride it distributed anyway. */
+  * Scale posture: exact kNN is O(n²·dim) on the driver, so candidate
+  * search switches regimes at the reference crate's own
+  * `approx_threshold` boundary ([[MaxExactPoints]], `reduce.rs:82`):
+  * exact pairwise scan below, seeded driver-side IVF candidate search
+  * above ([[ivfCandidates]] — the crate's approximate-neighbor regime,
+  * re-expressed with the ANN tier's coarse-quantizer machinery), so an
+  * 8 k–[[TopicModeling.Config.maxDriverChunks]] corpus keeps PaCMAP
+  * geometry. Past the driver cap the topic pipeline's sampled path
+  * uses the linear PCA basis ([[Reduce]]) — PaCMAP has no
+  * out-of-sample transform, so a 100 TB corpus could not ride it
+  * distributed anyway. */
 object Pacmap {
 
   /** Reference crate `approx_threshold` (`reduce.rs:82`): exact
-    * neighbor search below, approximate above — this port implements
-    * the exact regime. */
+    * neighbor search below, IVF-approximate above — both regimes
+    * implemented here, same boundary. */
   val MaxExactPoints = 8000
 
   final case class Config(
@@ -63,8 +67,6 @@ object Pacmap {
     val n = points.length
     require(n >= Reduce.MinPointsForReduction,
       s"reduce called with $n points; need at least ${Reduce.MinPointsForReduction}")
-    require(n <= MaxExactPoints,
-      s"exact PaCMAP capped at $MaxExactPoints points (the approximate regime is the sampled-path PCA)")
     val dim = points.head.length
     require(dim > 0, "reduce called with zero-dimensional points")
 
@@ -75,29 +77,16 @@ object Pacmap {
     // ---- pair construction ------------------------------------------
     val rnd = new scala.util.Random(seed)
 
-    // raw k-nearest candidates (k = nN + 50, the published margin)
+    // raw k-nearest candidates (k = nN + 50, the published margin):
+    // exact O(n²·dim) scan below the reference crate's approx_threshold,
+    // seeded IVF-bucketed approximate search above it — the same regime
+    // switch pacmap-rs makes at `approx_threshold` (`reduce.rs:82`),
+    // feeding the identical σ-scaling / pair / gradient machinery
     val kCand = math.min(n - 1, nN + 50)
-    val candIdx = Array.ofDim[Int](n, kCand)
-    val candDist = Array.ofDim[Double](n, kCand)
-    val di = new Array[Double](n)
+    val (candIdx, candDist) =
+      if (n <= MaxExactPoints) exactCandidates(points, kCand)
+      else ivfCandidates(points, kCand, seed)
     var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < n) {
-        di(j) = if (j == i) Double.MaxValue else sqDist(points(i), points(j))
-        j += 1
-      }
-      // partial selection of the kCand smallest (selection via sorted indices;
-      // n is driver-bounded so the n·log n sort is immaterial)
-      val order = Array.range(0, n).sortBy(di)
-      j = 0
-      while (j < kCand) {
-        candIdx(i)(j) = order(j)
-        candDist(i)(j) = math.sqrt(di(order(j)))
-        j += 1
-      }
-      i += 1
-    }
 
     // adaptive scale σᵢ: mean raw distance to the 4th–6th nearest
     val sig = new Array[Double](n)
@@ -241,6 +230,133 @@ object Pacmap {
     }
 
     Array.tabulate(n, k)((r, c) => y(r)(c).toFloat)
+  }
+
+  /** Exact candidate lists: full pairwise scan, the ≤ [[MaxExactPoints]]
+    * regime. Returns `(candIdx, candDist)` with distances in EUCLIDEAN
+    * (not squared) form, ascending. */
+  private def exactCandidates(
+      points: Array[Array[Float]],
+      kCand: Int): (Array[Array[Int]], Array[Array[Double]]) = {
+    val n = points.length
+    val candIdx = Array.ofDim[Int](n, kCand)
+    val candDist = Array.ofDim[Double](n, kCand)
+    val di = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        di(j) = if (j == i) Double.MaxValue else sqDist(points(i), points(j))
+        j += 1
+      }
+      // partial selection of the kCand smallest (selection via sorted indices;
+      // n is driver-bounded so the n·log n sort is immaterial)
+      val order = Array.range(0, n).sortBy(di)
+      j = 0
+      while (j < kCand) {
+        candIdx(i)(j) = order(j)
+        candDist(i)(j) = math.sqrt(di(order(j)))
+        j += 1
+      }
+      i += 1
+    }
+    (candIdx, candDist)
+  }
+
+  /** Approximate candidate lists for the > [[MaxExactPoints]] regime —
+    * the reference crate switches to approximate neighbors here
+    * (`reduce.rs:82`); this port reuses the ANN tier's coarse-quantizer
+    * idea DRIVER-SIDE: seeded Lloyd over √n-ish cells
+    * ([[graft.similarity.Similarity.trainCentroids]] — the same trainer
+    * the IVF operators use), then each point scans only the members of
+    * its nearest cells, probing outward until it has seen ≥ 4 × kCand
+    * candidates (or every cell). O(n · (cells + probedMembers) · dim)
+    * instead of O(n²·dim): ~100 k points reduce in the same order of
+    * time 8 k took exactly. Deterministic: seeded training sample,
+    * seeded Lloyd, index-ordered cell member lists, (dist, idx)
+    * tie-broken selection — same seed + input ⇒ bit-identical output,
+    * stronger than the crate's own 1e-2 reproducibility contract. */
+  private def ivfCandidates(
+      points: Array[Array[Float]],
+      kCand: Int,
+      seed: Long): (Array[Array[Int]], Array[Array[Double]]) = {
+    val n = points.length
+    val nCells = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // seeded bounded training sample (index-hash order, the trainedCentroids posture)
+    val sampleIdx = Array.range(0, n)
+      .sortBy(i => java.lang.Long.rotateLeft(i.toLong * 0x9e3779b97f4a7c15L ^ seed, 17))
+      .take(math.min(n, 10000))
+    val centroids = graft.similarity.Similarity.trainCentroids(
+      sampleIdx.map(points(_)), nCells, seed)
+    val k = centroids.length
+    // cell member lists in ascending point order (deterministic)
+    val cellOf = new Array[Int](n)
+    val sizes = new Array[Int](k)
+    var i = 0
+    while (i < n) {
+      val c = graft.similarity.Similarity.nearestCell(points(i), centroids)
+      cellOf(i) = c
+      sizes(c) += 1
+      i += 1
+    }
+    val members = Array.tabulate(k)(c => new Array[Int](sizes(c)))
+    val fill = new Array[Int](k)
+    i = 0
+    while (i < n) {
+      val c = cellOf(i)
+      members(c)(fill(c)) = i
+      fill(c) += 1
+      i += 1
+    }
+    val candIdx = Array.ofDim[Int](n, kCand)
+    val candDist = Array.ofDim[Double](n, kCand)
+    val wanted = 4 * kCand
+    i = 0
+    while (i < n) {
+      // probe cells in ascending centroid distance until enough candidates
+      val order = centroids.indices
+        .map(c => (sqDist2(points(i), centroids(c)), c))
+        .sorted
+      val cand = new scala.collection.mutable.ArrayBuffer[Int](wanted + 64)
+      var p = 0
+      while (p < order.length && cand.length < wanted) {
+        val ms = members(order(p)._2)
+        var m = 0
+        while (m < ms.length) {
+          if (ms(m) != i) cand += ms(m)
+          m += 1
+        }
+        p += 1
+      }
+      val best = cand
+        .map(j => (sqDist(points(i), points(j)), j))
+        .sortInPlace()
+      var j = 0
+      while (j < kCand) {
+        // a probe set can come up short only on degenerate inputs
+        // (kCand ≤ n-1 guards the global count); clamp defensively
+        val (d, idx) = best(math.min(j, best.length - 1))
+        candIdx(i)(j) = idx
+        candDist(i)(j) = math.sqrt(d)
+        j += 1
+      }
+      i += 1
+    }
+    (candIdx, candDist)
+  }
+
+  /** Test access to the approximate candidate machinery. */
+  private[topic] def ivfCandidatesForTest(
+      points: Array[Array[Float]],
+      kCand: Int,
+      seed: Long): (Array[Array[Int]], Array[Array[Double]]) =
+    ivfCandidates(points, kCand, seed)
+
+  @inline private def sqDist2(a: Array[Float], ct: Array[Float]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) { val d = a(j).toDouble - ct(j); s += d * d; j += 1 }
+    s
   }
 
   @inline private def sqDist(a: Array[Float], b: Array[Float]): Double = {

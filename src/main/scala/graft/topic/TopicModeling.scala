@@ -77,10 +77,12 @@ final case class ChunkAssignModel(
   * caller contains NO chunking/embedding subtree in either path.
   *
   * Reduction/clustering ladder: the DEFAULT path is real PaCMAP
-  * ([[Pacmap]], exact neighbors ≤8k points — the reference crate's own
-  * `approx_threshold`) and real HDBSCAN ([[Hdbscan]] via [[Cluster]]).
-  * Seeded PCA is the documented over-cap fallback (PaCMAP has no
-  * out-of-sample transform for the sampled path), and eps-pinned
+  * ([[Pacmap]] — exact neighbors ≤8k points, IVF-approximate
+  * candidates above, mirroring the reference crate's
+  * `approx_threshold` regime switch) and real HDBSCAN ([[Hdbscan]] via
+  * [[Cluster]]). Seeded PCA is the documented over-cap fallback
+  * (PaCMAP has no out-of-sample transform for the sampled path), and
+  * eps-pinned
   * DBSCAN is the oracle-stability override used by a few fixed-label
   * query oracles — neither is the default anymore. Stage names mirror
   * `stage_timings_ms` (`mod.rs:223-390`), and the same
@@ -216,32 +218,22 @@ object TopicModeling {
             else if (n < Reduce.MinPointsForReduction)
               (Array.fill(n)(0), 1, Array((0.0f, 0.0f)), Array.fill(n)(Array(0.0f, 0.0f)))
             else {
-              // PaCMAP (the reference's reducer) in its exact-kNN regime;
-              // past the crate's own approx_threshold boundary the exact
-              // path falls back to the seeded PCA substitute (documented:
-              // PaCMAP has no out-of-sample transform, so the >8k regime
-              // mirrors the sampled path's linear-basis posture)
-              val usePacmap = n <= Pacmap.MaxExactPoints
+              // PaCMAP (the reference's reducer) — exact kNN ≤ 8k points,
+              // IVF-approximate candidates above (Pacmap's internal regime
+              // switch, mirroring the crate's approx_threshold), so every
+              // corpus on the exact driver path keeps PaCMAP geometry. The
+              // seeded-PCA substitute now serves only the SAMPLED path
+              // (PaCMAP has no out-of-sample transform).
               val reduced = timed("reduce_clustering") {
-                if (usePacmap) Pacmap.reduce(matrix, cfg.reduceDims, cfg.seed)
-                else Reduce.reduce(matrix, cfg.reduceDims, cfg.seed)
+                Pacmap.reduce(matrix, cfg.reduceDims, cfg.seed)
               }
               val result = timed("hdbscan") { Cluster.cluster(reduced, cfg.cluster) }
               val twoD = timed("reduce_coordinates") {
-                if (usePacmap) {
-                  // the reference reduces SEPARATELY to 2-D for coordinates
-                  // (mod.rs:289-303); identical config+seed makes the
-                  // reduceDims==2 rerun redundant — reuse
-                  if (cfg.reduceDims == 2) reduced
-                  else Pacmap.reduce(matrix, 2, cfg.seed)
-                }
-                // PCA components are computed sequentially with deflation
-                // from a per-component RNG stream, so the first two columns
-                // of the k-dim reduction ARE the 2-dim reduction — slice
-                // instead of re-running the power iteration (bitwise
-                // identical to Reduce.reduce(matrix, 2, seed))
-                else if (cfg.reduceDims >= 2) reduced.map(r => Array(r(0), r(1)))
-                else Reduce.reduce(matrix, 2, cfg.seed)
+                // the reference reduces SEPARATELY to 2-D for coordinates
+                // (mod.rs:289-303); identical config+seed makes the
+                // reduceDims==2 rerun redundant — reuse
+                if (cfg.reduceDims == 2) reduced
+                else Pacmap.reduce(matrix, 2, cfg.seed)
               }
               val cds = timed("topic_coordinates") {
                 val sums = Array.fill(result.nTopics)((0.0, 0.0, 0))

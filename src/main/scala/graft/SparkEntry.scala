@@ -85,17 +85,55 @@ object SparkEntry {
   private val stageRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDir(src: String): String =
     stageRoots.computeIfAbsent(src, { s =>
-      // SINGLE-FILE INVARIANT: several stream oracles (q_stream_stream_
-      // join above all) equal their batch SQL only because AvailableNow
-      // over a one-file directory runs exactly one micro-batch, so the
-      // initial watermark never drops a late match. If the testdata ever
-      // becomes a multi-file parquet directory, fail loudly here instead
-      // of surfacing as a confusing nondeterministic oracle mismatch.
+      // PER-QUERY SINGLE-FILE INVARIANT: the stream oracles that use THIS
+      // staging (q_stream_stream_join above all) equal their batch SQL
+      // only because AvailableNow over a one-file directory runs exactly
+      // one micro-batch, so the initial watermark never drops a late
+      // match. Queries whose oracle MODELS the multi-batch watermark
+      // semantics stage through [[stagedMultiDir]] instead — the
+      // invariant is a per-query contract, not a global one. If the
+      // testdata ever becomes a multi-file parquet directory, fail loudly
+      // here instead of surfacing as a nondeterministic oracle mismatch.
       val p = java.nio.file.Paths.get(s)
       require(java.nio.file.Files.isRegularFile(p),
         s"stagedDir expects a single parquet FILE (one micro-batch posture); got $s")
       val d = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
       java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+      d.toString
+    })
+
+  /** Multi-batch staging: the source table split into THREE single-file
+    * parquets by `event_id % 10` (0–7 → batch-0, 8–9 → batch-1,
+    * ≡0 → batch-2) with strictly increasing modification times, so a
+    * file stream under `maxFilesPerTrigger=1` + AvailableNow processes
+    * them as three ORDERED micro-batches. The split rule is pure SQL
+    * over the row ids, which is what lets the DuckDB oracle re-derive
+    * each batch's watermark and the exact late-row drops — the
+    * multi-batch posture [[stagedDir]]'s single-file invariant exists to
+    * avoid, modeled instead of avoided. */
+  private val multiStageRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def stagedMultiDirForTest(s: SparkSession, src: String): String =
+    stagedMultiDir(s, src)
+  private def stagedMultiDir(s: SparkSession, src: String): String =
+    multiStageRoots.computeIfAbsent(src, { _ =>
+      import scala.jdk.CollectionConverters._
+      val base = s.read.parquet(src)
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-stage3-")
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stage3-part-")
+        df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for $name"))
+        val dst = d.resolve(name)
+        java.nio.file.Files.move(part, dst)
+        require(dst.toFile.setLastModified(mtime), s"cannot set mtime on $dst")
+      }
+      val t0 = System.currentTimeMillis() - 600000L
+      val m = col("event_id") % 10
+      writeOne(base.filter(m =!= 0 && m < 8), "batch-0.parquet", t0)
+      writeOne(base.filter(m >= 8), "batch-1.parquet", t0 + 60000L)
+      writeOne(base.filter(m === 0), "batch-2.parquet", t0 + 120000L)
       d.toString
     })
 
@@ -820,6 +858,41 @@ ORDER BY doc_id, token""")
       try q.awaitTermination()
       finally q.stop()
       s.table("graft_stream_event_windows")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value").cast("string").as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // THE MULTI-BATCH WATERMARK QUERY: same windowed aggregation as
+    // q_stream_event_windows, but the input arrives as three ordered
+    // micro-batches (stagedMultiDir + maxFilesPerTrigger=1) and the sink
+    // runs APPEND mode, so the watermark machinery actually fires:
+    // batch-1/batch-2 rows landing in windows the prior batch's
+    // watermark already closed are DROPPED, and only windows the final
+    // watermark passed are emitted. The DuckDB oracle re-derives every
+    // per-batch watermark from the same event_id%10 split and models
+    // both effects exactly — late-drop semantics checked, not avoided.
+    "q_stream_late_windows" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy-NANOS no-op guard; see normalizedTs
+      val src = s.readStream.schema(tbl(s, dir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedMultiDir(s, s"$dir/events.parquet"))
+      val stream = src.withColumn("ets", normalizedTs(src, "ts"))
+      val agg = graft.streaming.TextStream
+        .windowedEventStats(stream, "ets", "event_type", "value")
+      s.catalog.dropTempView("graft_stream_late_windows")
+      val q = withStreamShufflePartitions(s, StreamStateParts)(agg.writeStream
+        .format("memory")
+        .queryName("graft_stream_late_windows")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      try q.awaitTermination()
+      finally q.stop()
+      s.table("graft_stream_late_windows")
         .select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"),
@@ -3878,6 +3951,42 @@ FROM documents GROUP BY 1 ORDER BY 1""",
   count(*) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
 FROM events
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the multi-batch watermark model, pinned against Spark's OBSERVED
+    // two-watermark semantics (probe: graft.StreamProbe): in micro-batch
+    // k the LATE-ROW FILTER uses the PREVIOUS batch's watermark (= max
+    // event time through batch k−2, minus the 2 h delay — epoch for
+    // k ≤ 1, so batch-1 rows are never filtered), while EVICTION/
+    // emission uses the batch's own updated watermark; the two meet with
+    // no gap (a row passing the late filter is guaranteed its window
+    // was not yet evicted). A window is emitted iff the final watermark
+    // (max event time over ALL batches − 2 h) passed its end — the
+    // no-data cleanup batch covers a last file that advances the max.
+    // Batch b of a row = its event_id%10 class (the stagedMultiDir
+    // split): 1–7 → 0, 8–9 → 1, 0 → 2.
+    "q_stream_late_windows" ->
+      """WITH tagged AS (
+  SELECT ts, event_type, value,
+    CASE WHEN event_id % 10 = 0 THEN 2 WHEN event_id % 10 >= 8 THEN 1 ELSE 0 END AS b,
+    time_bucket(INTERVAL 1 HOUR, ts) AS ws
+  FROM events
+), wm AS (
+  SELECT
+    (SELECT max(ts) FROM tagged WHERE b = 0) - INTERVAL 2 HOUR AS late2,
+    (SELECT max(ts) FROM tagged) - INTERVAL 2 HOUR AS wmf
+), kept AS (
+  SELECT t.ts, t.event_type, t.value, t.ws
+  FROM tagged t, wm
+  WHERE t.b <= 1
+     OR (t.b = 2 AND t.ws + INTERVAL 1 HOUR > wm.late2)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+FROM kept, wm
+WHERE ws + INTERVAL 1 HOUR <= wm.wmf
 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_stream_enrich" ->

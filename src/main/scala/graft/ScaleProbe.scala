@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe <dir> <nCells> [passes]
   *        runMain graft.ScaleProbe <dir> minhash_fused|minhash_join [passes]
-  */
+  *
+  * A third mode measures the persisted dedup index
+  * ([[graft.dedup.DedupIndexStore]]): `dedupidx_build` times the BUILD
+  * job over the dir's corpus; `dedupidx_probe:<probeDir>` builds the
+  * index ONCE (untimed) over the dir's corpus and times probing the
+  * FIXED delta (`<probeDir>`'s doc_id%3==0 third) against it — the
+  * production shape where the corpus grows but the daily delivery does
+  * not, so the slope isolates the artifact-scan cost. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -28,7 +35,29 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe mode: the index is a build artifact, not part of the
+    // measured work — construct it once before the timed passes
+    val dedupIdxDir: String =
+      if (!mode.startsWith("dedupidx_probe:")) null
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-").toString
+        graft.dedup.DedupIndexStore.writeDedupIndex(
+          spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+        d
+      }
     def run(): Long = mode match {
+      case "dedupidx_build" =>
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-b-").toString
+        graft.dedup.DedupIndexStore.writeDedupIndex(
+          spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+        0L
+      case m if m.startsWith("dedupidx_probe:") =>
+        graft.dedup.DedupIndexStore.probeDedupIndex(
+          spark.read.parquet(s"${m.stripPrefix("dedupidx_probe:")}/documents.parquet")
+            .filter(col("doc_id") % 3 === 0),
+          dedupIdxDir, "text", "doc_id", threshold = 0.125).count()
       case "minhash_fused" =>
         graft.dedup.Dedup.nearDuplicates(
           spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",

@@ -333,6 +333,37 @@ object SparkEntry {
       d
     })
 
+  /** One persisted MinHash-LSH dedup index per (JVM, dir) over the
+    * doc_id%3≠0 two-thirds of the corpus — the incremental-curation
+    * BUILD job; probe queries near-dup-check the held-out third against
+    * it (bench warmup builds, timed passes probe). Config matches
+    * q_minhash_pairs so the oracle reuses the signature CTEs. */
+  private val dedupIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupIndexDirFor(s: SparkSession, dir: String): String =
+    dedupIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-").toString
+      graft.dedup.DedupIndexStore.writeDedupIndex(
+        tbl(s, dir, "documents").filter(col("doc_id") % 3 =!= 0), d,
+        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+      d
+    })
+
+  /** The INCREMENTAL dedup index: built over the %3==1 third, the %3==2
+    * third appended under the persisted config — same artifacts as the
+    * one-shot build, so the probe query shares its exact oracle. */
+  private val dedupAppendIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupAppendedIndexDirFor(s: SparkSession, dir: String): String =
+    dedupAppendIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-append-").toString
+      val docsTbl = tbl(s, dir, "documents")
+      graft.dedup.DedupIndexStore.writeDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 === 1), d,
+        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+      graft.dedup.DedupIndexStore.appendToDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 === 2), d, "text", "doc_id")
+      d
+    })
+
   /** One persisted IVFADC index per (JVM, dir): the composed layout's
     * persist-and-serve artifact (coarse + residual codebooks + codes
     * PARTITIONED BY CELL), built from the SAME memoized trained
@@ -1663,6 +1694,33 @@ ORDER BY doc_id, token""")
           numHashes = 32, shingleSize = 3, bands = 32, threshold = 0.125, seed = 42L)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_a", "id_b")),
+
+    // LLM-pipeline: incremental curation against a PERSISTED dedup
+    // index — the corpus two-thirds is signed once into build artifacts
+    // (signatures + LSH band posting lists), and the probe near-dup-
+    // checks the held-out third against them with no corpus recompute
+    // and no corpus-sized exchange (all joins broadcast; spec-pinned).
+    // The oracle re-derives signatures from the same seeded constants,
+    // models the indexed/probe split, AND the whole-bucket cap.
+    "q_dedup_index_probe" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
+
+    // the same probe against the INCREMENTALLY built index (base third
+    // + appended third under the persisted config): append must be
+    // indistinguishable from the one-shot build, so this shares the
+    // probe's exact oracle
+    "q_dedup_index_append" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupAppendedIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
 
     // §2.7 caches: the content-addressed parquet cache on the tokenize
     // path, under the SAME oracle as the uncached query — the reference's
@@ -3155,6 +3213,34 @@ eq AS (
 SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM eq
 WHERE est >= 0.125 ORDER BY id_a, id_b"""
 
+  /** Persisted-index probe: the [[minHashPairsSql]] machinery with the
+    * indexed/probe split modeled (doc_id%3: ≠0 indexed, =0 probe) and
+    * the engine's whole-bucket cap re-derived — a probed bucket whose
+    * INDEXED membership exceeds the cap contributes no candidates.
+    * Shared verbatim by q_dedup_index_probe and q_dedup_index_append:
+    * an appended index must be indistinguishable from a one-shot
+    * build, which is exactly what sharing the oracle asserts. */
+  private def dedupIndexProbeSql: String =
+    s"""WITH ${minHashSigCtes(32, 42L)},
+bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
+bsz AS (
+  SELECT band, bh, count(*) AS n FROM bb WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT p.doc_id AS id_new, i.doc_id AS id_indexed
+  FROM bb p
+  JOIN bb i ON i.band = p.band AND i.bh = p.bh
+  JOIN bsz ON bsz.band = p.band AND bsz.bh = p.bh AND bsz.n <= 4096
+  WHERE p.doc_id % 3 = 0 AND i.doc_id % 3 <> 0),
+eq AS (
+  SELECT c.id_new, c.id_indexed,
+    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_new
+  JOIN sig sb ON sb.doc_id = c.id_indexed AND sb.h = sa.h
+  GROUP BY 1, 2)
+SELECT id_new, id_indexed, round(est, 6) AS est_jaccard FROM eq
+WHERE est >= 0.125 ORDER BY id_new, id_indexed"""
+
   /** Banded exact Jaccard: the same LSH-candidate CTEs as
     * [[minHashPairsSql]], verified by exact token-set intersection
     * instead of the signature-agreement estimator. */
@@ -4258,6 +4344,8 @@ FROM c ORDER BY doc_id""",
     "q_minhash_sig" -> minHashSql,
 
     "q_minhash_pairs" -> minHashPairsSql,
+    "q_dedup_index_probe" -> dedupIndexProbeSql,
+    "q_dedup_index_append" -> dedupIndexProbeSql,
 
     "q_jaccard_banded" -> jaccardBandedSql,
 

@@ -169,7 +169,7 @@ object Dedup {
   /** `(band, band_hash)` keys for one signature column — the codegen'd
     * [[BandHashesExpr]] (bit-identical to the UDF-era
     * `fnv1a64(slice.mkString(","))` keys). */
-  private def bandHashes(sig: Column, bands: Int): Column =
+  private[dedup] def bandHashes(sig: Column, bands: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       BandHashesExpr(org.apache.spark.sql.graft.Bridge.expression(sig), bands))
 

@@ -127,41 +127,12 @@ object IndexStore {
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
 
   /** Compact the codes tree — the maintenance job the streaming ingest
-    * eventually needs: months of micro-batch deltas are thousands of
-    * tiny parquet files, and scan throughput dies by file-open overhead
-    * long before data volume matters. Rewrites base + all deltas into
-    * `targetFiles` fresh files and swaps them in; codes are
-    * content-identical (spec-pinned: served results unchanged, delta
-    * dirs gone). The swap is two directory renames — NOT atomic against
-    * a concurrently running serving job (a production deployment puts a
-    * manifest or table format in front; documented limitation, same
-    * class as the parquet-overwrite the build job already does). */
-  def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
-    // Hadoop FS API throughout — the rest of the index IO goes through
-    // Spark's FS layer, so the store must work on HDFS/object stores
-    // too, not just the local filesystem.
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes = new org.apache.hadoop.fs.Path(hp, "codes")
-    val tmp = new org.apache.hadoop.fs.Path(hp, "codes_compacting")
-    val old = new org.apache.hadoop.fs.Path(hp, "codes_precompact")
-    // crash recovery: a prior run that died between the two renames
-    // leaves codes_precompact behind. If `codes` also exists the new
-    // tree was swapped in and the leftover is pure garbage — delete it.
-    // If `codes` is MISSING the crash was mid-swap: the old tree is
-    // still the only complete copy, so restore it before proceeding.
-    if (fs.exists(old)) {
-      if (fs.exists(codes)) fs.delete(old, true)
-      else { if (!fs.rename(old, codes)) sys.error(s"compactPqIndex: failed to restore $old -> $codes") }
-    }
-    readCodes(spark, path)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(codes, old)) sys.error(s"compactPqIndex: rename $codes -> $old failed")
-    if (!fs.rename(tmp, codes)) sys.error(s"compactPqIndex: rename $tmp -> $codes failed")
-    // old tree removed only after the new one is in place
-    fs.delete(old, true)
-  }
+    * eventually needs. Codes are content-identical after the swap
+    * (spec-pinned: served results unchanged, delta dirs gone);
+    * crash-recovery and atomicity posture in
+    * [[graft.util.ArtifactTree]]. */
+  def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit =
+    graft.util.ArtifactTree.compact(spark, path, "codes", targetFiles)
 
   /** Persist the IVFADC index (the composed production layout): coarse
     * centroids + residual codebooks as tiny artifacts, and the encoded

@@ -1,0 +1,43 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared maintenance for parquet artifact trees that accrete streaming
+  * delta subdirectories (the ANN code table, the dedup index's
+  * signatures and bands): rewrite base + all deltas into `targetFiles`
+  * fresh files and swap the tree in place. Months of micro-batch deltas
+  * are thousands of tiny files, and scan throughput dies by file-open
+  * overhead long before data volume matters.
+  *
+  * Hadoop FS API throughout — the rest of the index IO goes through
+  * Spark's FS layer, so the stores must work on HDFS/object stores too,
+  * not just the local filesystem. The swap is two directory renames —
+  * NOT atomic against a concurrently running serving job (a production
+  * deployment puts a manifest or table format in front; documented
+  * limitation, same class as the parquet-overwrite the build jobs
+  * already do). Crash recovery: a prior run that died between the two
+  * renames leaves `<subdir>_precompact` behind — if the live tree also
+  * exists the leftover is garbage and is deleted; if the live tree is
+  * MISSING the crash was mid-swap and the old tree (the only complete
+  * copy) is restored before proceeding. */
+object ArtifactTree {
+
+  def compact(spark: SparkSession, root: String, subdir: String, targetFiles: Int): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(hp, subdir)
+    val tmp = new org.apache.hadoop.fs.Path(hp, s"${subdir}_compacting")
+    val old = new org.apache.hadoop.fs.Path(hp, s"${subdir}_precompact")
+    if (fs.exists(old)) {
+      if (fs.exists(live)) fs.delete(old, true)
+      else { if (!fs.rename(old, live)) sys.error(s"compact: failed to restore $old -> $live") }
+    }
+    spark.read.option("recursiveFileLookup", "true").parquet(live.toString)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(live, old)) sys.error(s"compact: rename $live -> $old failed")
+    if (!fs.rename(tmp, live)) sys.error(s"compact: rename $tmp -> $live failed")
+    // old tree removed only after the new one is in place
+    fs.delete(old, true)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persist-and-probe dedup contract: a probe against the stored
+  * index must equal the in-session near-dup computation restricted to
+  * cross (probe × indexed) pairs; appends (batch and streaming, incl.
+  * crash-replay) must be indistinguishable from a one-shot build; the
+  * bucket cap must drop oversized buckets whole; and the probe plan
+  * must never shuffle a corpus-sized artifact (all joins broadcast,
+  * each artifact scanned exactly once). */
+class DedupIndexStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private val Thresh = 0.125
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def buildCfg(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    DedupIndexStore.writeDedupIndex(df, path, "text", "doc_id",
+      numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+
+  private def probeSet(df: org.apache.spark.sql.DataFrame, path: String) =
+    DedupIndexStore.probeDedupIndex(df, path, "text", "doc_id", threshold = Thresh)
+      .select(col("id_new"), col("id_indexed"), round(col("est_jaccard"), 6).as("est"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (math.min(a, b), math.max(a, b), e) }.toSet
+
+  test("probe equals the in-session near-dup computation on cross pairs") {
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    val probes = docs.filter($"doc_id" % 3 === 0)
+    val path = tmp("graft-dedupidx-")
+    buildCfg(indexed, path)
+
+    val got = probeSet(probes, path)
+
+    val probeIds = probes.select("doc_id").as[Long].collect().toSet
+    val expected = Dedup
+      .nearDuplicates(docs, "text", "doc_id",
+        numHashes = 32, shingleSize = 3, bands = 32, threshold = Thresh, seed = 42L)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est"))
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => probeIds.contains(a) ^ probeIds.contains(b) }
+      .map { case (a, b, e) => (math.min(a, b), math.max(a, b), e) }.toSet
+
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must exercise at least one cross near-dup")
+  }
+
+  test("append is indistinguishable from a one-shot build") {
+    val oneShot = tmp("graft-dedupidx-one-")
+    buildCfg(docs.filter($"doc_id" % 3 =!= 0), oneShot)
+
+    val inc = tmp("graft-dedupidx-inc-")
+    buildCfg(docs.filter($"doc_id" % 3 === 1), inc)
+    DedupIndexStore.appendToDedupIndex(
+      docs.filter($"doc_id" % 3 === 2), inc, "text", "doc_id")
+
+    val probes = docs.filter($"doc_id" % 3 === 0)
+    assert(probeSet(probes, inc) == probeSet(probes, oneShot))
+  }
+
+  test("oversized buckets are dropped whole at probe time") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val indexed = ((1L to 6L).map(i => (i, same)) :+ (7L -> "completely unrelated content"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, same)).toDF("doc_id", "text")
+    val path = tmp("graft-dedupidx-cap-")
+    buildCfg(indexed, path)
+
+    def hits(maxBucket: Int) =
+      DedupIndexStore.probeDedupIndex(probe, path, "text", "doc_id",
+        threshold = 0.9, maxBucket = maxBucket)
+        .select("id_indexed").as[Long].collect().toSet
+
+    // identical docs land every copy in one bucket per band: size 6
+    assert(hits(maxBucket = 5) == Set.empty[Long], "bucket over cap must vanish whole")
+    assert(hits(maxBucket = 6) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("streaming ingest lands exactly once across a mid-stream crash") {
+    val oneShot = tmp("graft-dedupidx-sone-")
+    buildCfg(docs.filter($"doc_id" % 3 =!= 0), oneShot)
+
+    val inc = tmp("graft-dedupidx-sinc-")
+    buildCfg(docs.filter($"doc_id" % 3 === 1), inc)
+
+    // the %3==2 delta staged as three files → three micro-batches
+    val drop = tmp("graft-dedupidx-drop-")
+    for (slice <- 0 until 3)
+      docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 9 === (2 + 3 * slice))
+        .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice$slice")
+    val ckpt = tmp("graft-dedupidx-ckpt-")
+    val schema = docs.schema
+
+    def ingest(kill: Boolean) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+      val gated =
+        if (kill)
+          stream.filter(udf { (id: Long) =>
+            if (id % 9 == 5) throw new RuntimeException("injected mid-ingest failure")
+            true
+          }.apply($"doc_id"))
+        else stream
+      DedupIndexStore.streamAppendToDedupIndex(gated, inc, ckpt, "text", "doc_id")
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ingest(kill = true).awaitTermination()
+    }
+    val afterCrash = DedupIndexStore.readSignatures(spark, inc).count()
+    assert(afterCrash < docs.filter($"doc_id" % 3 =!= 0).count(),
+      "crash must leave the ingest incomplete")
+    val q2 = ingest(kill = false)
+    try q2.awaitTermination()
+    finally q2.stop()
+
+    // no duplicated, no dropped signatures; probes equal the one-shot
+    val ids = DedupIndexStore.readSignatures(spark, inc).select("id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "every id exactly once")
+    val probes = docs.filter($"doc_id" % 3 === 0)
+    assert(probeSet(probes, inc) == probeSet(probes, oneShot))
+
+    // compaction: delta dirs collapse, probes content-identical
+    val before = probeSet(probes, inc)
+    DedupIndexStore.compactDedupIndex(spark, inc, targetFiles = 2)
+    import scala.jdk.CollectionConverters._
+    for (sub <- Seq("signatures", "bands"))
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(inc, sub)).iterator().asScala
+        .forall(p => !p.getFileName.toString.startsWith("delta-")),
+        s"compaction must remove $sub delta subdirectories")
+    assert(probeSet(probes, inc) == before, "probe must be unchanged by compaction")
+  }
+
+  test("probe plan: all joins broadcast, each corpus artifact scanned once") {
+    val path = tmp("graft-dedupidx-plan-")
+    buildCfg(docs.filter($"doc_id" % 3 =!= 0), path)
+    // string form of the static physical plan — the AQE wrapper hides
+    // operator nodes from collect() (same posture as PlanShapeSpec)
+    val plan = DedupIndexStore
+      .probeDedupIndex(docs.filter($"doc_id" % 3 === 0), path, "text", "doc_id",
+        threshold = Thresh)
+      .queryExecution.executedPlan.toString
+
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe must never shuffle a join side:\n$plan")
+    def scanCount(artifact: String) =
+      s"FileScan parquet[^\\n]*$artifact".r.findAllIn(plan).length
+    assert(scanCount("bands") == 1, s"bands/ must scan once:\n$plan")
+    assert(scanCount("signatures") == 1, s"signatures/ must scan once:\n$plan")
+  }
+}

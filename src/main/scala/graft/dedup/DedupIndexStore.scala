@@ -162,8 +162,15 @@ object DedupIndexStore {
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val spark = probeDocs.sparkSession
     val m = readMeta(spark, path)
+    // The delta signature subtree feeds THREE broadcast subplans (probed
+    // buckets, candidate join-back, estimator join); unpersisted, each
+    // broadcast job would re-shingle and re-sign the delta. Persist is
+    // delta-sized by the same contract that makes the broadcasts legal,
+    // and the ContextCleaner unpersists it once the returned plan is
+    // unreferenced.
     val probeSigs = Dedup.minHashSignatures(
-      probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
+        probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeBands = bandRows(probeSigs, m.bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
 

@@ -364,6 +364,39 @@ object SparkEntry {
       d
     })
 
+  /** The dedup index with a takedown applied: one-shot build over the
+    * %3≠0 corpus, then doc_id%5==1 tombstoned out — the delete is
+    * logical (tombstones artifact), so probes must exclude those ids
+    * with the physical rows still in place. */
+  private val dedupDeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupDeletedIndexDirFor(s: SparkSession, dir: String): String =
+    dedupDeletedIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-del-").toString
+      val docsTbl = tbl(s, dir, "documents")
+      graft.dedup.DedupIndexStore.writeDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 =!= 0), d,
+        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+      graft.dedup.DedupIndexStore.deleteFromDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1).select("doc_id"), d)
+      d
+    })
+
+  /** The served IVF index with a takedown applied: same trained
+    * artifacts as q_knn_ivf_served, vec_id%7==3 tombstoned out. */
+  private val ivfDeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfDeletedIndexDirFor(s: SparkSession, dir: String): String =
+    ivfDeletedIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index-del-").toString
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore.writeIvfPqIndex(
+        emb, d, "vec_id", "embedding",
+        IvfCells, PqM, PqCent, IvfSeed, IvfSampleSize,
+        ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
+      graft.similarity.IndexStore.deleteFromIndex(
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), d)
+      d
+    })
+
   /** One persisted IVFADC index per (JVM, dir): the composed layout's
     * persist-and-serve artifact (coarse + residual codebooks + codes
     * PARTITIONED BY CELL), built from the SAME memoized trained
@@ -1722,6 +1755,20 @@ ORDER BY doc_id, token""")
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
 
+    // the takedown path: doc_id%5==1 of the indexed corpus is
+    // tombstoned (logical delete — rows still physical until a
+    // compaction), and the probe must stop matching those ids
+    // immediately. The oracle excludes the deleted set from CANDIDATES
+    // but NOT from bucket sizes: the cap bounds physical probe cost,
+    // and tombstoned rows stay physical (spec-pinned semantics)
+    "q_dedup_index_delete" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupDeletedIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
+
     // §2.7 caches: the content-addressed parquet cache on the tokenize
     // path, under the SAME oracle as the uncached query — the reference's
     // cached==uncached contract (tests/test_tokenize_cache.py:22-34)
@@ -2145,6 +2192,19 @@ ORDER BY doc_id, token""")
     // matrix and ride the cell-pruned serving path. Same training ⇒
     // bit-identical to q_knn_opq_ivf, same oracle — the full
     // `OPQ,IVF,PQ` production config end to end
+    // serving with a takedown applied: vec_id%7==3 tombstoned out of
+    // the persisted index (FAISS remove_ids, re-expressed for a
+    // distributed store) — excluded BEFORE top-k selection, so served
+    // results equal an index rebuilt without them; ranks reflow and the
+    // oracle recomputes them from the same exported literals
+    "q_knn_ivf_served_delete" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .serveIvfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), ivfDeletedIndexDirFor(s, dir),
+          k = IvfK, nProbe = IvfProbe)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_knn_opq_ivf_served" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.IndexStore
@@ -3220,7 +3280,13 @@ WHERE est >= 0.125 ORDER BY id_a, id_b"""
     * Shared verbatim by q_dedup_index_probe and q_dedup_index_append:
     * an appended index must be indistinguishable from a one-shot
     * build, which is exactly what sharing the oracle asserts. */
-  private def dedupIndexProbeSql: String =
+  private def dedupIndexProbeSql: String = dedupIndexProbeSqlWith("")
+
+  /** `candFilter` models tombstoned deletes: excluded from CANDIDATES
+    * only — bucket sizes (`bsz`) keep counting tombstoned members,
+    * because the engine's cap bounds physical probe cost and tombstoned
+    * rows stay physical until a compaction (spec-pinned semantics). */
+  private def dedupIndexProbeSqlWith(candFilter: String): String =
     s"""WITH ${minHashSigCtes(32, 42L)},
 bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
 bsz AS (
@@ -3230,7 +3296,7 @@ cand AS (
   FROM bb p
   JOIN bb i ON i.band = p.band AND i.bh = p.bh
   JOIN bsz ON bsz.band = p.band AND bsz.bh = p.bh AND bsz.n <= 4096
-  WHERE p.doc_id % 3 = 0 AND i.doc_id % 3 <> 0),
+  WHERE p.doc_id % 3 = 0 AND i.doc_id % 3 <> 0$candFilter),
 eq AS (
   SELECT c.id_new, c.id_indexed,
     sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est
@@ -3861,12 +3927,12 @@ qsd AS (
   FROM probe p JOIN v ON v.vec_id = p.vec_id JOIN cent c ON c.cell = p.cell CROSS JOIN rcb)"""
   }
 
-  private def ivfAdcTailSql(cbs: Array[Array[Array[Float]]]): String = {
+  private def ivfAdcTailSql(cbs: Array[Array[Array[Float]]], candFilter: String = ""): String = {
     s"""${residCoreCtes(cbs)},
 terms AS (
   SELECT q.query_id, cd.vec_id AS neighbor_id, q.m, q.d2
   FROM qsd q
-  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id$candFilter
   JOIN codes cd ON cd.vec_id = a.vec_id AND cd.m = q.m AND cd.code = q.k),
 adc AS (
   SELECT query_id, neighbor_id,
@@ -3882,6 +3948,16 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
   private def ivfPqOracleSql(spark: SparkSession, dir: String): String =
     s"""WITH ${ivfCtesSql(spark, dir)},
 ${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}"""
+
+  /** The served-with-deletes replay: identical machinery, with the
+    * tombstoned set (`vec_id % 7 = 3`) excluded from the CANDIDATES —
+    * before ADC ranking, exactly where serving excludes it (a
+    * tombstoned code must not occupy a shortlist slot). Queries are
+    * unaffected: deletion removes a vector from the INDEX, not from
+    * the query stream. */
+  private def ivfPqDeleteOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${ivfCtesSql(spark, dir)},
+${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir), " AND a.vec_id % 7 <> 3")}"""
 
   /** The nProbe sweep replay: same cent/v/d/assign as [[ivfCtesSql]]
     * but the probe CTE keeps its rank, candidates materialize per probe
@@ -3973,6 +4049,7 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
+      ("q_knn_ivf_served_delete" -> ivfPqDeleteOracleSql(spark, dir)) +
       ("q_knn_probe_recall" -> ivfProbeSweepOracleSql(spark, dir)) +
       ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) +
       ("q_knn_opq_ivf_served" -> opqIvfPqOracleSql(spark, dir)) ++
@@ -4346,6 +4423,7 @@ FROM c ORDER BY doc_id""",
     "q_minhash_pairs" -> minHashPairsSql,
     "q_dedup_index_probe" -> dedupIndexProbeSql,
     "q_dedup_index_append" -> dedupIndexProbeSql,
+    "q_dedup_index_delete" -> dedupIndexProbeSqlWith(" AND i.doc_id % 5 <> 1"),
 
     "q_jaccard_banded" -> jaccardBandedSql,
 

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *   - `bands/`: `(band, bucket, id)` — the exploded LSH posting rows,
   *     `bands`× corpus-sized; partitioned-by-nothing on purpose: probes
   *     prune by VALUE through a broadcast hash join, which no directory
-  *     layout beats when every probe hits all `bands` band ids.
+  *     layout beats when every probe hits all `bands` band ids,
+  *   - `tombstones/` (optional): `(id)` — logically deleted documents;
+  *     probes exclude them, the next compaction drops them physically
+  *     (see [[deleteFromDedupIndex]]).
   *
   * The probe plan is the scale contract: the two corpus-sized artifacts
   * are each SCANNED exactly once and never shuffled —
@@ -127,15 +130,47 @@ object DedupIndexStore {
       .start()
   }
 
+  /** Tombstone documents out of the index — the takedown/opt-out job a
+    * production corpus needs (a copyright removal must stop matching
+    * immediately; rebuilding a 100 TB index per takedown is not a
+    * plan). Deletes are LOGICAL: ids land in a `tombstones/` artifact
+    * and probes exclude them; rows leave the corpus-sized artifacts
+    * physically at the next [[compactDedupIndex]], which also clears
+    * the tombstones. Lifecycle contract: a tombstoned id is excluded
+    * until a compaction folds the drop in; re-appending an id while its
+    * tombstone is live keeps it excluded (ids are versioned by the
+    * delete→compact→append cycle, not by row age). Between compactions
+    * the tombstone set is delta-class by the same operational contract
+    * as probe deltas — mass deletions should go straight to a
+    * compaction. */
+  def deleteFromDedupIndex(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!graft.util.ArtifactTree.exists(spark, path, "tombstones")) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/tombstones"))
+
   /** Compact both corpus-sized artifact trees after streaming ingest
-    * has accreted delta subdirectories. Not needed for CORRECTNESS —
-    * the probe-time bucket cap already handles cross-append bucket
-    * growth — purely the file-count maintenance job; probes are
-    * content-identical after the swap (spec-pinned). Crash-recovery
-    * and atomicity posture in [[graft.util.ArtifactTree]]. */
+    * has accreted delta subdirectories, folding in any tombstoned
+    * deletes physically (rows dropped, tombstones cleared — compaction
+    * is the one job already rewriting every row, so the corpus-sized
+    * anti-join is in budget here and nowhere else). Not needed for
+    * CORRECTNESS — the probe-time bucket cap already handles
+    * cross-append bucket growth and probes already exclude tombstoned
+    * ids — purely the file-count + reclamation maintenance job; probes
+    * are content-identical after the swap (spec-pinned). Crash-recovery
+    * and atomicity posture in [[graft.util.ArtifactTree]]; a crash
+    * after the rewrites but before the tombstone clear just leaves
+    * already-dropped ids excluded twice — idempotent. */
   def compactDedupIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
-    graft.util.ArtifactTree.compact(spark, path, "signatures", targetFiles)
-    graft.util.ArtifactTree.compact(spark, path, "bands", targetFiles)
+    val drop: DataFrame => DataFrame = tombstones(spark, path) match {
+      case None => identity
+      case Some(t) => df => df.join(t.select(col("id")), Seq("id"), "left_anti")
+    }
+    graft.util.ArtifactTree.compact(spark, path, "signatures", targetFiles, drop)
+    graft.util.ArtifactTree.compact(spark, path, "bands", targetFiles, drop)
+    graft.util.ArtifactTree.remove(spark, path, "tombstones")
   }
 
   /** Flat + streaming-delta trees (same recursive-read posture as the
@@ -163,14 +198,15 @@ object DedupIndexStore {
     val spark = probeDocs.sparkSession
     val m = readMeta(spark, path)
     // The delta signature subtree feeds THREE broadcast subplans (probed
-    // buckets, candidate join-back, estimator join); unpersisted, each
-    // broadcast job would re-shingle and re-sign the delta. Persist is
-    // delta-sized by the same contract that makes the broadcasts legal,
-    // and the ContextCleaner unpersists it once the returned plan is
-    // unreferenced.
+    // buckets, candidate join-back, estimator join), so the delta is
+    // re-signed once per broadcast job. Measured as noise at bench scale
+    // (the artifact scans and job barriers dominate), and caching it here
+    // would leak a CacheManager entry past the call — the library-wide
+    // no-residue rule PlanShapeSpec pins. Callers with an expensive
+    // upstream delta plan should persist/checkpoint it THEMSELVES before
+    // probing (they own that lifecycle).
     val probeSigs = Dedup.minHashSignatures(
-        probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
     val probeBands = bandRows(probeSigs, m.bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
 
@@ -194,11 +230,25 @@ object DedupIndexStore {
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
 
-    val candidates = keptBuckets
+    val rawCandidates = keptBuckets
       .join(broadcast(probeBands), Seq("band", "bucket"))
       .select(col("id_new"), col("id").as("id_indexed"))
       .filter(col("id_new") =!= col("id_indexed"))
       .distinct()
+
+    // tombstoned ids drop out AFTER the cap: the cap bounds probe COST,
+    // and cost is the physical rows a bucket makes the probe enumerate —
+    // a bucket stuffed with tombstoned members is exactly as expensive
+    // until a compaction reclaims it, so deletes don't resurrect an
+    // over-cap bucket (spec-pinned). The tombstone artifact is
+    // delta-class between compactions (see deleteFromDedupIndex), so
+    // one scan of it broadcast into the delta-bounded candidate set.
+    val candidates = tombstones(spark, path) match {
+      case None => rawCandidates
+      case Some(t) =>
+        rawCandidates.join(
+          broadcast(t.select(col("id").as("id_indexed"))), Seq("id_indexed"), "left_anti")
+    }
 
     def est(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       when(size(x) > 0 && size(y) > 0,

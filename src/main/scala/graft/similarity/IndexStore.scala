@@ -126,13 +126,64 @@ object IndexStore {
   def readCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
 
+  /** Tombstone vectors out of the index — the takedown/opt-out job
+    * (FAISS's `remove_ids`, re-expressed for a persisted distributed
+    * index): deletes are LOGICAL — ids land in a `tombstones/` artifact
+    * and serving excludes them BEFORE top-k selection, so served
+    * results are bit-identical to an index rebuilt without the deleted
+    * vectors (tombstoned codes never occupy shortlist slots; spec-
+    * pinned). Rows leave the codes table physically at the next
+    * compaction, which also clears the tombstones. Same lifecycle
+    * contract as the dedup index: a tombstoned id stays excluded until
+    * a compaction folds the drop in (re-appends while the tombstone is
+    * live stay excluded), and the tombstone set is delta-class between
+    * compactions — mass deletions should go straight to a compaction. */
+  def deleteFromIndex(ids: DataFrame, path: String, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!graft.util.ArtifactTree.exists(spark, path, "tombstones")) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/tombstones"))
+
+  /** Codes with tombstoned rows excluded — what every serving path
+    * ranks over. With no tombstone artifact the plan is byte-identical
+    * to the pre-delete plan (no extra scan); with one, the delta-class
+    * tombstone scan broadcasts into the codes scan as an anti-join —
+    * the corpus side still never shuffles. */
+  private def live(codes: DataFrame, spark: SparkSession, path: String): DataFrame =
+    tombstones(spark, path) match {
+      case None => codes
+      case Some(t) => codes.join(broadcast(t.select("neighbor_id")), Seq("neighbor_id"), "left_anti")
+    }
+
   /** Compact the codes tree — the maintenance job the streaming ingest
     * eventually needs. Codes are content-identical after the swap
     * (spec-pinned: served results unchanged, delta dirs gone);
     * crash-recovery and atomicity posture in
     * [[graft.util.ArtifactTree]]. */
-  def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit =
-    graft.util.ArtifactTree.compact(spark, path, "codes", targetFiles)
+  def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    graft.util.ArtifactTree.compact(spark, path, "codes", targetFiles, dropTombstoned(spark, path))
+    graft.util.ArtifactTree.remove(spark, path, "tombstones")
+  }
+
+  /** Compaction for the cell-partitioned IVF layout: same swap
+    * discipline, but the rewrite preserves the `cell=` directory tree
+    * (serving's dynamic partition pruning depends on it) and clusters
+    * rows so each cell lands in at most `targetFiles` files. Folds in
+    * tombstoned deletes physically and clears the tombstones, like
+    * [[compactPqIndex]]. */
+  def compactIvfIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    graft.util.ArtifactTree.compact(spark, path, "ivf_codes", targetFiles,
+      dropTombstoned(spark, path), partitionCols = Seq("cell"))
+    graft.util.ArtifactTree.remove(spark, path, "tombstones")
+  }
+
+  private def dropTombstoned(spark: SparkSession, path: String): DataFrame => DataFrame =
+    tombstones(spark, path) match {
+      case None => identity
+      case Some(t) => df => df.join(t.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+    }
 
   /** Persist the IVFADC index (the composed production layout): coarse
     * centroids + residual codebooks as tiny artifacts, and the encoded
@@ -265,8 +316,10 @@ object IndexStore {
       nProbe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     val (cents, cbs) = readIvfArtifacts(spark, path)
-    val lists = spark.read.parquet(s"$path/ivf_codes")
-      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
+    val lists = live(
+      spark.read.parquet(s"$path/ivf_codes")
+        .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes")),
+      spark, path)
     IvfPq.ivfPqTopKFromLists(lists, queries, cents, cbs, idCol, vecCol, k, nProbe)
   }
 
@@ -283,7 +336,7 @@ object IndexStore {
       shortlistK: Int = 40): DataFrame = {
     val spark = corpus.sparkSession
     val cbs = readCodebooks(spark, path)
-    val codes = readCodes(spark, path)
+    val codes = live(readCodes(spark, path), spark, path)
     val shortlist = ProductQuant
       .adcTopK(codes, queries, cbs, idCol, vecCol, shortlistK)
       .select(col("query_id"), col("neighbor_id"))

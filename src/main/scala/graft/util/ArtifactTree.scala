@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared maintenance for parquet artifact trees that accrete streaming
   * delta subdirectories (the ANN code table, the dedup index's
@@ -22,7 +22,20 @@ import org.apache.spark.sql.SparkSession
   * copy) is restored before proceeding. */
 object ArtifactTree {
 
-  def compact(spark: SparkSession, root: String, subdir: String, targetFiles: Int): Unit = {
+  /** `transform` runs inside the rewrite (the place physical row drops —
+    * tombstone folding — belong: compaction is the one job that already
+    * rewrites every row, so a corpus-sized anti-join is in budget here
+    * and nowhere else). `partitionCols` preserves a partitioned layout
+    * (e.g. the IVF codes' cell directories, which serving's partition
+    * pruning depends on); rows are clustered by those columns so each
+    * partition directory lands in at most `targetFiles` files. */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      subdir: String,
+      targetFiles: Int,
+      transform: DataFrame => DataFrame = identity,
+      partitionCols: Seq[String] = Nil): Unit = {
     val hp = new org.apache.hadoop.fs.Path(root)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(hp, subdir)
@@ -32,12 +45,38 @@ object ArtifactTree {
       if (fs.exists(live)) fs.delete(old, true)
       else { if (!fs.rename(old, live)) sys.error(s"compact: failed to restore $old -> $live") }
     }
-    spark.read.option("recursiveFileLookup", "true").parquet(live.toString)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // recursiveFileLookup flattens streaming-delta subtrees but DISABLES
+    // partition-column inference — a partitioned tree must go through
+    // normal partition discovery or its partition columns vanish
+    val source =
+      if (partitionCols.isEmpty)
+        spark.read.option("recursiveFileLookup", "true").parquet(live.toString)
+      else spark.read.parquet(live.toString)
+    val rewritten = transform(source)
+    val writer =
+      if (partitionCols.isEmpty) rewritten.repartition(targetFiles).write
+      else rewritten
+        .repartition(targetFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(live, old)) sys.error(s"compact: rename $live -> $old failed")
     if (!fs.rename(tmp, live)) sys.error(s"compact: rename $tmp -> $live failed")
     // old tree removed only after the new one is in place
     fs.delete(old, true)
+  }
+
+  /** Whether an artifact subtree exists (absent ⇒ callers skip its scan
+    * entirely — the zero-tombstone plan is byte-identical to the
+    * pre-delete-feature plan). */
+  def exists(spark: SparkSession, root: String, subdir: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(root, subdir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Remove an artifact subtree (tombstone clearing after a compaction
+    * has folded the drops in). */
+  def remove(spark: SparkSession, root: String, subdir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(root, subdir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
   }
 }

@@ -138,6 +138,75 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(probeSet(probes, inc) == before, "probe must be unchanged by compaction")
   }
 
+  test("deleted documents leave probes exactly as a rebuild without them") {
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    val probes = docs.filter($"doc_id" % 3 === 0)
+    val path = tmp("graft-dedupidx-del-")
+    buildCfg(indexed, path)
+    val full = probeSet(probes, path)
+    DedupIndexStore.deleteFromDedupIndex(
+      indexed.filter($"doc_id" % 5 === 1).select("doc_id"), path)
+
+    val rebuilt = tmp("graft-dedupidx-del-rb-")
+    buildCfg(indexed.filter($"doc_id" % 5 =!= 1), rebuilt)
+
+    val afterDelete = probeSet(probes, path)
+    assert(afterDelete == probeSet(probes, rebuilt))
+    assert(afterDelete != full, "fixture must lose at least one pair to the delete")
+    assert(afterDelete.nonEmpty)
+
+    // compaction drops the rows physically, clears tombstones, and
+    // leaves probe results unchanged
+    val sigsBefore = DedupIndexStore.readSignatures(spark, path).count()
+    DedupIndexStore.compactDedupIndex(spark, path, targetFiles = 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "tombstones")))
+    assert(DedupIndexStore.readSignatures(spark, path).count() < sigsBefore)
+    assert(probeSet(probes, path) == afterDelete)
+
+    // after compaction the ids are re-addable: append restores the full set
+    DedupIndexStore.appendToDedupIndex(
+      docs.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 5 === 1), path, "text", "doc_id")
+    assert(probeSet(probes, path) == full)
+  }
+
+  test("deletes do not resurrect an over-cap bucket until compaction reclaims it") {
+    // the cap bounds probe COST: physical rows in a bucket are what the
+    // probe must enumerate, so tombstoned members keep counting until a
+    // compaction actually removes them
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val indexed = (1L to 6L).map(i => (i, same)).toDF("doc_id", "text")
+    val probe = Seq((100L, same)).toDF("doc_id", "text")
+    val path = tmp("graft-dedupidx-capdel-")
+    buildCfg(indexed, path)
+    DedupIndexStore.deleteFromDedupIndex(Seq(1L, 2L).toDF("doc_id"), path)
+
+    def hits() =
+      DedupIndexStore.probeDedupIndex(probe, path, "text", "doc_id",
+        threshold = 0.9, maxBucket = 5)
+        .select("id_indexed").as[Long].collect().toSet
+
+    // 6 physical members > cap 5: the bucket stays dropped even though
+    // only 4 are live
+    assert(hits() == Set.empty[Long])
+    // compaction removes the two tombstoned rows; 4 live members ≤ 5
+    DedupIndexStore.compactDedupIndex(spark, path, targetFiles = 1)
+    assert(hits() == Set(3L, 4L, 5L, 6L))
+  }
+
+  test("probe plan with live tombstones: still no shuffle joins, tombstones scanned once") {
+    val path = tmp("graft-dedupidx-delplan-")
+    buildCfg(docs.filter($"doc_id" % 3 =!= 0), path)
+    DedupIndexStore.deleteFromDedupIndex(Seq(1L).toDF("doc_id"), path)
+    val plan = DedupIndexStore
+      .probeDedupIndex(docs.filter($"doc_id" % 3 === 0), path, "text", "doc_id",
+        threshold = Thresh)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe must never shuffle a join side:\n$plan")
+    assert("FileScan parquet[^\\n]*tombstones".r.findAllIn(plan).length == 1,
+      s"tombstones/ must scan once:\n$plan")
+  }
+
   test("probe plan: all joins broadcast, each corpus artifact scanned once") {
     val path = tmp("graft-dedupidx-plan-")
     buildCfg(docs.filter($"doc_id" % 3 =!= 0), path)

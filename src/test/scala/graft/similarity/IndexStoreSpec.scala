@@ -95,6 +95,73 @@ class IndexStoreSpec extends SparkSpec {
     assert(afterB == expected)
   }
 
+  test("deleted vectors leave served results exactly as a rebuild without them") {
+    val df = corpus(300, 16, seed = 29L)
+    val cbs = ProductQuant.trainedCodebooks(df, m = 4, k = 8, seed = 7L, sampleSize = 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-del-").toString
+    IndexStore.writePqIndex(df, dir, m = 4, kCent = 8, seed = 7L, sampleSize = 300, codebooks = cbs)
+    IndexStore.deleteFromIndex(df.filter($"vec_id" % 5 === 1).select("vec_id"), dir)
+
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-indexstore-del-rb-").toString
+    IndexStore.writePqIndex(df.filter($"vec_id" % 5 =!= 1), rebuilt,
+      m = 4, kCent = 8, seed = 7L, sampleSize = 300, codebooks = cbs)
+
+    val q = df.filter($"vec_id" < 4)
+    def serve(d: String) = IndexStore.servePqTopK(q, df, d, k = 5, shortlistK = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val afterDelete = serve(dir)
+    assert(afterDelete == serve(rebuilt),
+      "exclusion must happen BEFORE top-k selection — tombstoned codes may not occupy shortlist slots")
+    assert(afterDelete.nonEmpty && !afterDelete.exists(_.getLong(1) % 5 == 1))
+
+    // re-append while the tombstone is live: still excluded (lifecycle contract)
+    IndexStore.appendToPqIndex(df.filter($"vec_id" % 5 === 1), dir)
+    assert(serve(dir) == afterDelete)
+
+    // compaction folds the drop in physically and clears the tombstones;
+    // the re-appended rows above go with them (their ids were tombstoned)
+    val before = IndexStore.readCodes(spark, dir).count()
+    IndexStore.compactPqIndex(spark, dir, targetFiles = 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    assert(IndexStore.readCodes(spark, dir).count() < before, "tombstoned codes must leave the table")
+    assert(serve(dir) == afterDelete, "compaction must not change served results")
+
+    // after compaction the id generation is reusable: append restores serving
+    IndexStore.appendToPqIndex(df.filter($"vec_id" % 5 === 1), dir)
+    assert(serve(dir) == serve(java.nio.file.Files.createTempDirectory("graft-indexstore-del-full-").toString match {
+      case full => IndexStore.writePqIndex(df, full, m = 4, kCent = 8, seed = 7L, sampleSize = 300, codebooks = cbs); full
+    }))
+  }
+
+  test("IVF serving honors deletes and cell-partitioned compaction preserves the layout") {
+    val df = corpus(300, 16, seed = 31L)
+    val cents = Similarity.trainedCentroids(df, "vec_id", "embedding", 4, 7L, 300)
+    val cbs = IvfPq.trainedResidualCodebooks(df, cents, "vec_id", "embedding", 4, 8, 7L, 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-ivfdel-").toString
+    IndexStore.writeIvfPqIndex(df, dir, nCells = 4, m = 4, kCent = 8,
+      coarseCentroids = cents, residCodebooks = cbs)
+    IndexStore.deleteFromIndex(df.filter($"vec_id" % 5 === 1).select("vec_id"), dir)
+
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-indexstore-ivfdel-rb-").toString
+    IndexStore.writeIvfPqIndex(df.filter($"vec_id" % 5 =!= 1), rebuilt, nCells = 4, m = 4, kCent = 8,
+      coarseCentroids = cents, residCodebooks = cbs)
+
+    val q = df.filter($"vec_id" < 4)
+    def serve(d: String) = IndexStore.serveIvfPqTopK(q, d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val afterDelete = serve(dir)
+    assert(afterDelete == serve(rebuilt) && afterDelete.nonEmpty)
+
+    IndexStore.compactIvfIndex(spark, dir, targetFiles = 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    import scala.jdk.CollectionConverters._
+    val subdirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "ivf_codes"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(subdirs.exists(_.startsWith("cell=")),
+      s"compaction must preserve the cell= partition directories, got $subdirs")
+    assert(serve(dir) == afterDelete, "IVF compaction must not change served results")
+  }
+
   test("the served plan reads the persisted codes and never re-encodes or trains") {
     val df = corpus(200, 16, seed = 17L)
     val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString

@@ -364,6 +364,35 @@ object SparkEntry {
       d
     })
 
+  /** The STREAMING-INGESTED dedup index: base third built batch, the
+    * %3==2 third arriving as a 3-file drop directory consumed by the
+    * checkpointed AvailableNow stream (one file per micro-batch, each
+    * landing both artifacts in batch-scoped delta dirs). Index contents
+    * equal the one-shot %3≠0 build, so the probe shares its exact
+    * oracle — which is precisely the exactly-once claim under the
+    * DuckDB gate instead of only the spec. */
+  private val dedupStreamIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupStreamIndexDirFor(s: SparkSession, dir: String): String =
+    dedupStreamIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-stream-").toString
+      val docsTbl = tbl(s, dir, "documents")
+      graft.dedup.DedupIndexStore.writeDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 === 1), d,
+        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+      val drop = java.nio.file.Files.createTempDirectory("graft-dedup-drop-").toString
+      val delta = docsTbl.filter(col("doc_id") % 3 === 2)
+      for (slice <- 0 until 3)
+        delta.filter(col("doc_id") % 9 === (2 + 3 * slice))
+          .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice$slice")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ingest-ckpt-").toString
+      val stream = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+      val q = graft.dedup.DedupIndexStore.streamAppendToDedupIndex(stream, d, ckpt, "text", "doc_id")
+      try q.awaitTermination()
+      finally q.stop()
+      d
+    })
+
   /** The dedup index with a takedown applied: one-shot build over the
     * %3≠0 corpus, then doc_id%5==1 tombstoned out — the delete is
     * logical (tombstones artifact), so probes must exclude those ids
@@ -1752,6 +1781,19 @@ ORDER BY doc_id, token""")
         .probeDedupIndex(
           tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
           dedupAppendedIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
+
+    // the streaming-ingest path under the ORACLE (the exactly-once spec
+    // made oracle-checkable): base third batch-built, %3==2 third
+    // stream-ingested file-per-micro-batch through the checkpointed
+    // idempotent sink — probing the result must be indistinguishable
+    // from the one-shot build, so it shares the probe's exact oracle
+    "q_stream_dedup_ingest" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupStreamIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
 
@@ -4424,6 +4466,7 @@ FROM c ORDER BY doc_id""",
     "q_dedup_index_probe" -> dedupIndexProbeSql,
     "q_dedup_index_append" -> dedupIndexProbeSql,
     "q_dedup_index_delete" -> dedupIndexProbeSqlWith(" AND i.doc_id % 5 <> 1"),
+    "q_stream_dedup_ingest" -> dedupIndexProbeSql,
 
     "q_jaccard_banded" -> jaccardBandedSql,
 

@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * index ONCE (untimed) over the dir's corpus and times probing the
   * FIXED delta (`<probeDir>`'s doc_id%3==0 third) against it — the
   * production shape where the corpus grows but the daily delivery does
-  * not, so the slope isolates the artifact-scan cost. */
+  * not, so the slope isolates the artifact-scan cost.
+  * `dedupidx_probe_del:<probeDir>` is the same probe with 20% of the
+  * corpus tombstoned (worst pre-compaction posture: a corpus-
+  * proportional tombstone set riding the candidate anti-join). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -38,12 +41,18 @@ object ScaleProbe {
     // probe mode: the index is a build artifact, not part of the
     // measured work — construct it once before the timed passes
     val dedupIdxDir: String =
-      if (!mode.startsWith("dedupidx_probe:")) null
+      if (!mode.startsWith("dedupidx_probe")) null
       else {
         val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-").toString
+        val corpus = spark.read.parquet(s"$dir/documents.parquet")
         graft.dedup.DedupIndexStore.writeDedupIndex(
-          spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id",
+          corpus, d, "text", "doc_id",
           numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+        // the _del variant probes with a LIVE corpus-scaled tombstone set
+        // (20% of the index) — the worst pre-compaction posture
+        if (mode.startsWith("dedupidx_probe_del:"))
+          graft.dedup.DedupIndexStore.deleteFromDedupIndex(
+            corpus.filter(col("doc_id") % 5 === 1).select("doc_id"), d)
         d
       }
     def run(): Long = mode match {
@@ -53,9 +62,9 @@ object ScaleProbe {
           spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id",
           numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
         0L
-      case m if m.startsWith("dedupidx_probe:") =>
+      case m if m.startsWith("dedupidx_probe") =>
         graft.dedup.DedupIndexStore.probeDedupIndex(
-          spark.read.parquet(s"${m.stripPrefix("dedupidx_probe:")}/documents.parquet")
+          spark.read.parquet(s"${m.substring(m.indexOf(':') + 1)}/documents.parquet")
             .filter(col("doc_id") % 3 === 0),
           dedupIdxDir, "text", "doc_id", threshold = 0.125).count()
       case "minhash_fused" =>

@@ -316,11 +316,14 @@ object IndexStore {
       nProbe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     val (cents, cbs) = readIvfArtifacts(spark, path)
-    val lists = live(
-      spark.read.parquet(s"$path/ivf_codes")
-        .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes")),
-      spark, path)
-    IvfPq.ivfPqTopKFromLists(lists, queries, cents, cbs, idCol, vecCol, k, nProbe)
+    val lists = spark.read.parquet(s"$path/ivf_codes")
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
+    // tombstones ride the excludeIds hook (post-cell-join anti-join),
+    // NOT a filter on the lists scan — that would sit between the
+    // partitioned read and the probe join and defeat the dynamic
+    // partition pruning (spec-pinned)
+    IvfPq.ivfPqTopKFromLists(lists, queries, cents, cbs, idCol, vecCol, k, nProbe,
+      excludeIds = tombstones(spark, path))
   }
 
   /** Serve top-k from the persisted index: ADC shortlist over the stored

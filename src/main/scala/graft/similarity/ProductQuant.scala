@@ -420,6 +420,14 @@ object IvfPq {
     * shared by the in-session path and the persisted-index serving path
     * ([[IndexStore.serveIvfPqTopK]]), which is what makes served
     * results bit-identical to the in-session ones. */
+  /** `excludeIds` (a one-column `neighbor_id` table, e.g. the index
+    * store's tombstones) drops candidates BEFORE top-k selection —
+    * results equal ranking over a lists table without those rows. The
+    * anti-join applies to the post-cell-join candidates, not to the
+    * lists scan: filtering the scan directly would sit between the
+    * partitioned read and the probe join and defeat the dynamic
+    * partition pruning that makes serving read nProbe/nCells of the
+    * index (spec-pinned in IndexStoreSpec). */
   def ivfPqTopKFromLists(
       lists: DataFrame,
       queries: DataFrame,
@@ -428,7 +436,8 @@ object IvfPq {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 10,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     def cells(vec: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(
         NearestCellsExpr(org.apache.spark.sql.graft.Bridge.expression(vec), centroids, n))
@@ -444,8 +453,13 @@ object IvfPq {
               centroids, cbs)).as("lut")))
     // each corpus vector lives in exactly ONE cell and probed cells are
     // distinct → (query, neighbor) pairs unique, no dedup exchange
-    val scored = lists
-      .join(probes, Seq("cell"))
+    val candidates = excludeIds match {
+      case None => lists.join(probes, Seq("cell"))
+      case Some(ex) =>
+        lists.join(probes, Seq("cell"))
+          .join(broadcast(ex.select("neighbor_id")), Seq("neighbor_id"), "left_anti")
+    }
+    val scored = candidates
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         -aggregate(

@@ -462,6 +462,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0, plan)
   }
 
+  test("delete-aware serving keeps the pruning subquery; tombstones scan once, no shuffle join") {
+    // the tombstone anti-join applies to post-cell-join candidates, not
+    // the lists scan — a scan-level filter would sit between the
+    // partitioned read and the probe join and defeat the dynamic
+    // partition pruning that makes serving read nProbe/nCells
+    val df = SparkEntry.queries("q_knn_ivf_served_delete")(spark, dir)
+    val plan = finalPlan(df)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"tombstone filtering must not defeat the probed-cell pruning:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "FileScan parquet[^\\n]*tombstones") == 1,
+      s"tombstones/ must scan once:\n$plan")
+  }
+
   test("stream-ingested index serves with the same no-reencode plan") {
     // the serving plan over a stream-built index (base files + delta
     // subdirectories) must look exactly like the one-shot index's —

@@ -162,6 +162,25 @@ class IndexStoreSpec extends SparkSpec {
     assert(serve(dir) == afterDelete, "IVF compaction must not change served results")
   }
 
+  test("delete-aware IVF serving keeps cell pruning and never shuffles a join side") {
+    val df = corpus(300, 16, seed = 37L)
+    val cents = Similarity.trainedCentroids(df, "vec_id", "embedding", 4, 7L, 300)
+    val cbs = IvfPq.trainedResidualCodebooks(df, cents, "vec_id", "embedding", 4, 8, 7L, 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-delplan-").toString
+    IndexStore.writeIvfPqIndex(df, dir, nCells = 4, m = 4, kCent = 8,
+      coarseCentroids = cents, residCodebooks = cbs)
+    IndexStore.deleteFromIndex(df.filter($"vec_id" % 5 === 1).select("vec_id"), dir)
+    val plan = IndexStore.serveIvfPqTopK(df.filter($"vec_id" < 4), dir, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the tombstone anti-join must not demote serving to a shuffle join:\n$plan")
+    assert("FileScan parquet[^\\n]*tombstones".r.findAllIn(plan).length == 1,
+      s"tombstones/ must scan once:\n$plan")
+    // the dynamicpruning pin lives in PlanShapeSpec over sf0.01 — DPP is
+    // stats-gated and does not fire on this 300-row fixture even
+    // without deletes, so asserting it here would pin the wrong thing
+  }
+
   test("the served plan reads the persisted codes and never re-encodes or trains") {
     val df = corpus(200, 16, seed = 17L)
     val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-").toString

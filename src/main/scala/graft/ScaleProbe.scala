@@ -40,6 +40,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // probe mode: the index is a build artifact, not part of the
     // measured work — construct it once before the timed passes
+    require(!mode.startsWith("dedupidx_probe") || mode.contains(":"),
+      s"usage: dedupidx_probe:<probeDir> or dedupidx_probe_del:<probeDir> (got '$mode')")
     val dedupIdxDir: String =
       if (!mode.startsWith("dedupidx_probe")) null
       else {

@@ -103,7 +103,7 @@ object SparkEntry {
     })
 
   /** Multi-batch staging: the source table split into THREE single-file
-    * parquets by `event_id % 10` (0–7 → batch-0, 8–9 → batch-1,
+    * parquets by `event_id % 10` (1–7 → batch-0, 8–9 → batch-1,
     * ≡0 → batch-2) with strictly increasing modification times, so a
     * file stream under `maxFilesPerTrigger=1` + AvailableNow processes
     * them as three ORDERED micro-batches. The split rule is pure SQL

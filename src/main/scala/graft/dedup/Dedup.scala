@@ -166,6 +166,20 @@ object Dedup {
     df.select(col(idCol).as("id"), sig.as("signature"))
   }
 
+  /** Component-agreement fraction of two MinHash signatures — the
+    * unbiased Jaccard estimator, as pure Column algebra (zip_with +
+    * aggregate): stays inside whole-stage codegen on the hot
+    * per-candidate path. THE estimator: the in-session pair operators
+    * and [[DedupIndexStore.probeDedupIndex]] must all score with this
+    * exact expression or their results silently diverge. */
+  private[dedup] def signatureAgreement(x: Column, y: Column): Column =
+    when(size(x) > 0 && size(y) > 0,
+      aggregate(
+        zip_with(x, y, (u, v) => when(u === v, 1).otherwise(0)),
+        lit(0),
+        (acc, v) => acc + v).cast("double") / size(x))
+      .otherwise(lit(0.0))
+
   /** `(band, band_hash)` keys for one signature column — the codegen'd
     * [[BandHashesExpr]] (bit-identical to the UDF-era
     * `fnv1a64(slice.mkString(","))` keys). */
@@ -219,16 +233,7 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = graft.util.PostingLists.DefaultMaxBucket): DataFrame = {
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleSize, seed)
-    // component-agreement fraction as pure Column algebra (zip_with +
-    // aggregate): stays inside whole-stage codegen on the hot
-    // per-candidate path — no UDF round-trip per pair
-    def est(x: Column, y: Column): Column =
-      when(size(x) > 0 && size(y) > 0,
-        aggregate(
-          zip_with(x, y, (u, v) => when(u === v, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / size(x))
-        .otherwise(lit(0.0))
+    def est(x: Column, y: Column): Column = signatureAgreement(x, y)
     val banded = sigs
       .select(col("id"), col("signature"), explode(bandHashes(col("signature"), bands)).as("bh"))
       .select(col("id"), col("signature"), col("bh.band").as("band"), col("bh.band_hash").as("bucket"))
@@ -285,13 +290,7 @@ object Dedup {
     val sigs =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) raw.checkpoint(true)
       else raw.localCheckpoint(true)
-    def est(x: Column, y: Column): Column =
-      when(size(x) > 0 && size(y) > 0,
-        aggregate(
-          zip_with(x, y, (u, v) => when(u === v, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / size(x))
-        .otherwise(lit(0.0))
+    def est(x: Column, y: Column): Column = signatureAgreement(x, y)
     // merge-hint: the signature table is corpus-sized and must never be
     // chosen as a broadcast build side (same hazard as the
     // bandedJaccardPairs token-set joins — observed OOM class at 10×)

@@ -72,9 +72,14 @@ object DedupIndexStore {
       .toDF("num_hashes", "shingle_size", "bands", "seed")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/meta")
-    val sigs = Dedup.minHashSignatures(corpus, textCol, idCol, numHashes, shingleSize, seed)
-    sigs.write.mode("overwrite").parquet(s"$path/signatures")
-    bandRows(sigs, bands).write.mode("overwrite").parquet(s"$path/bands")
+    // sign ONCE: the bands artifact derives from the just-written
+    // signatures parquet, not from the lazy signing plan — two
+    // independent write actions over `sigs` would re-shingle and
+    // re-hash the whole corpus (2× the build's dominant cost)
+    Dedup.minHashSignatures(corpus, textCol, idCol, numHashes, shingleSize, seed)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    bandRows(spark.read.parquet(s"$path/signatures"), bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
   }
 
   /** The persisted signature config. Bounded driver action (one row). */
@@ -96,11 +101,16 @@ object DedupIndexStore {
       path: String,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
-    val m = readMeta(newDocs.sparkSession, path)
-    val sigs = Dedup.minHashSignatures(
-      newDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-    sigs.write.mode("append").parquet(s"$path/signatures")
-    bandRows(sigs, m.bands).write.mode("append").parquet(s"$path/bands")
+    val spark = newDocs.sparkSession
+    val m = readMeta(spark, path)
+    // same sign-once discipline as the build: the delta lands in its own
+    // signatures subdirectory (the recursive readers flatten it; a
+    // compaction folds it away) and bands derive from the written files
+    val sub = s"append-${java.util.UUID.randomUUID().toString.take(8)}"
+    Dedup.minHashSignatures(newDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
+      .write.mode("overwrite").parquet(s"$path/signatures/$sub")
+    bandRows(spark.read.parquet(s"$path/signatures/$sub"), m.bands)
+      .write.mode("append").parquet(s"$path/bands")
   }
 
   /** Streaming delta ingest: document deltas arrive as a stream and land
@@ -119,10 +129,13 @@ object DedupIndexStore {
     deltas.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sigs = Dedup.minHashSignatures(
-          batch, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-        sigs.write.mode("overwrite").parquet(s"$path/signatures/delta-$batchId")
-        bandRows(sigs, m.bands)
+        // sign-once per batch: bands derive from the just-written delta
+        // signatures (replay rewrites both dirs, preserving idempotence)
+        Dedup.minHashSignatures(
+            batch, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
+          .write.mode("overwrite").parquet(s"$path/signatures/delta-$batchId")
+        bandRows(
+            batch.sparkSession.read.parquet(s"$path/signatures/delta-$batchId"), m.bands)
           .write.mode("overwrite").parquet(s"$path/bands/delta-$batchId")
         ()
       }
@@ -144,12 +157,14 @@ object DedupIndexStore {
     * as probe deltas — mass deletions should go straight to a
     * compaction. */
   def deleteFromDedupIndex(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+    // no cast: idCol's type is caller-chosen across the whole store
+    // (minHashSignatures preserves it) — a cast("long") here would turn
+    // string-id takedowns into all-NULL tombstones that match nothing
+    ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
-    if (!graft.util.ArtifactTree.exists(spark, path, "tombstones")) None
-    else Some(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/tombstones"))
+    graft.util.ArtifactTree.readOptional(spark, path, "tombstones")
 
   /** Compact both corpus-sized artifact trees after streaming ingest
     * has accreted delta subdirectories, folding in any tombstoned
@@ -250,14 +265,6 @@ object DedupIndexStore {
           broadcast(t.select(col("id").as("id_indexed"))), Seq("id_indexed"), "left_anti")
     }
 
-    def est(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      when(size(x) > 0 && size(y) > 0,
-        aggregate(
-          zip_with(x, y, (u, v) => when(u === v, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / size(x))
-        .otherwise(lit(0.0))
-
     // one stored-signatures scan: candidates (with the probe signature
     // riding along) broadcast into it — corpus side never shuffles
     val candWithProbeSig = candidates
@@ -267,7 +274,7 @@ object DedupIndexStore {
       .select(col("id").as("id_indexed"), col("signature").as("sig_idx"))
       .join(broadcast(candWithProbeSig), Seq("id_indexed"))
       .select(col("id_new"), col("id_indexed"),
-        est(col("sig_new"), col("sig_idx")).as("est_jaccard"))
+        Dedup.signatureAgreement(col("sig_new"), col("sig_idx")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

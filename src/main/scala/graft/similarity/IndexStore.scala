@@ -143,8 +143,7 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/tombstones")
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
-    if (!graft.util.ArtifactTree.exists(spark, path, "tombstones")) None
-    else Some(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/tombstones"))
+    graft.util.ArtifactTree.readOptional(spark, path, "tombstones")
 
   /** Codes with tombstoned rows excluded — what every serving path
     * ranks over. With no tombstone artifact the plan is byte-identical

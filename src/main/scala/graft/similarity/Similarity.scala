@@ -525,7 +525,16 @@ object Similarity {
     * double bits; each iteration then quantizes to Float (~1e-7
     * relative), 5–6 orders coarser than the associativity noise, which
     * is why `DistributedKmeansSpec` pins bitwise-equal Float centroids
-    * against driver Lloyd on fixed fixtures. Driver traffic per
+    * against driver Lloyd on fixed fixtures. That argument is
+    * statistical, not absolute: a quotient landing within the
+    * associativity noise of a Float rounding boundary CAN round apart,
+    * and the divergence would feed subsequent assignments — so the
+    * bitwise pin holds for a fixed sample PARTITION LAYOUT (the spec's
+    * and the memoized queries' 32 partitions), and across layouts the
+    * contract weakens to equality-up-to-Float-rounding per iteration.
+    * Cross-layout reproducibility, where needed, comes from exporting
+    * the trained centroids as literals (what every oracle here does),
+    * not from re-training. Driver traffic per
     * iteration is partitions × k × dim × 8 B (a treeAggregate fold in
     * fixed pid-group order is the documented extension past ~1k
     * partitions). */
@@ -702,7 +711,7 @@ object Similarity {
     *      bounds per-cell pair counts, the paper runs ~100k clusters at
     *      web scale);
     *   3. connected components over pairs with `cosine >= threshold`
-    *      (label propagation, [[graft.dedup.Dedup.duplicateClusters]]);
+    *      (large-star/small-star contraction, [[graft.dedup.Dedup.duplicateClusters]]);
     *   4. per component keep the member LEAST similar to its cell
     *      centroid (the paper's keep-low-centroid-similarity rule —
     *      retains the least prototypical example; ties break on

@@ -73,6 +73,13 @@ object ArtifactTree {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** Optional artifact subtree (the tombstone pattern both index
+    * stores share): None when absent — callers skip the scan entirely
+    * and their plan is byte-identical to the pre-delete-feature one. */
+  def readOptional(spark: SparkSession, root: String, subdir: String): Option[DataFrame] =
+    if (!exists(spark, root, subdir)) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(s"$root/$subdir"))
+
   /** Remove an artifact subtree (tombstone clearing after a compaction
     * has folded the drops in). */
   def remove(spark: SparkSession, root: String, subdir: String): Unit = {

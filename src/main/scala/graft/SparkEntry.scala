@@ -1797,6 +1797,14 @@ ORDER BY doc_id, token""")
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
 
+    // dedup-index bookkeeping on the takedown index: doc/tombstone
+    // counts plus the bucket distribution (distinct buckets, max bucket
+    // size — the cap-pressure signal). Oracle re-derives everything
+    // from the seeded signature constants and the split/delete rules
+    "q_dedup_index_stats" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .describeDedupIndex(s, dedupDeletedIndexDirFor(s, dir))),
+
     // the takedown path: doc_id%5==1 of the indexed corpus is
     // tombstoned (logical delete — rows still physical until a
     // compaction), and the probe must stop matching those ids
@@ -2234,6 +2242,16 @@ ORDER BY doc_id, token""")
     // matrix and ride the cell-pruned serving path. Same training ⇒
     // bit-identical to q_knn_opq_ivf, same oracle — the full
     // `OPQ,IVF,PQ` production config end to end
+    // the ops surface of the persisted IVF index: per-cell code counts
+    // (cell imbalance — the retrain-the-quantizer signal) and tombstone
+    // counts (takedown debt the next compaction reclaims), on the index
+    // with the %7==3 takedown applied. The oracle re-derives the cell
+    // routing from exported centroid literals and the tombstone set
+    // from the delete rule — even the bookkeeping is exact
+    "q_knn_index_stats" -> ((s, dir) =>
+      graft.similarity.IndexStore
+        .describeIvfIndex(s, ivfDeletedIndexDirFor(s, dir))),
+
     // serving with a takedown applied: vec_id%7==3 tombstoned out of
     // the persisted index (FAISS remove_ids, re-expressed for a
     // distributed store) — excluded BEFORE top-k selection, so served
@@ -3991,6 +4009,15 @@ WHERE rank <= $IvfK ORDER BY query_id, rank"""
     s"""WITH ${ivfCtesSql(spark, dir)},
 ${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}"""
 
+  /** Index bookkeeping replay: cell routing from exported centroid
+    * literals, tombstones from the delete rule (`vec_id % 7 = 3`). */
+  private def ivfStatsOracleSql(spark: SparkSession, dir: String): String =
+    s"""WITH ${ivfCtesSql(spark, dir)}
+SELECT cell,
+  CAST(count(*) AS BIGINT) AS n_codes,
+  CAST(sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned
+FROM assign GROUP BY cell ORDER BY cell"""
+
   /** The served-with-deletes replay: identical machinery, with the
     * tombstoned set (`vec_id % 7 = 3`) excluded from the CANDIDATES —
     * before ADC ranking, exactly where serving excludes it (a
@@ -4092,6 +4119,7 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served_delete" -> ivfPqDeleteOracleSql(spark, dir)) +
+      ("q_knn_index_stats" -> ivfStatsOracleSql(spark, dir)) +
       ("q_knn_probe_recall" -> ivfProbeSweepOracleSql(spark, dir)) +
       ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) +
       ("q_knn_opq_ivf_served" -> opqIvfPqOracleSql(spark, dir)) ++
@@ -4467,6 +4495,20 @@ FROM c ORDER BY doc_id""",
     "q_dedup_index_append" -> dedupIndexProbeSql,
     "q_dedup_index_delete" -> dedupIndexProbeSqlWith(" AND i.doc_id % 5 <> 1"),
     "q_stream_dedup_ingest" -> dedupIndexProbeSql,
+    // bookkeeping on the %3≠0 index with the %5==1 takedown: doc and
+    // tombstone counts from the split/delete rules; bucket stats from
+    // the same banding the probe oracles replay
+    "q_dedup_index_stats" ->
+      s"""WITH ${minHashSigCtes(32, 42L)},
+bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig
+       WHERE doc_id % 3 <> 0),
+bsz AS (SELECT band, bh, count(*) AS n FROM bb GROUP BY 1, 2)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 <> 0) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1)
+    AS n_tombstoned,
+  (SELECT CAST(count(*) AS BIGINT) FROM bsz) AS n_buckets,
+  (SELECT CAST(max(n) AS BIGINT) FROM bsz) AS max_bucket""",
 
     "q_jaccard_banded" -> jaccardBandedSql,
 

@@ -196,6 +196,27 @@ object DedupIndexStore {
   def readBands(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/bands")
 
+  /** Index bookkeeping — the ops surface for the persisted dedup tier:
+    * document count, tombstone count (takedown debt the next compaction
+    * reclaims), distinct bucket count and max bucket size (the cap
+    * signal: a max near `maxBucket` means probe coverage is being
+    * truncated and the banding config needs revisiting). One scan per
+    * artifact; the bucket aggregation is a map-side-combined groupBy on
+    * `(band, bucket)` — an occasional maintenance-class job, same
+    * budget as compaction, not a probe-path cost. Returns one row. */
+  def describeDedupIndex(spark: SparkSession, path: String): DataFrame = {
+    val nDocs = readSignatures(spark, path).select(count(lit(1)).as("n_docs"))
+    val nTomb = tombstones(spark, path) match {
+      case None => nDocs.sparkSession.range(1).select(lit(0L).as("n_tombstoned"))
+      case Some(t) => t.select(count(lit(1)).as("n_tombstoned"))
+    }
+    val buckets = readBands(spark, path)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"))
+    nDocs.crossJoin(nTomb).crossJoin(buckets)
+      .select(col("n_docs"), col("n_tombstoned"), col("n_buckets"), col("max_bucket"))
+  }
+
   /** Near-duplicates of `probeDocs` AGAINST THE INDEX: every
     * `(id_new, id_indexed, est_jaccard ≥ threshold)` pair, the corpus
     * side read from artifacts only — no corpus signature is recomputed

@@ -325,6 +325,32 @@ object IndexStore {
       excludeIds = tombstones(spark, path))
   }
 
+  /** Per-cell index statistics — the ops surface every production IVF
+    * deployment watches (FAISS `invlists` sizes, re-expressed): code
+    * counts expose cell imbalance (a hot cell caps probe parallelism
+    * and is the signal to retrain the coarse quantizer), and tombstone
+    * counts expose takedown debt (how much dead weight the next
+    * compaction reclaims). One codes scan + a broadcast tombstone tag;
+    * the aggregate is nCells rows. */
+  def describeIvfIndex(spark: SparkSession, path: String): DataFrame = {
+    val codes = spark.read.parquet(s"$path/ivf_codes")
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"))
+    val tagged = tombstones(spark, path) match {
+      case None => codes.withColumn("dead", lit(false))
+      case Some(t) =>
+        codes
+          .join(broadcast(t.select(col("neighbor_id")).distinct()
+            .withColumn("dead", lit(true))), Seq("neighbor_id"), "left")
+          .withColumn("dead", coalesce(col("dead"), lit(false)))
+    }
+    tagged
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_codes"),
+        sum(when(col("dead"), 1L).otherwise(0L)).as("n_tombstoned"))
+      .orderBy("cell")
+  }
+
   /** Serve top-k from the persisted index: ADC shortlist over the stored
     * codes, exact cosine re-rank against the vector table. No training,
     * no corpus encode — the build job already paid both. */

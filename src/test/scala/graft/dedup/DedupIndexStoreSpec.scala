@@ -193,6 +193,32 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(hits() == Set(3L, 4L, 5L, 6L))
   }
 
+  test("describeDedupIndex: counts, bucket distribution, and debt across the delete lifecycle") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val indexed = ((1L to 6L).map(i => (i, same)) :+ (7L -> "completely unrelated content text"))
+      .toDF("doc_id", "text")
+    val path = tmp("graft-dedupidx-stats-")
+    buildCfg(indexed, path)
+
+    def stats() = DedupIndexStore.describeDedupIndex(spark, path)
+      .as[(Long, Long, Long, Long)].collect().head
+    val clean = stats()
+    assert(clean._1 == 7L && clean._2 == 0L)
+    // 6 identical docs share every band bucket: max bucket size is 6
+    assert(clean._4 == 6L, s"max bucket must be the 6-way identical group, got ${clean._4}")
+
+    DedupIndexStore.deleteFromDedupIndex(Seq(1L, 2L).toDF("doc_id"), path)
+    val withDebt = stats()
+    assert(withDebt._2 == 2L, "takedown debt visible")
+    assert(withDebt._1 == 7L && withDebt._4 == 6L, "physical artifacts unchanged before compaction")
+
+    DedupIndexStore.compactDedupIndex(spark, path, targetFiles = 1)
+    val compacted = stats()
+    assert(compacted == ((5L, 0L, clean._3, 4L)),
+      s"compaction drops the two tombstoned docs everywhere (docs 7→5, max bucket 6→4, " +
+        s"bucket count unchanged, debt cleared); got $compacted")
+  }
+
   test("probe plan with live tombstones: still no shuffle joins, tombstones scanned once") {
     val path = tmp("graft-dedupidx-delplan-")
     buildCfg(docs.filter($"doc_id" % 3 =!= 0), path)

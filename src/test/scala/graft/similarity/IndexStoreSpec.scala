@@ -162,6 +162,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(serve(dir) == afterDelete, "IVF compaction must not change served results")
   }
 
+  test("describeIvfIndex: per-cell counts cover every code; tombstones tallied; compaction zeroes debt") {
+    val df = corpus(300, 16, seed = 41L)
+    val cents = Similarity.trainedCentroids(df, "vec_id", "embedding", 4, 7L, 300)
+    val cbs = IvfPq.trainedResidualCodebooks(df, cents, "vec_id", "embedding", 4, 8, 7L, 300)
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore-stats-").toString
+    IndexStore.writeIvfPqIndex(df, dir, nCells = 4, m = 4, kCent = 8,
+      coarseCentroids = cents, residCodebooks = cbs)
+
+    def stats() = IndexStore.describeIvfIndex(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    val clean = stats()
+    assert(clean.map(_._2).sum == 300L, "every code counted exactly once")
+    assert(clean.forall(_._3 == 0L), "no tombstones yet")
+
+    IndexStore.deleteFromIndex(df.filter($"vec_id" % 5 === 1).select("vec_id"), dir)
+    val deleted = stats()
+    assert(deleted.map(_._2) == clean.map(_._2), "deletes are logical — physical counts unchanged")
+    assert(deleted.map(_._3).sum == df.filter($"vec_id" % 5 === 1).count(),
+      "takedown debt equals the tombstoned id count")
+
+    IndexStore.compactIvfIndex(spark, dir, targetFiles = 2)
+    val compacted = stats()
+    assert(compacted.map(_._2).sum == 300L - deleted.map(_._3).sum,
+      "compaction removes exactly the tombstoned codes")
+    assert(compacted.forall(_._3 == 0L), "compaction clears the debt")
+  }
+
   test("delete-aware IVF serving keeps cell pruning and never shuffles a join side") {
     val df = corpus(300, 16, seed = 37L)
     val cents = Similarity.trainedCentroids(df, "vec_id", "embedding", 4, 7L, 300)

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * not, so the slope isolates the artifact-scan cost.
   * `dedupidx_probe_del:<probeDir>` is the same probe with 20% of the
   * corpus tombstoned (worst pre-compaction posture: a corpus-
-  * proportional tombstone set riding the candidate anti-join). */
+  * proportional tombstone set riding the candidate anti-join).
+  * `dedupidx_compact` / `ivfidx_compact` time the COMPACTION job
+  * itself (per pass: fresh index + 20% tombstones built untimed, then
+  * only the rewrite-and-swap measured) — the maintenance job's claimed
+  * budget is "at most linear: it rewrites every surviving row once",
+  * and this mode is what turns that claim into a slope. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -57,7 +62,32 @@ object ScaleProbe {
             corpus.filter(col("doc_id") % 5 === 1).select("doc_id"), d)
         d
       }
+    // compact modes measure only the inner rewrite-and-swap; the
+    // per-pass index setup runs inside run() but outside the slope
+    var overrideSec: Option[Double] = None
     def run(): Long = mode match {
+      case "dedupidx_compact" =>
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-c-").toString
+        val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        graft.dedup.DedupIndexStore.writeDedupIndex(
+          corpus, d, "text", "doc_id",
+          numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+        graft.dedup.DedupIndexStore.deleteFromDedupIndex(
+          corpus.filter(col("doc_id") % 5 === 1).select("doc_id"), d)
+        val t0 = System.nanoTime()
+        graft.dedup.DedupIndexStore.compactDedupIndex(spark, d)
+        overrideSec = Some((System.nanoTime() - t0) / 1e9)
+        0L
+      case "ivfidx_compact" =>
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-ivfidx-c-").toString
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.similarity.IndexStore.writeIvfPqIndex(emb, d)
+        graft.similarity.IndexStore.deleteFromIndex(
+          emb.filter(col("vec_id") % 5 === 1).select("vec_id"), d)
+        val t0 = System.nanoTime()
+        graft.similarity.IndexStore.compactIvfIndex(spark, d)
+        overrideSec = Some((System.nanoTime() - t0) / 1e9)
+        0L
       case "dedupidx_build" =>
         val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-b-").toString
         graft.dedup.DedupIndexStore.writeDedupIndex(
@@ -110,9 +140,10 @@ object ScaleProbe {
     }
     // one untimed warmup, then median-style repeated passes (printed raw)
     val times = (0 to passes).map { p =>
+      overrideSec = None
       val t0 = System.nanoTime()
       val n = run()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = overrideSec.getOrElse((System.nanoTime() - t0) / 1e9)
       if (p > 0) println(f"""{"pass":$p,"mode":"$mode","rows":$n,"sec":$sec%.3f}""")
       sec
     }

@@ -393,6 +393,25 @@ object SparkEntry {
       d
     })
 
+  /** The takedown index after COMPACTION: the tombstoned rows are
+    * physically gone from both artifacts and the tombstones cleared —
+    * the probe must see identical pairs to the logical-delete index,
+    * but now because the rows don't exist rather than because an
+    * anti-join hides them. */
+  private val dedupCompactedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupCompactedIndexDirFor(s: SparkSession, dir: String): String =
+    dedupCompactedIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-compact-").toString
+      val docsTbl = tbl(s, dir, "documents")
+      graft.dedup.DedupIndexStore.writeDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 =!= 0), d,
+        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+      graft.dedup.DedupIndexStore.deleteFromDedupIndex(
+        docsTbl.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1).select("doc_id"), d)
+      graft.dedup.DedupIndexStore.compactDedupIndex(s, d)
+      d
+    })
+
   /** The dedup index with a takedown applied: one-shot build over the
     * %3≠0 corpus, then doc_id%5==1 tombstoned out — the delete is
     * logical (tombstones artifact), so probes must exclude those ids
@@ -423,6 +442,26 @@ object SparkEntry {
         ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
       graft.similarity.IndexStore.deleteFromIndex(
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), d)
+      d
+    })
+
+  /** The takedown ANN index after COMPACTION: tombstoned codes
+    * physically dropped from the cell-partitioned tree and the
+    * tombstones cleared — serving must return pairs identical to the
+    * logical-delete index, now because the rows don't exist rather
+    * than because the anti-join hides them. */
+  private val ivfCompactedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfCompactedIndexDirFor(s: SparkSession, dir: String): String =
+    ivfCompactedIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index-compact-").toString
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore.writeIvfPqIndex(
+        emb, d, "vec_id", "embedding",
+        IvfCells, PqM, PqCent, IvfSeed, IvfSampleSize,
+        ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
+      graft.similarity.IndexStore.deleteFromIndex(
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), d)
+      graft.similarity.IndexStore.compactIvfIndex(s, d)
       d
     })
 
@@ -1797,6 +1836,20 @@ ORDER BY doc_id, token""")
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
 
+    // ...and the same takedown AFTER compaction: rows physically gone,
+    // tombstones cleared. The oracle drops the deleted docs from BOTH
+    // candidates and bucket sizes (physical buckets shrank), and the
+    // pair set must equal the logical-delete query's — the lifecycle
+    // invariant (delete → probe ≡ delete → compact → probe) under the
+    // DuckDB gate, not just the spec
+    "q_dedup_index_compacted" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupCompactedIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
+
     // dedup-index bookkeeping on the takedown index: doc/tombstone
     // counts plus the bucket distribution (distinct buckets, max bucket
     // size — the cap-pressure signal). Oracle re-derives everything
@@ -2261,6 +2314,20 @@ ORDER BY doc_id, token""")
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.IndexStore
         .serveIvfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), ivfDeletedIndexDirFor(s, dir),
+          k = IvfK, nProbe = IvfProbe)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ...and the takedown AFTER compaction: the cell-partitioned codes
+    // tree is rewritten without the tombstoned vectors and the
+    // tombstones cleared — served results must be identical to the
+    // logical-delete index (delete → serve ≡ delete → compact → serve),
+    // the same lifecycle invariant the dedup index pins, under the
+    // DuckDB gate rather than just IndexStoreSpec
+    "q_knn_ivf_served_compacted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .serveIvfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), ivfCompactedIndexDirFor(s, dir),
           k = IvfK, nProbe = IvfProbe)
         .orderBy("query_id", "rank")
     }),
@@ -3345,12 +3412,14 @@ WHERE est >= 0.125 ORDER BY id_a, id_b"""
   /** `candFilter` models tombstoned deletes: excluded from CANDIDATES
     * only — bucket sizes (`bsz`) keep counting tombstoned members,
     * because the engine's cap bounds physical probe cost and tombstoned
-    * rows stay physical until a compaction (spec-pinned semantics). */
-  private def dedupIndexProbeSqlWith(candFilter: String): String =
+    * rows stay physical until a compaction (spec-pinned semantics).
+    * `bszFilter` models a COMPACTED index, where the deleted rows are
+    * physically gone and bucket sizes shrink accordingly. */
+  private def dedupIndexProbeSqlWith(candFilter: String, bszFilter: String = ""): String =
     s"""WITH ${minHashSigCtes(32, 42L)},
 bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
 bsz AS (
-  SELECT band, bh, count(*) AS n FROM bb WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+  SELECT band, bh, count(*) AS n FROM bb WHERE doc_id % 3 <> 0$bszFilter GROUP BY 1, 2),
 cand AS (
   SELECT DISTINCT p.doc_id AS id_new, i.doc_id AS id_indexed
   FROM bb p
@@ -4119,6 +4188,9 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       ("q_knn_ivf_served_delete" -> ivfPqDeleteOracleSql(spark, dir)) +
+      // post-compaction serving: rows physically gone instead of
+      // anti-joined away — same results, same oracle
+      ("q_knn_ivf_served_compacted" -> ivfPqDeleteOracleSql(spark, dir)) +
       ("q_knn_index_stats" -> ivfStatsOracleSql(spark, dir)) +
       ("q_knn_probe_recall" -> ivfProbeSweepOracleSql(spark, dir)) +
       ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) +
@@ -4494,6 +4566,8 @@ FROM c ORDER BY doc_id""",
     "q_dedup_index_probe" -> dedupIndexProbeSql,
     "q_dedup_index_append" -> dedupIndexProbeSql,
     "q_dedup_index_delete" -> dedupIndexProbeSqlWith(" AND i.doc_id % 5 <> 1"),
+    "q_dedup_index_compacted" -> dedupIndexProbeSqlWith(
+      " AND i.doc_id % 5 <> 1", bszFilter = " AND doc_id % 5 <> 1"),
     "q_stream_dedup_ingest" -> dedupIndexProbeSql,
     // bookkeeping on the %3≠0 index with the %5==1 takedown: doc and
     // tombstone counts from the split/delete rules; bucket stats from

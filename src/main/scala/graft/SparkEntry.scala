@@ -348,6 +348,22 @@ object SparkEntry {
       d
     })
 
+  /** Fixture plumbing: clone an index's artifact tree so a lifecycle
+    * variant (delete, compact) starts from the SAME base artifacts
+    * without re-signing/re-encoding the corpus — exactly the production
+    * posture (a takedown never rebuilds), and one corpus-sized build
+    * instead of three across the lifecycle fixtures. */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** The INCREMENTAL dedup index: built over the %3==1 third, the %3==2
     * third appended under the persisted config — same artifacts as the
     * one-shot build, so the probe query shares its exact oracle. */
@@ -402,12 +418,7 @@ object SparkEntry {
   private def dedupCompactedIndexDirFor(s: SparkSession, dir: String): String =
     dedupCompactedIndexRoots.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-compact-").toString
-      val docsTbl = tbl(s, dir, "documents")
-      graft.dedup.DedupIndexStore.writeDedupIndex(
-        docsTbl.filter(col("doc_id") % 3 =!= 0), d,
-        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
-      graft.dedup.DedupIndexStore.deleteFromDedupIndex(
-        docsTbl.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1).select("doc_id"), d)
+      copyTree(dedupDeletedIndexDirFor(s, dir), d)
       graft.dedup.DedupIndexStore.compactDedupIndex(s, d)
       d
     })
@@ -421,9 +432,7 @@ object SparkEntry {
     dedupDeletedIndexRoots.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-del-").toString
       val docsTbl = tbl(s, dir, "documents")
-      graft.dedup.DedupIndexStore.writeDedupIndex(
-        docsTbl.filter(col("doc_id") % 3 =!= 0), d,
-        "text", "doc_id", numHashes = 32, shingleSize = 3, bands = 32, seed = 42L)
+      copyTree(dedupIndexDirFor(s, dir), d)
       graft.dedup.DedupIndexStore.deleteFromDedupIndex(
         docsTbl.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1).select("doc_id"), d)
       d
@@ -436,10 +445,7 @@ object SparkEntry {
     ivfDeletedIndexRoots.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-ivf-index-del-").toString
       val emb = tbl(s, dir, "embeddings")
-      graft.similarity.IndexStore.writeIvfPqIndex(
-        emb, d, "vec_id", "embedding",
-        IvfCells, PqM, PqCent, IvfSeed, IvfSampleSize,
-        ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
+      copyTree(ivfIndexDirFor(s, dir), d)
       graft.similarity.IndexStore.deleteFromIndex(
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), d)
       d
@@ -454,13 +460,7 @@ object SparkEntry {
   private def ivfCompactedIndexDirFor(s: SparkSession, dir: String): String =
     ivfCompactedIndexRoots.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-ivf-index-compact-").toString
-      val emb = tbl(s, dir, "embeddings")
-      graft.similarity.IndexStore.writeIvfPqIndex(
-        emb, d, "vec_id", "embedding",
-        IvfCells, PqM, PqCent, IvfSeed, IvfSampleSize,
-        ivfCentroidsFor(s, dir), ivfResidCodebooksFor(s, dir))
-      graft.similarity.IndexStore.deleteFromIndex(
-        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), d)
+      copyTree(ivfDeletedIndexDirFor(s, dir), d)
       graft.similarity.IndexStore.compactIvfIndex(s, d)
       d
     })

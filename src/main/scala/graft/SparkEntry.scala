@@ -1761,6 +1761,23 @@ ORDER BY doc_id, token""")
         .select(col("doc_id"), col("content_hash"), col("dup_rank"), col("n_copies"))
         .orderBy("doc_id")),
 
+    // incremental-curation change detection between two corpus
+    // deliveries: yesterday's snapshot (%11≠0) vs today's (%13≠0, every
+    // %7==0 doc revised) — added/removed/changed/unchanged per id by
+    // content hash, so downstream re-work (re-tokenize, re-embed,
+    // re-index) touches only the changed slice. Hash-only projections
+    // ride the full-outer join; text never shuffles
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val yesterday = docs.filter(col("doc_id") % 11 =!= 0)
+      val today = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" rev")))
+            .otherwise(col("text")))
+      graft.dedup.Dedup.snapshotDiff(yesterday, today).orderBy("doc_id")
+    }),
+
     // LLM-pipeline: exact dedup over clean_text-normalized content — the
     // normalized branch, where trivially-reformatted copies collapse
     "q_dedup_normalized" -> ((s, dir) =>
@@ -2533,6 +2550,21 @@ ORDER BY doc_id, token""")
         .select("doc_id")
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ...and the PRODUCTION representative policy on the same clusters:
+    // keep the highest-quality member (longest here — the keep-fullest-
+    // version posture), not the smallest id. Cluster resolution stays
+    // pair-domain-sized; the argmax is one window partitioned by
+    // cluster_id; the corpus is touched once, on the left-anti probe
+    "q_neardup_best" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.dedup.Dedup
+        .survivorsByQuality(
+          docs, graft.dedup.Dedup.simHashNearDuplicates(docs, "text", "doc_id"),
+          "doc_id", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
 
@@ -4549,6 +4581,25 @@ WHERE pick_rank <= 20 ORDER BY lang, pick_rank""",
   CAST(count(*) OVER (PARTITION BY sha256(coalesce(text, ''))) AS BIGINT) AS n_copies
 FROM documents ORDER BY doc_id""",
 
+    // snapshot diff re-derived: same split rules, same revision rule,
+    // same content hash, classification by full-outer presence + hash
+    "q_snapshot_diff" ->
+      """WITH o AS (
+  SELECT doc_id, sha256(coalesce(text, '')) AS old_hash
+  FROM documents WHERE doc_id % 11 <> 0),
+n AS (
+  SELECT doc_id,
+    sha256(CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' rev'
+                ELSE coalesce(text, '') END) AS new_hash
+  FROM documents WHERE doc_id % 13 <> 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.old_hash <> n.new_hash THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM o FULL JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id""",
+
     "q_dedup_normalized" ->
       """WITH c AS (
   SELECT doc_id,
@@ -4821,6 +4872,29 @@ reach(id, r) AS (
 lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id""",
+
+    // same components, production representative policy: per-cluster
+    // argmax on (n_chars DESC, doc_id) survives instead of min-id
+    "q_neardup_best" ->
+      s"""WITH RECURSIVE $simHashFpCtes,
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+rnk AS (
+  SELECT l.doc_id,
+    row_number() OVER (PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id) AS rk
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM rnk WHERE rk > 1)
 ORDER BY d.doc_id""",
 
     // the winnow pipeline's end use re-derived: fingerprint-set pairs

@@ -748,4 +748,63 @@ object Dedup {
     connectedComponents(pairs, aCol, bCol, maxIterations)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+
+  /** Quality-ranked survivor selection: keep, from each duplicate
+    * cluster, the member that maximizes `scoreCol` (ties broken by
+    * smallest id — fully deterministic), plus every document that
+    * appears in no cluster. The production representative policy:
+    * near-dup groups usually hold truncated/boilerplate variants of one
+    * page, and curation keeps the fullest or highest-quality version,
+    * not the one with the smallest id (RefinedWeb/Dolma keep-longest
+    * posture).
+    *
+    * Scale shape: cluster resolution is pair-domain-sized (only docs
+    * that appear in a pair enter [[connectedComponents]]); the argmax
+    * is one window PARTITIONED by cluster_id over that small relation;
+    * the corpus is touched exactly once, on the final left-anti probe
+    * — same budget as the min-id survivors path. */
+  /** Snapshot diff — the change-detection pass an incremental curation
+    * pipeline runs between corpus deliveries: classify every id as
+    * `added` / `removed` / `changed` / `unchanged` by content hash, so
+    * downstream stages (re-tokenize, re-embed, re-index) touch only the
+    * changed slice instead of the corpus.
+    *
+    * Scale shape: each snapshot is projected to `(id, sha256)` before
+    * the join — text never rides the shuffle — and the full-outer join
+    * co-partitions both sides on the id (one exchange each at 100 TB,
+    * no skew: ids are unique per side by contract). */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol), sha2(coalesce(col(textCol), lit("")), 256).as(as))
+    hashed(oldSnap, "old_hash")
+      .join(hashed(newSnap, "new_hash"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col(idCol), col("status"))
+  }
+
+  def survivorsByQuality(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "n_chars",
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val labels = duplicateClusters(pairs, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val ranked = labels
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col(scoreCol).desc, col(idCol))))
+    val losers = ranked.filter(col("rk") > 1).select(idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -85,4 +85,17 @@ class DuplicateClustersSpec extends SparkSpec {
         maxIterations = 1)
     }
   }
+
+  test("survivorsByQuality keeps the argmax member, ties to smallest id, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 and 3 tie on score → 2 survives
+      (7L, 5L), (8L, 99L),             // cluster {7,8}: 8 outscores the min id → 8 survives
+      (9L, 1L)                         // in no pair → always survives
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivorsByQuality(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 8L, 9L))
+  }
 }

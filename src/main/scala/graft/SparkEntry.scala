@@ -2597,6 +2597,15 @@ ORDER BY doc_id, token""")
           budget = SeqPackBudget, nShards = SeqPackShards)
         .orderBy("doc_id")),
 
+    // ...and the step before packing: the deterministic epoch shuffle.
+    // (shard, pos) is a reproducible pseudo-random total order (salted
+    // FNV of the id — never rand()), recomputable by any engine; hash
+    // is codegen'd over ids only, rank window partitioned by shard
+    "q_train_order" -> ((s, dir) =>
+      graft.text.SequencePack
+        .trainOrder(tbl(s, dir, "documents"), "doc_id", nShards = 8, salt = "epoch0")
+        .orderBy("doc_id")),
+
     // curation tier: corpus-trained unigram-LM cross-entropy (the CCNet
     // LM-quality signal, order-0, zero-egress) — vocab-sized model frame
     // broadcast back over the token stream, grand total as a literal
@@ -4896,6 +4905,18 @@ rnk AS (
 SELECT d.doc_id, d.lang, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM rnk WHERE rk > 1)
 ORDER BY d.doc_id""",
+
+    // the epoch shuffle re-derived: same salted FNV (signed-64 view),
+    // same pmod shard, same (hash, id) rank within shard
+    "q_train_order" ->
+      s"""WITH h0 AS (
+  SELECT doc_id, ${fnvSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS u FROM documents),
+h AS (SELECT doc_id, ${toSigned64("u")} AS s FROM h0)
+SELECT doc_id,
+  CAST(((s % 8) + 8) % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY ((s % 8) + 8) % 8
+                          ORDER BY s, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY doc_id""",
 
     // the winnow pipeline's end use re-derived: fingerprint-set pairs
     // (the q_winnow_pairs edge condition), recursive-CTE components,

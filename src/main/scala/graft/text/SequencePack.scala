@@ -55,4 +55,34 @@ object SequencePack {
         expr(s"start_tok DIV $budget").as("seq_id"),
         (col("start_tok") % budget).as("seq_offset"))
   }
+
+  /** Deterministic global shuffle + shard assignment — the writer step
+    * between curation and [[pack]]: training wants documents in
+    * pseudo-random order that is REPRODUCIBLE (re-runs, resumes, and
+    * engine ports must agree on the epoch order), so the order key is
+    * a salted FNV-1a hash of the id, never a `rand()`. Returns
+    * `(id, shard, pos)` where `shard = pmod(h, nShards)` and `pos`
+    * ranks the shard's rows by `(h, id)` — `(shard, pos)` is a total
+    * order over the corpus any engine can recompute; vary `salt` per
+    * epoch for fresh orders.
+    *
+    * Scale shape: the hash is one codegen'd expression over the id
+    * (text never read), one shard-keyed exchange, and the rank window
+    * is PARTITIONED by shard — shards are the write-parallelism unit,
+    * exactly like [[pack]]'s. */
+  def trainOrder(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int = 64,
+      salt: String = "epoch0"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = TextAnalysis.fnv1a64(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

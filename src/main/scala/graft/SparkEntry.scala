@@ -356,12 +356,13 @@ object SparkEntry {
   private def copyTree(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
       val t = d.resolve(s.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
   /** The INCREMENTAL dedup index: built over the %3==1 third, the %3==2
@@ -1852,6 +1853,24 @@ ORDER BY doc_id, token""")
           dedupStreamIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
+
+    // the incremental composition end-to-end: today's delivery diffed
+    // against yesterday's, and ONLY the fresh docs (added/changed per
+    // snapshotDiff) reach the persisted-index probe — the production
+    // daily loop (diff → probe → decide) composed under one oracle; the
+    // diff bounds probe cost to the delta-of-the-delta
+    "q_incremental_probe" -> ((s, dir) => {
+      val delivery = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val yesterday = delivery.filter(col("doc_id") % 5 =!= 2)
+      val fresh = graft.dedup.Dedup.snapshotDiff(yesterday, delivery)
+        .filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(delivery.join(fresh, Seq("doc_id")),
+          dedupIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")
+    }),
 
     // ...and the same takedown AFTER compaction: rows physically gone,
     // tombstones cleared. The oracle drops the deleted docs from BOTH
@@ -3456,7 +3475,11 @@ WHERE est >= 0.125 ORDER BY id_a, id_b"""
     * rows stay physical until a compaction (spec-pinned semantics).
     * `bszFilter` models a COMPACTED index, where the deleted rows are
     * physically gone and bucket sizes shrink accordingly. */
-  private def dedupIndexProbeSqlWith(candFilter: String, bszFilter: String = ""): String =
+  /** `probeFilter` narrows the PROBE side (the delivery subset being
+    * checked) — used by the incremental composition, where a snapshot
+    * diff gates which delivery docs reach the index probe. */
+  private def dedupIndexProbeSqlWith(
+      candFilter: String, bszFilter: String = "", probeFilter: String = ""): String =
     s"""WITH ${minHashSigCtes(32, 42L)},
 bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
 bsz AS (
@@ -3466,7 +3489,7 @@ cand AS (
   FROM bb p
   JOIN bb i ON i.band = p.band AND i.bh = p.bh
   JOIN bsz ON bsz.band = p.band AND bsz.bh = p.bh AND bsz.n <= 4096
-  WHERE p.doc_id % 3 = 0 AND i.doc_id % 3 <> 0$candFilter),
+  WHERE p.doc_id % 3 = 0$probeFilter AND i.doc_id % 3 <> 0$candFilter),
 eq AS (
   SELECT c.id_new, c.id_indexed,
     sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est
@@ -4628,6 +4651,12 @@ FROM c ORDER BY doc_id""",
     "q_dedup_index_delete" -> dedupIndexProbeSqlWith(" AND i.doc_id % 5 <> 1"),
     "q_dedup_index_compacted" -> dedupIndexProbeSqlWith(
       " AND i.doc_id % 5 <> 1", bszFilter = " AND doc_id % 5 <> 1"),
+    // the diff-gated probe: only the delivery's fresh (%5==2) docs
+    // probe; the snapshot-diff gate itself is oracle-pinned in
+    // q_snapshot_diff, and here it provably reduces to the %5==2 set
+    // (no revisions or removals in this delivery pair)
+    "q_incremental_probe" -> dedupIndexProbeSqlWith(
+      "", probeFilter = " AND p.doc_id % 5 = 2"),
     "q_stream_dedup_ingest" -> dedupIndexProbeSql,
     // bookkeeping on the %3≠0 index with the %5==1 takedown: doc and
     // tombstone counts from the split/delete rules; bucket stats from

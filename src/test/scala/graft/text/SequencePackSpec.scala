@@ -59,4 +59,23 @@ class SequencePackSpec extends SparkSpec {
     }
     assert(global.isEmpty, "packing must never use an unpartitioned window")
   }
+
+  test("trainOrder: layout-invariant, bijective within shard, salt changes the order") {
+    import spark.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+    def orderOf(df: org.apache.spark.sql.DataFrame, salt: String) =
+      SequencePack.trainOrder(df, "doc_id", nShards = 4, salt = salt)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val base = orderOf(ids, "epoch0")
+    // the placement is a pure function of (id, salt): any repartitioning
+    // of the input must produce the identical total order — retries and
+    // cluster-layout changes can't reorder an epoch
+    assert(orderOf(ids.repartition(7), "epoch0") == base)
+    // (shard, pos) is a total order: positions within a shard are 1..n
+    base.values.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).toSeq.sorted == (1L to ps.size).toSeq)
+    }
+    // a new salt is a genuinely different epoch order
+    assert(orderOf(ids, "epoch1") != base)
+  }
 }

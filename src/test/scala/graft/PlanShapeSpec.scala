@@ -253,6 +253,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "FileScan parquet") == 1, plan)
   }
 
+  test("snapshot diff: only (id, hash) projections reach the full-outer join") {
+    // the change-detection pass must shuffle hashes, never document text
+    // — column pruning has to land the sha2 below both exchanges
+    val df = SparkEntry.queries("q_snapshot_diff")(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, joins.mkString("\n"))
+    val j = joins.head
+    assert(j.joinType.sql == "FULL OUTER", j.joinType.toString)
+    assert(j.left.output.map(_.name).toSet == Set("doc_id", "old_hash"))
+    assert(j.right.output.map(_.name).toSet == Set("doc_id", "new_hash"))
+  }
+
   test("span dedup is two exchanges: span-key window + doc-key rebuild, join-free") {
     val df = SparkEntry.queries("q_span_dedup")(spark, dir)
     val plan = finalPlan(df)

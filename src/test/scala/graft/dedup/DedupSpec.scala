@@ -185,4 +185,21 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
     assert(got.size == got.distinct.size, "pair emitted more than once")
   }
+
+  test("snapshotDiff: all four statuses; null and empty text hash alike") {
+    import spark.implicits._
+    val yesterday = Seq(
+      (1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d")
+    ).toDF("doc_id", "text")
+    val today = Seq(
+      (1L, "a"),   // identical → unchanged
+      (2L, "B"),   // content moved → changed
+      (3L, ""),    // null yesterday, empty today: same coalesced hash → unchanged
+      (5L, "e")    // new id → added; 4 is gone → removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(yesterday, today)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+  }
 }

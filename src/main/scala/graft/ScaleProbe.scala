@@ -99,6 +99,14 @@ object ScaleProbe {
           spark.read.parquet(s"${m.substring(m.indexOf(':') + 1)}/documents.parquet")
             .filter(col("doc_id") % 3 === 0),
           dedupIdxDir, "text", "doc_id", threshold = 0.125).count()
+      case "snapshot_diff" =>
+        // change detection between two deliveries derived from the
+        // dir's corpus (the q_snapshot_diff split rules) — hash-only
+        // full-outer join, the linear-at-worst claim under measurement
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        graft.dedup.Dedup.snapshotDiff(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 13 =!= 0)).count()
       case "minhash_fused" =>
         graft.dedup.Dedup.nearDuplicates(
           spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",

@@ -439,6 +439,30 @@ object SparkEntry {
       d
     })
 
+  /** One persisted BM25 inverted index per (JVM, dir) over the full
+    * documents table — the lexical serving tier's fixture (bench
+    * warmup builds, timed passes serve). */
+  private val bm25IndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IndexDirFor(s: SparkSession, dir: String): String =
+    bm25IndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bm25-index-").toString
+      graft.similarity.Bm25IndexStore.writeBm25Index(
+        tbl(s, dir, "documents"), d, "text", "doc_id", nBuckets = 16)
+      d
+    })
+
+  /** The BM25 index with a takedown applied: doc_id%9==4 tombstoned out
+    * of a COPY of the base artifacts (a takedown never re-tokenizes). */
+  private val bm25DeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25DeletedIndexDirFor(s: SparkSession, dir: String): String =
+    bm25DeletedIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bm25-index-del-").toString
+      copyTree(bm25IndexDirFor(s, dir), d)
+      graft.similarity.Bm25IndexStore.deleteFromBm25Index(
+        tbl(s, dir, "documents").filter(col("doc_id") % 9 === 4).select("doc_id"), d)
+      d
+    })
+
   /** The served IVF index with a takedown applied: same trained
     * artifacts as q_knn_ivf_served, vec_id%7==3 tombstoned out. */
   private val ivfDeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2860,6 +2884,37 @@ ORDER BY doc_id, token""")
           Seq("spark", "join", "window"), k = 20, roundTo = 6)
         .orderBy(col("score").desc, col("doc_id").asc)),
 
+    // ...and the same query SERVED from the persisted inverted index
+    // (graft.similarity.Bm25IndexStore): the query reads ≤|terms| of the
+    // index's posting buckets via STATIC partition pruning + a pushed
+    // token IN filter; N/avgdl from the one-row stats artifact; scores
+    // bit-identical to the in-session operator (spec-pinned), so the
+    // oracle is shared
+    "q_bm25_served" -> ((s, dir) =>
+      graft.similarity.Bm25IndexStore
+        .serveBm25TopK(s, bm25IndexDirFor(s, dir),
+          Seq("spark", "join", "window"), k = 20, roundTo = 6)
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
+    // ...with a takedown applied: %9==4 tombstoned. Exclusion lands
+    // BEFORE df(t) is counted and N/avgdl recompute from doclens net of
+    // tombstones, so served results equal an index rebuilt without the
+    // deleted docs — which is exactly what the oracle computes
+    "q_bm25_served_delete" -> ((s, dir) =>
+      graft.similarity.Bm25IndexStore
+        .serveBm25TopK(s, bm25DeletedIndexDirFor(s, dir),
+          Seq("spark", "join", "window"), k = 20, roundTo = 6)
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
+    // bm25-index bookkeeping on the takedown index: physical doc count
+    // (takedown debt still on disk), tombstones, posting-list totals and
+    // the bucket distribution (max bucket = the hot-shard signal). The
+    // oracle re-derives the posting rows AND the fnv bucket routing in
+    // SQL — the bookkeeping is exact, like the other two stores'
+    "q_bm25_index_stats" -> ((s, dir) =>
+      graft.similarity.Bm25IndexStore
+        .describeBm25Index(s, bm25DeletedIndexDirFor(s, dir))),
+
     // retrieval tier: hybrid lexical+semantic reciprocal-rank fusion
     // (Cormack 2009) — BM25 list ⊕ fixture-embedding cosine list, both
     // poolK-cut before the bounded fusion join. The fixture model makes
@@ -3524,6 +3579,40 @@ SELECT id_a, id_b,
 FROM j
 WHERE shared >= 1 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
 ORDER BY id_a, id_b"""
+
+  /** Okapi BM25 re-derived: corpus constants from one aggregate, df per
+    * term over the hit rows, per-doc scores summed in sorted-term order
+    * (the engine's bit-reproducibility fold), round-before-cut.
+    * `docFilter` (a full `WHERE ...` clause) shrinks the corpus — the
+    * takedown oracle: a logical delete must equal this rebuilt-without
+    * world in df(t), N, avgdl, and the final ranking. */
+  private def bm25Sql(docFilter: String = ""): String =
+    s"""WITH base AS (
+  SELECT doc_id, ${toksArrSql()} AS toks
+  FROM documents$docFilter),
+tfs AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY 1, 2, 3),
+corpus AS (
+  -- all documents, including any empty ones (the engine's N is count(*))
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM base),
+hits AS (
+  SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
+  FROM tfs WHERE term IN ('spark', 'join', 'window')),
+scored AS (
+  SELECT h.doc_id, h.term,
+    ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
+      * (h.tf * (1.2 + 1.0)) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS score_t
+  FROM hits h, corpus c),
+docs AS (
+  SELECT doc_id,
+    list_reduce(list(score_t ORDER BY term), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM docs ORDER BY score DESC, doc_id ASC LIMIT 20"""
 
   /** CTE chain computing each document's signed 64-bit SimHash as
     * `fp(doc_id, simhash)` — shared by the per-doc dump and the pairs
@@ -5813,33 +5902,38 @@ GROUP BY label, i ORDER BY label, dim""",
     // they differ in the last ulp); the per-doc sum is a list_reduce over
     // term-ordered scores, bit-matching the engine's sorted fold, so
     // exact ties rank identically and the top-20 cut is deterministic.
-    "q_bm25_search" ->
+    "q_bm25_search" -> bm25Sql(),
+
+    // the persisted inverted index serves the same query: shares the
+    // in-session oracle (served scores are bit-identical by contract)
+    "q_bm25_served" -> bm25Sql(),
+
+    // ...with a takedown applied: %9==4 tombstoned out. df(t), N and
+    // avgdl must ALL reflect the deletion, which the oracle models by
+    // removing the docs from the corpus outright — logical-delete
+    // serving must equal that rebuilt-without world
+    "q_bm25_served_delete" -> bm25Sql(" WHERE doc_id % 9 <> 4"),
+
+    // bookkeeping on the %9==4-takedown index: physical doc count,
+    // tombstones, distinct (token, doc) posting rows, and the fnv
+    // bucket distribution re-derived entirely in SQL (signed-64 view of
+    // the fnv stream, same pmod routing as the build)
+    "q_bm25_index_stats" ->
       s"""WITH base AS (
-  SELECT doc_id, ${toksArrSql()} AS toks
-  FROM documents),
+  SELECT doc_id, ${toksArrSql()} AS toks FROM documents),
 tfs AS (
-  SELECT doc_id, dl, term, count(*) AS tf FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
-  GROUP BY 1, 2, 3),
-corpus AS (
-  -- all documents, including any empty ones (the engine's N is count(*))
-  SELECT count(*) AS n_docs,
-         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
-  FROM base),
-hits AS (
-  SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
-  FROM tfs WHERE term IN ('spark', 'join', 'window')),
-scored AS (
-  SELECT h.doc_id, h.term,
-    ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
-      * (h.tf * (1.2 + 1.0)) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS score_t
-  FROM hits h, corpus c),
-docs AS (
-  SELECT doc_id,
-    list_reduce(list(score_t ORDER BY term), (acc, x) -> acc + x) AS score
-  FROM scored GROUP BY doc_id)
-SELECT doc_id, round(score, 6) AS score
-FROM docs ORDER BY score DESC, doc_id ASC LIMIT 20""",
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2),
+bk AS (
+  SELECT ((${toSigned64(fnvSql("term"))} % 16) + 16) % 16 AS b
+  FROM tfs),
+per AS (SELECT b, count(*) AS n FROM bk GROUP BY 1)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(*) FROM documents WHERE doc_id % 9 = 4) AS n_tombstones,
+  CAST(sum(n) AS BIGINT) AS n_postings,
+  count(*) AS n_buckets_used,
+  CAST(max(n) AS BIGINT) AS max_bucket_postings
+FROM per""",
 
     // Hybrid RRF: the BM25 chain above cut at poolK=50 + the fixture
     // embedding cosine list — the query vector re-derived IN SQL from the

@@ -1,0 +1,282 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Tokenize
+
+/** Persist-and-serve contract for the lexical retrieval tier — the
+  * third persisted index alongside the ANN store
+  * ([[graft.similarity.IndexStore]]) and the dedup store
+  * ([[graft.dedup.DedupIndexStore]]): [[Bm25.search]] deliberately
+  * builds NO index (for an ad-hoc query set, two elementwise corpus
+  * scans beat materializing a doc×term table), but a serving deployment
+  * answers MANY queries against one static corpus, and there the
+  * classic inverted index wins — tokenize the corpus once, persist the
+  * posting lists, and let each query read only its own terms' slice of
+  * the index.
+  *
+  * Layout under one index directory (all parquet, Hadoop-FS paths):
+  *
+  *   - `meta/`: one row `(model, n_buckets)` — the tokenizer id and the
+  *     posting-bucket count; appends READ it back rather than trusting
+  *     the caller (a delta tokenized under a different model silently
+  *     corrupts every future query),
+  *   - `postings/`, PARTITIONED BY `tok_bucket = pmod(fnv1a(token),
+  *     n_buckets)`: rows `(token, doc_id, tf, dl)` — the posting lists
+  *     with the document length DENORMALIZED in (the standard
+  *     store-norms-with-postings trick: serving never joins a
+  *     corpus-sized doclens table),
+  *   - `doclens/`: `(doc_id, dl)` — corpus stats ground truth: `N` and
+  *     `avgdl` must count every document including token-less ones,
+  *     which have no posting rows; also what makes takedown serving
+  *     exact (stats are recomputed net of tombstones),
+  *   - `stats/`: one row `(n_docs, n_tokens)` — the tombstone-free fast
+  *     path (no corpus-sized scan per query),
+  *   - `tombstones/` (optional): `(doc_id)` — logical deletes.
+  *
+  * The serving plan is the scale contract: a query for `t` terms reads
+  * at most `t` of the `n_buckets` partition directories — the bucket
+  * literals prune STATICALLY (plain partition pruning, no runtime
+  * subquery needed) and the `token IN (...)` filter pushes into the
+  * parquet scan — then pivots per-doc term frequencies through ONE
+  * bounded exchange and takes a bounded top-k. `N`, `avgdl`, and each
+  * `df(t)` become driver literals exactly like the in-session operator
+  * (the df aggregate returns ≤ `t` rows), so served scores are
+  * BIT-IDENTICAL to [[Bm25.search]] on the same corpus: same long/int
+  * arithmetic widths, same sorted-term left-assoc float fold, same
+  * round-before-cut contract (spec-pinned, and the served query shares
+  * the in-session oracle).
+  *
+  * Takedowns ([[deleteFromBm25Index]]) are logical and EXACT: postings
+  * exclude tombstoned docs before `df(t)` is counted, and `N`/`avgdl`
+  * are recomputed from `doclens` net of tombstones — served results
+  * equal an index rebuilt without the deleted documents (spec- and
+  * oracle-pinned). The price of exactness is one `doclens` scan per
+  * query while tombstones exist (documented: `doclens` is two longs per
+  * document, and the debt clears at the next [[compactBm25Index]]). */
+object Bm25IndexStore {
+
+  case class Bm25IndexMeta(model: String, nBuckets: Int)
+
+  /** `pmod(fnv1a(token), nBuckets)` — the bucket routing, shared by the
+    * build (partition column) and the serve (driver-side literals). */
+  private def bucketCol(token: Column, nBuckets: Int): Column =
+    pmod(graft.text.TextAnalysis.fnv1a64(token), lit(nBuckets.toLong)).cast("int")
+
+  private[similarity] def bucketOf(term: String, nBuckets: Int): Int = {
+    val h = graft.text.Fnv1aExpr.run(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term))
+    // Long pmod, matching Spark's pmod(long, long)
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+
+  /** Build the index: ONE tokenize pass over the corpus, materialized
+    * as a transient token dump that both artifacts derive from (the
+    * sign-once discipline — two independent actions over the lazy
+    * tokenize plan would pay the dominant cost twice), then postings
+    * partitioned by token bucket, doclens, and the stats row. */
+  def writeBm25Index(
+      corpus: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      model: String = graft.text.TokenizerModels.PlainWordsEn,
+      nBuckets: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((model, nBuckets)).toDF("model", "n_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeArtifacts(corpus, path, textCol, idCol, model, nBuckets,
+      postingsMode = "overwrite", doclensSub = "")
+    refreshStats(spark, path)
+  }
+
+  /** Tokenize once into `_tokens`, derive postings + doclens from the
+    * written files, drop the dump. `explode_outer` keeps token-less
+    * documents as null-token rows so doclens counts every document. */
+  private def writeArtifacts(
+      docs: DataFrame,
+      path: String,
+      textCol: String,
+      idCol: String,
+      model: String,
+      nBuckets: Int,
+      postingsMode: String,
+      doclensSub: String): Unit = {
+    val spark = docs.sparkSession
+    val dump = s"$path/_tokens"
+    docs.select(
+        col(idCol).as("doc_id"),
+        Tokenize.tokenStrings(col(textCol), model).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode_outer(col("toks")).as("token"))
+      .write.mode("overwrite").parquet(dump)
+    val exploded = spark.read.parquet(dump)
+    exploded.filter(col("token").isNotNull)
+      .groupBy(bucketCol(col("token"), nBuckets).as("tok_bucket"),
+        col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.partitionBy("tok_bucket").mode(postingsMode).parquet(s"$path/postings")
+    val dlSub = if (doclensSub.isEmpty) "" else s"/$doclensSub"
+    exploded.select(col("doc_id"), col("dl")).distinct()
+      .write.mode("overwrite").parquet(s"$path/doclens$dlSub")
+    graft.util.ArtifactTree.remove(spark, path, "_tokens")
+  }
+
+  /** Recompute the one-row stats artifact from the doclens tree (build
+    * and append both end here; maintenance-class cost). */
+  private def refreshStats(spark: SparkSession, path: String): Unit = {
+    readDoclens(spark, path)
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readMeta(spark: SparkSession, path: String): Bm25IndexMeta = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.length == 1, s"Bm25IndexStore: expected one meta row at $path, got ${rows.length}")
+    Bm25IndexMeta(rows(0).getAs[String]("model"), rows(0).getAs[Int]("n_buckets"))
+  }
+
+  def readDoclens(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/doclens")
+
+  /** Incremental maintenance: tokenize NEW documents under the
+    * PERSISTED config and append — posting rows land inside the
+    * existing `tok_bucket=` partition tree, doclens in a delta subdir,
+    * and the stats row is refreshed. Delta-sized tokenize cost. */
+  def appendToBm25Index(
+      newDocs: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = newDocs.sparkSession
+    val m = readMeta(spark, path)
+    val sub = s"append-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeArtifacts(newDocs, path, textCol, idCol, m.model, m.nBuckets,
+      postingsMode = "append", doclensSub = sub)
+    refreshStats(spark, path)
+  }
+
+  /** Tombstone documents out of the index — the takedown job. Logical
+    * delete, EXACT serving (see object doc); physical rows leave at the
+    * next [[compactBm25Index]]. */
+  def deleteFromBm25Index(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    graft.util.ArtifactTree.readOptional(spark, path, "tombstones")
+      .map(_.select(col("doc_id")))
+
+  /** Serve one BM25 query from the persisted index. Same parameters and
+    * same score/tie/round contract as [[Bm25.search]]; reads ≤ |terms|
+    * posting buckets (static partition pruning) + the one-row stats
+    * artifact (or doclens net of tombstones while takedowns are
+    * pending). */
+  def serveBm25TopK(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundTo: Int = -1): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+    val m = readMeta(spark, path)
+    val tomb = tombstones(spark, path)
+
+    val buckets = terms.map(bucketOf(_, m.nBuckets)).distinct
+    val hit0 = spark.read.parquet(s"$path/postings")
+      .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*) &&
+        col("token").isin(terms: _*))
+    // exclusion rides an anti-join AFTER the pruned scan (a filter
+    // between partition pruning and the scan is the DPP lesson from the
+    // ANN store; here pruning is static, but the anti-join keeps the
+    // tombstone scan out of the postings read path either way)
+    val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+    // corpus constants: the tombstone-free path reads the one-row stats
+    // artifact; pending takedowns recompute from doclens net of
+    // tombstones so served results equal a rebuild without the deleted
+    // docs (the documented pre-compaction price)
+    val statsRow = tomb match {
+      case None =>
+        spark.read.parquet(s"$path/stats").head()
+      case Some(t) =>
+        readDoclens(spark, path).join(broadcast(t), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
+          .head()
+    }
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = if (nDocs == 0L) 0.0 else statsRow.getAs[Long]("n_tokens").toDouble / nDocs
+
+    // df(t): ≤ |terms| rows to the driver — the same bounded barrier
+    // class as the in-session operator's one-row constants aggregate
+    val dfs = hits.groupBy("token").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+
+    // pivot to per-term columns so the float fold runs in sorted-term
+    // order exactly like Bm25.search — a groupBy sum of doubles would
+    // add in partition order and break bit-parity
+    val tfCols = terms.indices.map(i =>
+      max(when(col("token") === terms(i), col("tf"))).as(s"__tf_$i"))
+    val perDoc = hits.groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"), tfCols: _*)
+
+    def partial(i: Int): Column = {
+      val dfT = dfs.getOrElse(terms(i), 0L)
+      val idf = math.log(1.0 + (nDocs.toDouble - dfT + 0.5) / (dfT + 0.5))
+      val tf = col(s"__tf_$i")
+      when(tf > 0,
+        lit(idf) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val sortedIdx = terms.indices.sortBy(terms)
+    val summed = sortedIdx.map(partial).foldLeft(lit(0.0))(_ + _)
+    val score = if (roundTo >= 0) round(summed, roundTo) else summed
+
+    perDoc.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Fold pending tombstones into postings and doclens physically,
+    * refresh stats, clear the tombstones — after this the per-query
+    * doclens scan stops and serving returns to the one-row stats path.
+    * The postings rewrite PRESERVES the `tok_bucket=` partition tree
+    * that serving's static pruning reads. Crash posture:
+    * [[graft.util.ArtifactTree]]. */
+  def compactBm25Index(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    val drop: DataFrame => DataFrame = tombstones(spark, path) match {
+      case None => identity
+      case Some(t) => df => df.join(t, Seq("doc_id"), "left_anti")
+    }
+    graft.util.ArtifactTree.compact(spark, path, "postings", targetFiles, drop,
+      partitionCols = Seq("tok_bucket"))
+    graft.util.ArtifactTree.compact(spark, path, "doclens", targetFiles, drop)
+    graft.util.ArtifactTree.remove(spark, path, "tombstones")
+    refreshStats(spark, path)
+  }
+
+  /** Ops surface: document/posting/tombstone counts and the bucket
+    * distribution (`max_bucket_postings` is the skew signal — a hot
+    * bucket means a hot shard at serve time). One scan per artifact;
+    * maintenance-class. Returns one row. */
+  def describeBm25Index(spark: SparkSession, path: String): DataFrame = {
+    val nDocs = readDoclens(spark, path).select(count(lit(1)).as("n_docs"))
+    val nTomb = tombstones(spark, path) match {
+      case None => nDocs.sparkSession.range(1).select(lit(0L).as("n_tombstones"))
+      case Some(t) => t.select(count(lit(1)).as("n_tombstones"))
+    }
+    val post = spark.read.parquet(s"$path/postings")
+      .groupBy("tok_bucket").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_postings"),
+        count(lit(1)).as("n_buckets_used"),
+        coalesce(max("n"), lit(0L)).as("max_bucket_postings"))
+    nDocs.crossJoin(nTomb).crossJoin(post)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted lexical-retrieval contract: serving from the inverted
+  * index reproduces [[Bm25.search]] bit-for-bit, the takedown lifecycle
+  * (delete → serve ≡ rebuild-without ≡ delete → compact → serve) is
+  * exact, appends equal the one-shot build, and the serving scan prunes
+  * to the query terms' posting buckets statically. */
+class Bm25IndexStoreSpec extends SparkSpec {
+
+  private val docsDir = "/root/testdata/sf0.001"
+  private val Terms = Seq("spark", "join", "window")
+
+  private def docs = spark.read.parquet(s"$docsDir/documents.parquet")
+
+  private def newIndex(of: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx-").toString
+    Bm25IndexStore.writeBm25Index(of, dir, "text", "doc_id", nBuckets = 16)
+    dir
+  }
+
+  private def serve(dir: String) =
+    Bm25IndexStore.serveBm25TopK(spark, dir, Terms, k = 10, roundTo = 6)
+      .collect().toSeq
+
+  test("served top-k equals the in-session Bm25.search bit-for-bit") {
+    val dir = newIndex(docs)
+    val inSession = Bm25.search(docs, "text", "doc_id", Terms, k = 10, roundTo = 6)
+      .collect().toSeq
+    assert(serve(dir) == inSession)
+  }
+
+  test("takedown lifecycle: delete -> serve == rebuild-without == delete -> compact -> serve") {
+    val gone = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+    val dir = newIndex(docs)
+    Bm25IndexStore.deleteFromBm25Index(gone, dir)
+    val logical = serve(dir)
+    // ground truth: an index never containing the deleted docs — df(t),
+    // N, and avgdl must ALL reflect the takedown, not just the hit list
+    val rebuilt = newIndex(docs.filter(col("doc_id") % 4 =!= 1))
+    assert(logical == serve(rebuilt), "logical delete must equal a rebuild")
+    Bm25IndexStore.compactBm25Index(spark, dir, targetFiles = 2)
+    assert(serve(dir) == logical, "compaction must not change served results")
+    val d = Bm25IndexStore.describeBm25Index(spark, dir).head()
+    assert(d.getAs[Long]("n_tombstones") == 0L, "compaction clears tombstones")
+    assert(d.getAs[Long]("n_docs") ==
+      docs.filter(col("doc_id") % 4 =!= 1).count(), "doclens shrank physically")
+  }
+
+  test("append under the persisted config equals the one-shot build") {
+    val dir = newIndex(docs.filter(col("doc_id") % 2 === 0))
+    Bm25IndexStore.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0), dir)
+    assert(serve(dir) == serve(newIndex(docs)))
+  }
+
+  test("serving scan prunes statically to the query terms' buckets") {
+    val dir = newIndex(docs)
+    val df = Bm25IndexStore.serveBm25TopK(spark, dir, Terms, k = 10, roundTo = 6)
+    val plan = df.queryExecution.executedPlan.toString
+    // static partition pruning: the bucket literals land in the scan's
+    // PartitionFilters, and the token IN filter pushes to parquet
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tok_bucket"), plan)
+    val m = Bm25IndexStore.readMeta(spark, dir)
+    val buckets = Terms.map(Bm25IndexStore.bucketOf(_, m.nBuckets)).distinct
+    buckets.foreach(bkt => assert(plan.contains(bkt.toString), s"bucket $bkt missing:\n$plan"))
+    assert(plan.contains("PushedFilters") && plan.contains("In(token"), plan)
+  }
+
+  test("bucket routing: driver-side bucketOf matches the engine's column expression") {
+    import spark.implicits._
+    val toks = Seq("spark", "join", "window", "the", "zebra").toDF("token")
+    val fromEngine = toks.select(col("token"),
+        pmod(graft.text.TextAnalysis.fnv1a64(col("token")), lit(16L)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    fromEngine.foreach { case (t, b) =>
+      assert(Bm25IndexStore.bucketOf(t, 16) == b, s"bucket mismatch for '$t'")
+    }
+  }
+}

@@ -62,10 +62,29 @@ object ScaleProbe {
             corpus.filter(col("doc_id") % 5 === 1).select("doc_id"), d)
         d
       }
+    // bm25 serve mode: the inverted index is a build artifact — built
+    // once untimed, each pass times one served query
+    val bm25IdxDir: String =
+      if (mode != "bm25idx_serve") null
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-bm25-").toString
+        graft.similarity.Bm25IndexStore.writeBm25Index(
+          spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id", nBuckets = 64)
+        d
+      }
     // compact modes measure only the inner rewrite-and-swap; the
     // per-pass index setup runs inside run() but outside the slope
     var overrideSec: Option[Double] = None
     def run(): Long = mode match {
+      case "bm25idx_build" =>
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-bm25-b-").toString
+        graft.similarity.Bm25IndexStore.writeBm25Index(
+          spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id", nBuckets = 64)
+        0L
+      case "bm25idx_serve" =>
+        graft.similarity.Bm25IndexStore.serveBm25TopK(
+          spark, bm25IdxDir, Seq("spark", "join", "window"), k = 20, roundTo = 6)
+          .collect().length.toLong
       case "dedupidx_compact" =>
         val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-c-").toString
         val corpus = spark.read.parquet(s"$dir/documents.parquet")

@@ -451,6 +451,34 @@ object SparkEntry {
       d
     })
 
+  /** The STREAMING-INGESTED BM25 index: even half built batch, the odd
+    * half arriving as a 3-file drop directory drained by the
+    * checkpointed AvailableNow stream (one file per micro-batch, both
+    * artifacts landing in batch-scoped delta dirs). Index contents
+    * equal the one-shot full build, so serving shares its exact
+    * oracle — the exactly-once claim under the DuckDB gate. */
+  private val bm25StreamIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25StreamIndexDirFor(s: SparkSession, dir: String): String =
+    bm25StreamIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bm25-index-stream-").toString
+      val docsTbl = tbl(s, dir, "documents")
+      graft.similarity.Bm25IndexStore.writeBm25Index(
+        docsTbl.filter(col("doc_id") % 2 === 0), d, "text", "doc_id", nBuckets = 16)
+      val drop = java.nio.file.Files.createTempDirectory("graft-bm25-drop-").toString
+      val delta = docsTbl.filter(col("doc_id") % 2 =!= 0)
+      for (slice <- 0 until 3)
+        delta.filter(col("doc_id") % 6 === (1 + 2 * slice))
+          .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice$slice")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-ingest-ckpt-").toString
+      val stream = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+      val q = graft.similarity.Bm25IndexStore
+        .streamAppendToBm25Index(stream, d, ckpt, "text", "doc_id")
+      try q.awaitTermination()
+      finally q.stop()
+      d
+    })
+
   /** The BM25 index with a takedown applied: doc_id%9==4 tombstoned out
     * of a COPY of the base artifacts (a takedown never re-tokenizes). */
   private val bm25DeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2903,6 +2931,17 @@ ORDER BY doc_id, token""")
     "q_bm25_served_delete" -> ((s, dir) =>
       graft.similarity.Bm25IndexStore
         .serveBm25TopK(s, bm25DeletedIndexDirFor(s, dir),
+          Seq("spark", "join", "window"), k = 20, roundTo = 6)
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
+    // ...and the STREAMING-INGESTED index: even half batch-built, odd
+    // half drained file-per-micro-batch through the checkpointed
+    // exactly-once sink into batch-scoped delta dirs. Index contents
+    // equal the one-shot full build — so serving this index under the
+    // one-shot oracle IS the exactly-once claim under the DuckDB gate
+    "q_stream_bm25_ingest" -> ((s, dir) =>
+      graft.similarity.Bm25IndexStore
+        .serveBm25TopK(s, bm25StreamIndexDirFor(s, dir),
           Seq("spark", "join", "window"), k = 20, roundTo = 6)
         .orderBy(col("score").desc, col("doc_id").asc)),
 
@@ -5913,6 +5952,10 @@ GROUP BY label, i ORDER BY label, dim""",
     // removing the docs from the corpus outright — logical-delete
     // serving must equal that rebuilt-without world
     "q_bm25_served_delete" -> bm25Sql(" WHERE doc_id % 9 <> 4"),
+
+    // streaming-ingested index contents equal the one-shot build —
+    // shared oracle is the exactly-once claim under the DuckDB gate
+    "q_stream_bm25_ingest" -> bm25Sql(),
 
     // bookkeeping on the %9==4-takedown index: physical doc count,
     // tombstones, distinct (token, doc) posting rows, and the fnv

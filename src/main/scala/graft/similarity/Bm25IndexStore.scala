@@ -89,13 +89,19 @@ object Bm25IndexStore {
     Seq((model, nBuckets)).toDF("model", "n_buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     writeArtifacts(corpus, path, textCol, idCol, model, nBuckets,
-      postingsMode = "overwrite", doclensSub = "")
+      postingsMode = "overwrite", postingsDelta = "", doclensSub = "")
     refreshStats(spark, path)
   }
 
-  /** Tokenize once into `_tokens`, derive postings + doclens from the
-    * written files, drop the dump. `explode_outer` keeps token-less
-    * documents as null-token rows so doclens counts every document. */
+  /** Tokenize once into a transient dump, derive postings + doclens from
+    * the written files, drop the dump. `explode_outer` keeps token-less
+    * documents as null-token rows so doclens counts every document.
+    * `postingsDelta` non-empty routes posting rows to a batch-scoped
+    * `postings_deltas/<name>` dir with `tok_bucket` as a DATA column
+    * (streaming ingest can't append into a partition tree idempotently;
+    * delta rows get the pushed tok_bucket filter instead of directory
+    * pruning until a compaction folds them in — delta-class by the
+    * operating contract). */
   private def writeArtifacts(
       docs: DataFrame,
       path: String,
@@ -104,9 +110,11 @@ object Bm25IndexStore {
       model: String,
       nBuckets: Int,
       postingsMode: String,
+      postingsDelta: String,
       doclensSub: String): Unit = {
     val spark = docs.sparkSession
-    val dump = s"$path/_tokens"
+    val dump =
+      if (postingsDelta.isEmpty) s"$path/_tokens" else s"$path/_tokens-$postingsDelta"
     docs.select(
         col(idCol).as("doc_id"),
         Tokenize.tokenStrings(col(textCol), model).as("toks"))
@@ -114,15 +122,30 @@ object Bm25IndexStore {
         explode_outer(col("toks")).as("token"))
       .write.mode("overwrite").parquet(dump)
     val exploded = spark.read.parquet(dump)
-    exploded.filter(col("token").isNotNull)
+    val postings = exploded.filter(col("token").isNotNull)
       .groupBy(bucketCol(col("token"), nBuckets).as("tok_bucket"),
         col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .write.partitionBy("tok_bucket").mode(postingsMode).parquet(s"$path/postings")
+    if (postingsDelta.isEmpty)
+      postings.write.partitionBy("tok_bucket").mode(postingsMode).parquet(s"$path/postings")
+    else
+      postings.write.mode("overwrite").parquet(s"$path/postings_deltas/$postingsDelta")
     val dlSub = if (doclensSub.isEmpty) "" else s"/$doclensSub"
     exploded.select(col("doc_id"), col("dl")).distinct()
       .write.mode("overwrite").parquet(s"$path/doclens$dlSub")
-    graft.util.ArtifactTree.remove(spark, path, "_tokens")
+    graft.util.ArtifactTree.remove(
+      spark, path, dump.substring(path.length + 1))
+  }
+
+  /** The full posting-row view: the bucket-partitioned main tree plus
+    * any streaming-delta subtree (where `tok_bucket` is a data column —
+    * schema-aligned union). */
+  private def readPostings(spark: SparkSession, path: String): DataFrame = {
+    val main = spark.read.parquet(s"$path/postings")
+    graft.util.ArtifactTree.readOptional(spark, path, "postings_deltas") match {
+      case None => main
+      case Some(d) => main.unionByName(d)
+    }
   }
 
   /** Recompute the one-row stats artifact from the doclens tree (build
@@ -155,8 +178,37 @@ object Bm25IndexStore {
     val m = readMeta(spark, path)
     val sub = s"append-${java.util.UUID.randomUUID().toString.take(8)}"
     writeArtifacts(newDocs, path, textCol, idCol, m.model, m.nBuckets,
-      postingsMode = "append", doclensSub = sub)
+      postingsMode = "append", postingsDelta = "", doclensSub = sub)
     refreshStats(spark, path)
+  }
+
+  /** Streaming delta ingest — the production shape of
+    * [[appendToBm25Index]]: document deltas arrive as a stream and land
+    * exactly once. Each micro-batch tokenizes under the PERSISTED
+    * config and writes BOTH artifacts to batch-id-scoped directories
+    * with overwrite semantics (the idempotent-sink construction the ANN
+    * and dedup stores proved): a batch replayed after a crash —
+    * including one that died between the two writes — rewrites the same
+    * directories. The stats row is re-derived from the doclens tree
+    * after each batch, so it converges under replay too. */
+  def streamAppendToBm25Index(
+      deltas: DataFrame,
+      path: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = readMeta(deltas.sparkSession, path)
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeArtifacts(batch, path, textCol, idCol, m.model, m.nBuckets,
+          postingsMode = "", postingsDelta = s"delta-$batchId",
+          doclensSub = s"delta-$batchId")
+        refreshStats(batch.sparkSession, path)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 
   /** Tombstone documents out of the index — the takedown job. Logical
@@ -189,7 +241,7 @@ object Bm25IndexStore {
     val tomb = tombstones(spark, path)
 
     val buckets = terms.map(bucketOf(_, m.nBuckets)).distinct
-    val hit0 = spark.read.parquet(s"$path/postings")
+    val hit0 = readPostings(spark, path)
       .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*) &&
         col("token").isin(terms: _*))
     // exclusion rides an anti-join AFTER the pruned scan (a filter
@@ -255,9 +307,20 @@ object Bm25IndexStore {
       case None => identity
       case Some(t) => df => df.join(t, Seq("doc_id"), "left_anti")
     }
-    graft.util.ArtifactTree.compact(spark, path, "postings", targetFiles, drop,
+    // fold streaming deltas into the partitioned main tree; `distinct`
+    // makes a re-fold harmless (posting rows are unique by construction,
+    // so duplicates only exist if a prior compaction crashed between the
+    // swap and the delta removal below — the recovery is exact)
+    val deltas = graft.util.ArtifactTree.readOptional(spark, path, "postings_deltas")
+    val foldPostings: DataFrame => DataFrame = src =>
+      drop(deltas.fold(src)(d => src.unionByName(d)).distinct())
+    graft.util.ArtifactTree.compact(spark, path, "postings", targetFiles, foldPostings,
       partitionCols = Seq("tok_bucket"))
-    graft.util.ArtifactTree.compact(spark, path, "doclens", targetFiles, drop)
+    if (deltas.nonEmpty) graft.util.ArtifactTree.remove(spark, path, "postings_deltas")
+    // doclens deltas nest INSIDE the doclens tree, so the swap folds
+    // them atomically; distinct for the same crash-recovery class
+    graft.util.ArtifactTree.compact(spark, path, "doclens", targetFiles,
+      df => drop(df.distinct()))
     graft.util.ArtifactTree.remove(spark, path, "tombstones")
     refreshStats(spark, path)
   }
@@ -272,7 +335,7 @@ object Bm25IndexStore {
       case None => nDocs.sparkSession.range(1).select(lit(0L).as("n_tombstones"))
       case Some(t) => t.select(count(lit(1)).as("n_tombstones"))
     }
-    val post = spark.read.parquet(s"$path/postings")
+    val post = readPostings(spark, path)
       .groupBy("tok_bucket").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum("n"), lit(0L)).as("n_postings"),
         count(lit(1)).as("n_buckets_used"),

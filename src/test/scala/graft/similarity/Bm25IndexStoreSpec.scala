@@ -69,6 +69,52 @@ class Bm25IndexStoreSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("In(token"), plan)
   }
 
+  test("streaming ingest lands exactly once across a mid-stream crash") {
+    import spark.implicits._
+    val oneShot = newIndex(docs)
+    val inc = newIndex(docs.filter(col("doc_id") % 2 === 0))
+    // the odd half staged as three files → three micro-batches
+    val drop = java.nio.file.Files.createTempDirectory("graft-bm25-drop-").toString
+    for (slice <- 0 until 3)
+      docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 6 === (1 + 2 * slice))
+        .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice$slice")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-ckpt-").toString
+    val schema = docs.schema
+
+    def ingest(kill: Boolean) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+      val gated =
+        if (kill)
+          stream.filter(udf { (id: Long) =>
+            if (id % 6 == 3) throw new RuntimeException("injected mid-ingest failure")
+            true
+          }.apply(col("doc_id")))
+        else stream
+      Bm25IndexStore.streamAppendToBm25Index(gated, inc, ckpt, "text", "doc_id")
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ingest(kill = true).awaitTermination()
+    }
+    assert(Bm25IndexStore.readDoclens(spark, inc).count() < docs.count(),
+      "crash must leave the ingest incomplete")
+    val q2 = ingest(kill = false)
+    try q2.awaitTermination()
+    finally q2.stop()
+
+    // no duplicated, no dropped documents; served results equal the
+    // one-shot build bit-for-bit (N, avgdl, df(t), scores, ranks)
+    val ids = Bm25IndexStore.readDoclens(spark, inc).select("doc_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "every doc exactly once")
+    assert(serve(inc) == serve(oneShot))
+
+    // compaction folds the delta subtree into the partitioned main tree
+    Bm25IndexStore.compactBm25Index(spark, inc, targetFiles = 2)
+    assert(!graft.util.ArtifactTree.exists(spark, inc, "postings_deltas"),
+      "compaction must remove the postings delta subtree")
+    assert(serve(inc) == serve(oneShot), "serving unchanged by compaction")
+  }
+
   test("bucket routing: driver-side bucketOf matches the engine's column expression") {
     import spark.implicits._
     val toks = Seq("spark", "join", "window", "the", "zebra").toDF("token")

@@ -168,7 +168,10 @@ object Bm25IndexStore {
   /** Incremental maintenance: tokenize NEW documents under the
     * PERSISTED config and append — posting rows land inside the
     * existing `tok_bucket=` partition tree, doclens in a delta subdir,
-    * and the stats row is refreshed. Delta-sized tokenize cost. */
+    * and the stats row is refreshed. Delta-sized tokenize cost. Ids
+    * must be NEW (same contract as the other stores): re-appending a
+    * live id duplicates its posting rows, inflating df(t) and N —
+    * replacing a document is delete → compact → append. */
   def appendToBm25Index(
       newDocs: DataFrame,
       path: String,
@@ -213,7 +216,10 @@ object Bm25IndexStore {
 
   /** Tombstone documents out of the index — the takedown job. Logical
     * delete, EXACT serving (see object doc); physical rows leave at the
-    * next [[compactBm25Index]]. */
+    * next [[compactBm25Index]]. The tombstone set is DELTA-CLASS by the
+    * same operating contract as the other two stores (serving
+    * broadcasts it into the anti-joins) — mass deletions should go
+    * straight to a compaction. */
   def deleteFromBm25Index(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit =
     ids.select(col(idCol).as("doc_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")

@@ -639,9 +639,19 @@ object Dedup {
     * component minimum, so labels are deterministic and identical to
     * what min-label propagation produces. Each round is bounded
     * shuffle algebra (a min-aggregate + an equi-join + a distinct per
-    * star op) with NO per-node state growth — unlike hash-to-min,
-    * where the minimum node's row accumulates its whole component (a
-    * skew bomb for web-scale duplicate groups).
+    * star op) with no UNSPILLABLE per-node state — unlike hash-to-min,
+    * where the minimum node accumulates its whole component into ONE
+    * row (a true OOM bomb for web-scale duplicate groups). The caveat
+    * worth stating: the per-node neighborhood min rides a
+    * `Window.partitionBy(u)` with no orderBy, and WindowExec buffers
+    * (and, under pressure, SPILLS) each node's partition — as
+    * contraction proceeds, the component-minimum node's symmetrized
+    * neighborhood grows toward component size, so a mega-component's
+    * root is a per-node skew hotspot of the spill/stragglers class,
+    * not the single-row-OOM class. If that skew ever dominates, the
+    * min can be computed as a groupBy partial aggregate (map-side
+    * combine, no row buffering) + join-back at the price of a second
+    * exchange per star op.
     *
     * Convergence detection: each round's edge set is lazily
     * `localCheckpoint`ed and ONE driver action computes its
@@ -749,20 +759,6 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
 
-  /** Quality-ranked survivor selection: keep, from each duplicate
-    * cluster, the member that maximizes `scoreCol` (ties broken by
-    * smallest id — fully deterministic), plus every document that
-    * appears in no cluster. The production representative policy:
-    * near-dup groups usually hold truncated/boilerplate variants of one
-    * page, and curation keeps the fullest or highest-quality version,
-    * not the one with the smallest id (RefinedWeb/Dolma keep-longest
-    * posture).
-    *
-    * Scale shape: cluster resolution is pair-domain-sized (only docs
-    * that appear in a pair enter [[connectedComponents]]); the argmax
-    * is one window PARTITIONED by cluster_id over that small relation;
-    * the corpus is touched exactly once, on the final left-anti probe
-    * — same budget as the min-id survivors path. */
   /** Snapshot diff — the change-detection pass an incremental curation
     * pipeline runs between corpus deliveries: classify every id as
     * `added` / `removed` / `changed` / `unchanged` by content hash, so
@@ -790,6 +786,20 @@ object Dedup {
       .select(col(idCol), col("status"))
   }
 
+  /** Quality-ranked survivor selection: keep, from each duplicate
+    * cluster, the member that maximizes `scoreCol` (ties broken by
+    * smallest id — fully deterministic), plus every document that
+    * appears in no cluster. The production representative policy:
+    * near-dup groups usually hold truncated/boilerplate variants of one
+    * page, and curation keeps the fullest or highest-quality version,
+    * not the one with the smallest id (RefinedWeb/Dolma keep-longest
+    * posture).
+    *
+    * Scale shape: cluster resolution is pair-domain-sized (only docs
+    * that appear in a pair enter [[connectedComponents]]); the argmax
+    * is one window PARTITIONED by cluster_id over that small relation;
+    * the corpus is touched exactly once, on the final left-anti probe
+    * — same budget as the min-id survivors path. */
   def survivorsByQuality(
       docs: DataFrame,
       pairs: DataFrame,

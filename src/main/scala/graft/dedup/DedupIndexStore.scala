@@ -95,22 +95,36 @@ object DedupIndexStore {
   /** Incremental maintenance: sign NEW documents under the PERSISTED
     * config (never the caller's — a config drift would silently break
     * every future probe) and append. Cost is one elementwise scan over
-    * the delta only. */
+    * the delta only.
+    *
+    * Crash posture — the streaming sink's batch-scoped idempotent
+    * construction, applied to the batch job: BOTH artifacts land in
+    * `append-<batchId>` subdirectories with OVERWRITE semantics, so an
+    * append that crashed anywhere (including between the signatures
+    * and bands commits, the window where probes would band-match docs
+    * whose signatures the estimator join then drops) is healed by
+    * RE-RUNNING it with the SAME `batchId` — the retry rewrites the
+    * same directories and can never duplicate rows (a duplicate
+    * signature row would silently multiply probe output pairs).
+    * Callers that want that retry must pass a stable `batchId`; the
+    * default draws a fresh UUID, making the single successful call
+    * exactly-once but a blind retry a duplicate. */
   def appendToDedupIndex(
       newDocs: DataFrame,
       path: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id",
+      batchId: String = ""): Unit = {
     val spark = newDocs.sparkSession
     val m = readMeta(spark, path)
     // same sign-once discipline as the build: the delta lands in its own
     // signatures subdirectory (the recursive readers flatten it; a
     // compaction folds it away) and bands derive from the written files
-    val sub = s"append-${java.util.UUID.randomUUID().toString.take(8)}"
+    val id = if (batchId.nonEmpty) batchId else java.util.UUID.randomUUID().toString.take(8)
     Dedup.minHashSignatures(newDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-      .write.mode("overwrite").parquet(s"$path/signatures/$sub")
-    bandRows(spark.read.parquet(s"$path/signatures/$sub"), m.bands)
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("overwrite").parquet(s"$path/signatures/append-$id")
+    bandRows(spark.read.parquet(s"$path/signatures/append-$id"), m.bands)
+      .write.mode("overwrite").parquet(s"$path/bands/append-$id")
   }
 
   /** Streaming delta ingest: document deltas arrive as a stream and land

@@ -33,6 +33,10 @@ import graft.text.Tokenize
   *     exact (stats are recomputed net of tombstones),
   *   - `stats/`: one row `(n_docs, n_tokens)` — the tombstone-free fast
   *     path (no corpus-sized scan per query),
+  *   - `stats_net/` (optional, maintained by [[deleteFromBm25Index]]):
+  *     one row `(n_docs, n_tokens, n_tombstones)` net of the current
+  *     tombstone set — the pending-takedown fast path, self-validated
+  *     by the tombstone-count stamp,
   *   - `tombstones/` (optional): `(doc_id)` — logical deletes.
   *
   * The serving plan is the scale contract: a query for `t` terms reads
@@ -50,11 +54,14 @@ import graft.text.Tokenize
   *
   * Takedowns ([[deleteFromBm25Index]]) are logical and EXACT: postings
   * exclude tombstoned docs before `df(t)` is counted, and `N`/`avgdl`
-  * are recomputed from `doclens` net of tombstones — served results
-  * equal an index rebuilt without the deleted documents (spec- and
-  * oracle-pinned). The price of exactness is one `doclens` scan per
-  * query while tombstones exist (documented: `doclens` is two longs per
-  * document, and the debt clears at the next [[compactBm25Index]]). */
+  * come from the `stats_net` cache the delete maintains (net of
+  * tombstones, validated per query against the live tombstone count —
+  * a bounded job on the delta-class tombstone set; a stale cache from
+  * a crashed delete fails the stamp and serving recomputes from
+  * `doclens` exactly). Served results equal an index rebuilt without
+  * the deleted documents in every state (spec- and oracle-pinned), and
+  * the pending-takedown serve plan touches no corpus-sized artifact
+  * beyond its own pruned postings read. */
 object Bm25IndexStore {
 
   case class Bm25IndexMeta(model: String, nBuckets: Int)
@@ -149,12 +156,40 @@ object Bm25IndexStore {
   }
 
   /** Recompute the one-row stats artifact from the doclens tree (build
-    * and append both end here; maintenance-class cost). */
+    * and append both end here; maintenance-class cost). While takedowns
+    * are pending, the net-of-tombstones serving cache is refreshed in
+    * the same job class — an append changes `N`/`avgdl` whether or not
+    * tombstones exist. */
   private def refreshStats(spark: SparkSession, path: String): Unit = {
     readDoclens(spark, path)
       .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
       .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    if (tombstones(spark, path).nonEmpty) refreshNetStats(spark, path)
   }
+
+  /** Maintain `stats_net/` — the net-of-tombstones serving-stats cache
+    * that spares every pending-takedown query its own corpus-sized
+    * doclens scan: one row `(n_docs, n_tokens, n_tombstones)` computed
+    * net of the CURRENT tombstone set, with the distinct tombstone
+    * count stored alongside as the cache's own validity stamp.
+    * [[serveBm25TopK]] accepts the cached row only when the stamp
+    * equals the live tombstone count (a bounded job on the delta-class
+    * tombstone artifact it reads anyway), so a delete or append that
+    * crashed before this refresh can never serve stale constants — the
+    * stale cache fails validation and serving falls back to the exact
+    * doclens recompute. Maintenance-class: one doclens scan per
+    * delete/append, not per query. */
+  private def refreshNetStats(spark: SparkSession, path: String): Unit =
+    tombstones(spark, path) match {
+      case None =>
+        graft.util.ArtifactTree.remove(spark, path, "stats_net")
+      case Some(t) =>
+        val nTomb = t.distinct().count()
+        readDoclens(spark, path).join(broadcast(t), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
+          .withColumn("n_tombstones", lit(nTomb))
+          .repartition(1).write.mode("overwrite").parquet(s"$path/stats_net")
+    }
 
   def readMeta(spark: SparkSession, path: String): Bm25IndexMeta = {
     val rows = spark.read.parquet(s"$path/meta").collect()
@@ -166,22 +201,37 @@ object Bm25IndexStore {
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/doclens")
 
   /** Incremental maintenance: tokenize NEW documents under the
-    * PERSISTED config and append — posting rows land inside the
-    * existing `tok_bucket=` partition tree, doclens in a delta subdir,
-    * and the stats row is refreshed. Delta-sized tokenize cost. Ids
-    * must be NEW (same contract as the other stores): re-appending a
-    * live id duplicates its posting rows, inflating df(t) and N —
-    * replacing a document is delete → compact → append. */
+    * PERSISTED config and append. Delta-sized tokenize cost. Ids must
+    * be NEW (same contract as the other stores): re-appending a live
+    * id duplicates its posting rows, inflating df(t) and N — replacing
+    * a document is delete → compact → append.
+    *
+    * Crash posture — the batch append reuses the streaming sink's
+    * batch-scoped idempotent construction: BOTH artifacts land in
+    * `append-<batchId>` delta directories with overwrite semantics, so
+    * an append that crashed anywhere (including between the postings
+    * and doclens commits, the window where df(t) counts docs that
+    * `N`/`avgdl` miss) is healed by RE-RUNNING it with the SAME
+    * `batchId` — the retry rewrites the same directories, never
+    * duplicating rows. Callers that want that retry must pass a stable
+    * `batchId` (the default draws a fresh UUID, which makes the single
+    * successful call exactly-once but a blind retry a duplicate).
+    * Until the retry lands, serving may undercount the half-appended
+    * delta; it cannot double-count. Posting rows go to the delta
+    * subtree (a data-column `tok_bucket` with the pushed filter), not
+    * the live partition tree — delta-class until [[compactBm25Index]]
+    * folds them in, exactly like streaming ingest. */
   def appendToBm25Index(
       newDocs: DataFrame,
       path: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id",
+      batchId: String = ""): Unit = {
     val spark = newDocs.sparkSession
     val m = readMeta(spark, path)
-    val sub = s"append-${java.util.UUID.randomUUID().toString.take(8)}"
+    val id = if (batchId.nonEmpty) batchId else java.util.UUID.randomUUID().toString.take(8)
     writeArtifacts(newDocs, path, textCol, idCol, m.model, m.nBuckets,
-      postingsMode = "append", postingsDelta = "", doclensSub = sub)
+      postingsMode = "", postingsDelta = s"append-$id", doclensSub = s"append-$id")
     refreshStats(spark, path)
   }
 
@@ -219,10 +269,18 @@ object Bm25IndexStore {
     * next [[compactBm25Index]]. The tombstone set is DELTA-CLASS by the
     * same operating contract as the other two stores (serving
     * broadcasts it into the anti-joins) — mass deletions should go
-    * straight to a compaction. */
-  def deleteFromBm25Index(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit =
+    * straight to a compaction. The net-of-tombstones serving-stats
+    * cache is refreshed here (one doclens scan per DELETE instead of
+    * per query); a crash between the tombstone append and the refresh
+    * leaves a stale cache that serving's validity stamp rejects (exact
+    * fallback), and re-running the delete is idempotent — tombstone
+    * duplicates are harmless to the anti-joins and the stamp counts
+    * distinct ids. */
+  def deleteFromBm25Index(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit = {
     ids.select(col(idCol).as("doc_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+    refreshNetStats(ids.sparkSession, path)
+  }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
     graft.util.ArtifactTree.readOptional(spark, path, "tombstones")
@@ -257,23 +315,37 @@ object Bm25IndexStore {
     val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
     // corpus constants: the tombstone-free path reads the one-row stats
-    // artifact; pending takedowns recompute from doclens net of
-    // tombstones so served results equal a rebuild without the deleted
-    // docs (the documented pre-compaction price)
+    // artifact; pending takedowns read the one-row stats_net cache
+    // maintained by deleteFromBm25Index, accepted only when its
+    // tombstone-count stamp matches the live set (so a crashed delete/
+    // append can't serve stale constants) — the validated cache and the
+    // exact fallback both equal a rebuild without the deleted docs
     val statsRow = tomb match {
       case None =>
         spark.read.parquet(s"$path/stats").head()
       case Some(t) =>
-        readDoclens(spark, path).join(broadcast(t), Seq("doc_id"), "left_anti")
-          .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
-          .head()
+        val nTomb = t.distinct().count()
+        graft.util.ArtifactTree.readOptional(spark, path, "stats_net")
+          .map(_.head())
+          .filter(_.getAs[Long]("n_tombstones") == nTomb)
+          .getOrElse(
+            readDoclens(spark, path).join(broadcast(t), Seq("doc_id"), "left_anti")
+              .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
+              .head())
     }
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = if (nDocs == 0L) 0.0 else statsRow.getAs[Long]("n_tokens").toDouble / nDocs
 
     // df(t): ≤ |terms| rows to the driver — the same bounded barrier
-    // class as the in-session operator's one-row constants aggregate
-    val dfs = hits.groupBy("token").agg(count(lit(1)).as("df"))
+    // class as the in-session operator's one-row constants aggregate.
+    // DISTINCT doc_id, which is df's definition — and what makes serving
+    // immune to duplicate posting rows in the one crash window that can
+    // produce them (a compaction that died after the postings swap but
+    // before the folded postings_deltas removal: readPostings unions the
+    // already-folded delta rows with the new tree until the compaction
+    // is re-run; the per-doc pivot below is max/first-based, so scores
+    // stay EXACT across that window rather than silently double-counted)
+    val dfs = hits.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
 
     // pivot to per-term columns so the float fold runs in sorted-term
@@ -303,11 +375,18 @@ object Bm25IndexStore {
   }
 
   /** Fold pending tombstones into postings and doclens physically,
-    * refresh stats, clear the tombstones — after this the per-query
-    * doclens scan stops and serving returns to the one-row stats path.
-    * The postings rewrite PRESERVES the `tok_bucket=` partition tree
-    * that serving's static pruning reads. Crash posture:
-    * [[graft.util.ArtifactTree]]. */
+    * refresh stats, clear the tombstones — serving returns to the
+    * one-row stats path and the stats_net cache is retired. The
+    * postings rewrite PRESERVES the `tok_bucket=` partition tree that
+    * serving's static pruning reads. Crash posture: the swap itself is
+    * [[graft.util.ArtifactTree]]'s; a crash AFTER the postings swap but
+    * BEFORE the postings_deltas removal leaves the folded delta rows
+    * visible twice through [[readPostings]] until the compaction is
+    * re-run — a window [[serveBm25TopK]] serves EXACTLY through anyway
+    * (distinct-doc df, max/first per-doc pivot; see the df comment
+    * there), and the re-run's `distinct()` heals physically. Only the
+    * ops counters ([[describeBm25Index]]'s `n_postings`/bucket sizes)
+    * read inflated in that window. */
   def compactBm25Index(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
     val drop: DataFrame => DataFrame = tombstones(spark, path) match {
       case None => identity
@@ -328,6 +407,7 @@ object Bm25IndexStore {
     graft.util.ArtifactTree.compact(spark, path, "doclens", targetFiles,
       df => drop(df.distinct()))
     graft.util.ArtifactTree.remove(spark, path, "tombstones")
+    graft.util.ArtifactTree.remove(spark, path, "stats_net")
     refreshStats(spark, path)
   }
 
@@ -339,7 +419,8 @@ object Bm25IndexStore {
     val nDocs = readDoclens(spark, path).select(count(lit(1)).as("n_docs"))
     val nTomb = tombstones(spark, path) match {
       case None => nDocs.sparkSession.range(1).select(lit(0L).as("n_tombstones"))
-      case Some(t) => t.select(count(lit(1)).as("n_tombstones"))
+      // distinct: delete retries may append duplicate tombstone rows
+      case Some(t) => t.select(countDistinct(col("doc_id")).as("n_tombstones"))
     }
     val post = readPostings(spark, path)
       .groupBy("tok_bucket").agg(count(lit(1)).as("n"))

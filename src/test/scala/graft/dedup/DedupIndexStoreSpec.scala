@@ -66,6 +66,24 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(probeSet(probes, inc) == probeSet(probes, oneShot))
   }
 
+  test("append retried with the same batchId is idempotent") {
+    val oneShot = tmp("graft-dedupidx-one2-")
+    buildCfg(docs.filter($"doc_id" % 3 =!= 0), oneShot)
+    val inc = tmp("graft-dedupidx-retry-")
+    buildCfg(docs.filter($"doc_id" % 3 === 1), inc)
+    val delta = docs.filter($"doc_id" % 3 === 2)
+    DedupIndexStore.appendToDedupIndex(delta, inc, "text", "doc_id", batchId = "retry-me")
+    // the blind retry after a presumed crash: same batch id rewrites the
+    // same subdirectories — no duplicate signature or band rows, so probe
+    // output pairs are not multiplied
+    DedupIndexStore.appendToDedupIndex(delta, inc, "text", "doc_id", batchId = "retry-me")
+    assert(DedupIndexStore.readSignatures(spark, inc).count() ==
+      DedupIndexStore.readSignatures(spark, oneShot).count(),
+      "retried append must not duplicate signature rows")
+    val probes = docs.filter($"doc_id" % 3 === 0)
+    assert(probeSet(probes, inc) == probeSet(probes, oneShot))
+  }
+
   test("oversized buckets are dropped whole at probe time") {
     val same = "the quick brown fox jumps over the lazy dog again and again"
     val indexed = ((1L to 6L).map(i => (i, same)) :+ (7L -> "completely unrelated content"))

@@ -115,6 +115,73 @@ class Bm25IndexStoreSpec extends SparkSpec {
     assert(serve(inc) == serve(oneShot), "serving unchanged by compaction")
   }
 
+  test("batch append retried with the same batchId is idempotent") {
+    val dir = newIndex(docs.filter(col("doc_id") % 2 === 0))
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    Bm25IndexStore.appendToBm25Index(delta, dir, batchId = "retry-me")
+    val once = serve(dir)
+    val nDocs = Bm25IndexStore.describeBm25Index(spark, dir).head().getAs[Long]("n_docs")
+    // the blind retry after a presumed crash: same batch id rewrites the
+    // same delta directories — rows land exactly once
+    Bm25IndexStore.appendToBm25Index(delta, dir, batchId = "retry-me")
+    assert(serve(dir) == once, "retried append must not change served results")
+    val d2 = Bm25IndexStore.describeBm25Index(spark, dir).head()
+    assert(d2.getAs[Long]("n_docs") == nDocs, "retried append must not duplicate doclens")
+    assert(serve(dir) == serve(newIndex(docs)), "append still equals the one-shot build")
+  }
+
+  test("serving is exact through the compaction crash window (deltas visible twice)") {
+    val dir = newIndex(docs.filter(col("doc_id") % 2 === 0))
+    Bm25IndexStore.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0), dir)
+    val clean = serve(dir)
+    // snapshot the delta rows, compact (folds them into the main tree and
+    // removes the delta subtree), then resurrect the delta directory —
+    // the half-state a compaction crash between the postings swap and the
+    // postings_deltas removal leaves behind: every delta posting row is
+    // now visible TWICE through readPostings
+    val deltas = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings_deltas")
+    val rows = deltas.collect().toIndexedSeq
+    val schema = deltas.schema
+    Bm25IndexStore.compactBm25Index(spark, dir, targetFiles = 2)
+    assert(!graft.util.ArtifactTree.exists(spark, dir, "postings_deltas"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.parquet(s"$dir/postings_deltas/append-resurrected")
+    // distinct-doc df + max/first pivot: scores bit-identical, not doubled
+    assert(serve(dir) == clean, "crash-window serving must not double-count df(t)")
+    // re-running the compaction heals the window physically
+    Bm25IndexStore.compactBm25Index(spark, dir, targetFiles = 2)
+    assert(!graft.util.ArtifactTree.exists(spark, dir, "postings_deltas"))
+    assert(serve(dir) == clean)
+  }
+
+  test("pending-takedown serving reads the stats_net cache, never doclens") {
+    val gone = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+    val rebuilt = serve(newIndex(docs.filter(col("doc_id") % 4 =!= 1)))
+    val dir = newIndex(docs)
+    Bm25IndexStore.deleteFromBm25Index(gone, dir)
+    // the behavioral pin: with the corpus-sized doclens artifact GONE,
+    // serving still answers exactly — proof the per-query doclens scan
+    // is no longer on the pending-delete path
+    graft.util.ArtifactTree.remove(spark, dir, "doclens")
+    assert(serve(dir) == rebuilt, "stats_net must carry the pending-delete serve")
+  }
+
+  test("a stale stats_net cache fails its stamp and serving falls back exactly") {
+    val gone = docs.filter(col("doc_id") % 4 === 1).select("doc_id")
+    val rebuilt = serve(newIndex(docs.filter(col("doc_id") % 4 =!= 1)))
+    val dir = newIndex(docs)
+    Bm25IndexStore.deleteFromBm25Index(gone, dir)
+    // simulate the crashed-delete half-state: tombstones grew but the
+    // cache refresh never ran — stamp the cache with a wrong count
+    val stale = spark.read.parquet(s"$dir/stats_net")
+      .withColumn("n_tombstones", lit(-1L))
+    val staleRows = stale.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(staleRows), stale.schema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/stats_net")
+    assert(serve(dir) == rebuilt, "stamp mismatch must fall back to the exact doclens path")
+  }
+
   test("bucket routing: driver-side bucketOf matches the engine's column expression") {
     import spark.implicits._
     val toks = Seq("spark", "join", "window", "the", "zebra").toDF("token")

@@ -62,10 +62,12 @@ object ScaleProbe {
             corpus.filter(col("doc_id") % 5 === 1).select("doc_id"), d)
         d
       }
-    // bm25 serve mode: the inverted index is a build artifact — built
-    // once untimed, each pass times one served query
+    // bm25 serve/skew modes: the inverted index is a build artifact —
+    // built once untimed, each pass times one served query (or batch),
+    // or reads the bucket distribution
     val bm25IdxDir: String =
-      if (mode != "bm25idx_serve") null
+      if (mode != "bm25idx_serve" && mode != "bm25idx_buckets" &&
+          !mode.startsWith("bm25idx_serve_batch:")) null
       else {
         val d = java.nio.file.Files.createTempDirectory("graft-scale-bm25-").toString
         graft.similarity.Bm25IndexStore.writeBm25Index(
@@ -85,6 +87,42 @@ object ScaleProbe {
         graft.similarity.Bm25IndexStore.serveBm25TopK(
           spark, bm25IdxDir, Seq("spark", "join", "window"), k = 20, roundTo = 6)
           .collect().length.toLong
+      case m if m.startsWith("bm25idx_serve_batch:") =>
+        // batched serving: n two-term queries cycling a fixed corpus-word
+        // pool through ONE join-shaped plan — the per-query-cost-vs-batch-
+        // size measurement behind serveBm25TopKBatch's amortization claim
+        val n = m.stripPrefix("bm25idx_serve_batch:").toInt
+        import spark.implicits._
+        val pool = Vector("spark", "join", "window", "scan", "filter", "sort",
+          "merge", "hash", "batch", "table", "value", "query", "stream", "group",
+          "order", "column", "data", "row", "key", "line", "part", "customer",
+          "agg", "fast")
+        val batch = (0 until n).map(i => (i.toLong,
+            Seq(pool(2 * i % pool.length), pool((2 * i + 1) % pool.length))))
+          .toDF("query_id", "terms")
+        graft.similarity.Bm25IndexStore
+          .serveBm25TopKBatch(batch, bm25IdxDir, k = 20, roundTo = 6)
+          .count()
+      case "bm25idx_buckets" =>
+        // the hot-token skew signal: per-bucket posting-row distribution
+        // of the fnv(token)-routed partition tree, plus the fattest
+        // tokens (at corpus scale a stopword-class token makes its
+        // bucket arbitrarily fat — this mode is what decides whether
+        // sub-bucketing is needed)
+        val post = spark.read.parquet(s"$bm25IdxDir/postings")
+        val d = post.groupBy("tok_bucket").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), min("n").as("mn"),
+            expr("percentile(n, 0.5)").as("p50"),
+            expr("percentile(n, 0.9)").as("p90"), max("n").as("mx")).head()
+        val top = post.groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token")).limit(3).collect()
+          .map(r => s""""${r.getAs[String]("token")}":${r.getAs[Long]("df")}""")
+          .mkString("{", ",", "}")
+        println(s"""{"mode":"bm25idx_buckets","buckets":${d.getAs[Long]("buckets")},""" +
+          s""""min":${d.getAs[Long]("mn")},"p50":${d.getAs[Double]("p50")},""" +
+          s""""p90":${d.getAs[Double]("p90")},"max":${d.getAs[Long]("mx")},""" +
+          s""""top_df":$top}""")
+        d.getAs[Long]("buckets")
       case "dedupidx_compact" =>
         val d = java.nio.file.Files.createTempDirectory("graft-scale-didx-c-").toString
         val corpus = spark.read.parquet(s"$dir/documents.parquet")
@@ -142,6 +180,21 @@ object ScaleProbe {
             .cast("double").as("s1"))
           .agg(org.apache.spark.sql.functions.sum("s1"))
           .collect().length.toLong
+      case tc if tc.startsWith("topic_cap:") =>
+        // the topic tier's over-cap path at scale: maxDriverChunks pinned
+        // to <cap> so fit-on-sample + distributed projection BINDS, with
+        // the structure signals (topic count, assignment coverage)
+        // printed next to the runtime — the "did sampling collapse the
+        // topic structure" check the slope alone can't answer
+        val cap = tc.stripPrefix("topic_cap:").toInt
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val out = graft.topic.TopicModeling.run(docs, "text", "doc_id",
+          cfg = graft.topic.TopicModeling.Config(maxDriverChunks = cap))
+        val n = out.documents.count()
+        val assigned = out.documents.filter(col("dominant_topic") >= 0).count()
+        println(s"""{"mode":"$tc","docs":$n,"assigned":$assigned,""" +
+          s""""n_topics":${out.nTopics},"n_chunks":${out.nChunks}}""")
+        n
       case tc if tc.startsWith("traincells:") =>
         // Lloyd training alone: traincells:<k>[:<sampleSize>] — k ≥
         // DistributedTrainFrom exercises the distributed partial-sum

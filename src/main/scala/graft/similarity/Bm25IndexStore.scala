@@ -286,6 +286,42 @@ object Bm25IndexStore {
     graft.util.ArtifactTree.readOptional(spark, path, "tombstones")
       .map(_.select(col("doc_id")))
 
+  /** Corpus constants `(N, avgdl)` for serving: the tombstone-free path
+    * reads the one-row stats artifact; pending takedowns read the
+    * one-row stats_net cache maintained by [[deleteFromBm25Index]],
+    * accepted only when its tombstone-count stamp matches the live set
+    * (so a crashed delete/append can't serve stale constants) — the
+    * validated cache and the exact fallback both equal a rebuild
+    * without the deleted docs. Shared by the per-call and batched
+    * serves so their constants are bitwise the same values. */
+  private def corpusConstants(
+      spark: SparkSession, path: String, tomb: Option[DataFrame]): (Long, Double) = {
+    val statsRow = tomb match {
+      case None =>
+        spark.read.parquet(s"$path/stats").head()
+      case Some(t) =>
+        val nTomb = t.distinct().count()
+        graft.util.ArtifactTree.readOptional(spark, path, "stats_net")
+          .map(_.head())
+          .filter(_.getAs[Long]("n_tombstones") == nTomb)
+          .getOrElse(
+            readDoclens(spark, path).join(broadcast(t), Seq("doc_id"), "left_anti")
+              .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
+              .head())
+    }
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = if (nDocs == 0L) 0.0 else statsRow.getAs[Long]("n_tokens").toDouble / nDocs
+    (nDocs, avgdl)
+  }
+
+  /** The IDF the whole store serves: computed on the DRIVER with the
+    * same `math.log` as the per-call literal path, so the batched serve
+    * (which joins idf in as a column) is bitwise identical to the
+    * per-call serve rather than one `java.lang.Math.log` ulp away from
+    * Spark's codegen'd `LOG`. */
+  private def idfOf(nDocs: Long, df: Long): Double =
+    math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+
   /** Serve one BM25 query from the persisted index. Same parameters and
     * same score/tie/round contract as [[Bm25.search]]; reads ≤ |terms|
     * posting buckets (static partition pruning) + the one-row stats
@@ -314,27 +350,7 @@ object Bm25IndexStore {
     // tombstone scan out of the postings read path either way)
     val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
-    // corpus constants: the tombstone-free path reads the one-row stats
-    // artifact; pending takedowns read the one-row stats_net cache
-    // maintained by deleteFromBm25Index, accepted only when its
-    // tombstone-count stamp matches the live set (so a crashed delete/
-    // append can't serve stale constants) — the validated cache and the
-    // exact fallback both equal a rebuild without the deleted docs
-    val statsRow = tomb match {
-      case None =>
-        spark.read.parquet(s"$path/stats").head()
-      case Some(t) =>
-        val nTomb = t.distinct().count()
-        graft.util.ArtifactTree.readOptional(spark, path, "stats_net")
-          .map(_.head())
-          .filter(_.getAs[Long]("n_tombstones") == nTomb)
-          .getOrElse(
-            readDoclens(spark, path).join(broadcast(t), Seq("doc_id"), "left_anti")
-              .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("n_tokens"))
-              .head())
-    }
-    val nDocs = statsRow.getAs[Long]("n_docs")
-    val avgdl = if (nDocs == 0L) 0.0 else statsRow.getAs[Long]("n_tokens").toDouble / nDocs
+    val (nDocs, avgdl) = corpusConstants(spark, path, tomb)
 
     // df(t): ≤ |terms| rows to the driver — the same bounded barrier
     // class as the in-session operator's one-row constants aggregate.
@@ -357,8 +373,7 @@ object Bm25IndexStore {
       .agg(first(col("dl")).as("dl"), tfCols: _*)
 
     def partial(i: Int): Column = {
-      val dfT = dfs.getOrElse(terms(i), 0L)
-      val idf = math.log(1.0 + (nDocs.toDouble - dfT + 0.5) / (dfT + 0.5))
+      val idf = idfOf(nDocs, dfs.getOrElse(terms(i), 0L))
       val tf = col(s"__tf_$i")
       when(tf > 0,
         lit(idf) * (tf * lit(k1 + 1.0)) /
@@ -372,6 +387,122 @@ object Bm25IndexStore {
     perDoc.select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Serve a BATCH of BM25 queries from the persisted index in ONE
+    * join-shaped plan — the production shape: a serving job answers
+    * thousands of queries per run, and paying [[serveBm25TopK]]'s
+    * per-call plan (its own postings scan, its own broadcast jobs, its
+    * own df collect) per query makes per-query cost constant instead of
+    * amortized. Here the whole batch shares everything:
+    *
+    *   - `queries` is a DataFrame `(queryIdCol, termsCol:
+    *     array<string>)`; duplicate terms within a query are collapsed
+    *     (the per-call contract requires distinct terms),
+    *   - the postings read is pruned STATICALLY to the batch's bucket
+    *     set — ≤ `n_buckets` literals regardless of batch size (the
+    *     distinct-buckets aggregate is the only query-side driver
+    *     action besides df below) — and the batch's term set
+    *     broadcast-semi-joins into it,
+    *   - postings are scanned a CONSTANT number of times (two: the df
+    *     aggregate and the scoring join — the same two passes the
+    *     per-call plan makes for ONE query), independent of |queries|,
+    *   - `df(t)` comes back as ≤ |batch vocabulary| rows and each
+    *     term's idf is computed on the DRIVER with the per-call path's
+    *     exact `math.log` ([[idfOf]]), then broadcast back as a column
+    *     — driver traffic is query-proportional, never
+    *     corpus-proportional,
+    *   - per-(query, doc) scores fold in SORTED-TERM order via
+    *     `aggregate(sort_array(...))` — the same left-associated float
+    *     fold as the per-call pivot (absent terms add exactly `0.0`
+    *     there, an identity on the nonnegative partials, so folding
+    *     present terms only is bitwise the same sum),
+    *   - per-query top-k is a `row_number` window over the scored rows
+    *     (the only exchange in the plan keyed by query), with the same
+    *     round-before-cut and `(score desc, doc_id asc)` tie contract.
+    *
+    * Result: `(query_id, doc_id, score)` — for every query, bitwise the
+    * rows [[serveBm25TopK]] returns for it (spec-pinned, and the batch
+    * query shares the per-call DuckDB oracle shape). Tombstones are
+    * honored exactly like the per-call path (anti-join after the pruned
+    * scan, constants net of tombstones). */
+  def serveBm25TopKBatch(
+      queries: DataFrame,
+      path: String,
+      queryIdCol: String = "query_id",
+      termsCol: String = "terms",
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      roundTo: Int = -1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = readMeta(spark, path)
+    val tomb = tombstones(spark, path)
+
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("token"))
+      .distinct()
+
+    // bucket literals for static pruning: ≤ n_buckets distinct values
+    // no matter how large the batch is — a bounded driver action
+    val buckets = qterms
+      .select(bucketCol(col("token"), m.nBuckets).as("b")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    // zero-rows shell with the caller's query-id type, for the no-terms /
+    // no-hits degenerate batches
+    def emptyResult: DataFrame =
+      qterms.select(col("query_id"), lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+    if (buckets.isEmpty) return emptyResult
+
+    val termSet = qterms.select("token").distinct()
+    val hit0 = readPostings(spark, path)
+      .filter(col("tok_bucket").isin(buckets: _*))
+      .join(broadcast(termSet), Seq("token"), "left_semi")
+    val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+
+    val (nDocs, avgdl) = corpusConstants(spark, path, tomb)
+
+    // df(t) once for the whole batch (terms shared across queries pay
+    // it once), idf on the driver for bit-parity with the per-call
+    // literals; ≤ |batch vocabulary| rows up, same back down broadcast
+    val idfRows = hits.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .collect()
+      .map(r => (r.getAs[String]("token"), idfOf(nDocs, r.getAs[Long]("df"))))
+      .toSeq
+    if (idfRows.isEmpty) return emptyResult
+    val idfDf = idfRows.toDF("token", "idf")
+
+    // the per-call partial with idf as a joined column instead of a
+    // literal — same arithmetic tree, same implicit long→double widths
+    val partial = col("idf") * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+    val scored = hits
+      .join(broadcast(idfDf), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
+
+    // sorted-term left-assoc float fold, like the per-call pivot: terms
+    // are distinct per (query, doc), so sort_array's struct order is
+    // exactly term order and the fold is deterministic
+    val summed = aggregate(
+      sort_array(collect_list(struct(col("token"), col("partial")))),
+      lit(0.0),
+      (acc, x) => acc + x.getField("partial"))
+    val perQueryDoc = scored
+      .groupBy("query_id", "doc_id")
+      .agg(summed.as("score0"))
+    val score = if (roundTo >= 0) round(col("score0"), roundTo) else col("score0")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQueryDoc
+      .select(col("query_id"), col("doc_id"), score.as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Fold pending tombstones into postings and doclens physically,

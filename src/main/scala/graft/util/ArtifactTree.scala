@@ -19,7 +19,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * renames leaves `<subdir>_precompact` behind — if the live tree also
   * exists the leftover is garbage and is deleted; if the live tree is
   * MISSING the crash was mid-swap and the old tree (the only complete
-  * copy) is restored before proceeding. */
+  * copy) is restored before proceeding.
+  *
+  * READER-DURING-SWAP contract (spec-pinned in `ArtifactTreeSpec`): a
+  * probe/serve that resolves the live path can observe exactly three
+  * states — the complete OLD tree (before the first rename), a loud
+  * path-not-found failure (inside the two-rename window, where the live
+  * path briefly does not exist — fail-and-retry territory, rename makes
+  * no torn directory to read), or the complete NEW tree (after the
+  * second rename; the lingering `_precompact`/`_compacting` siblings
+  * are invisible because every reader addresses `<root>/<subdir>`
+  * only). A reader can never see a MIX of old and new rows: the new
+  * tree is written complete under `_compacting` before any rename
+  * touches the live path, and the two trees never share a directory.
+  * The one remaining hazard is a reader whose files were LISTED before
+  * the swap and opened after (Spark plans cache file listings) — it
+  * fails with deleted/missing-file errors, again loudly, never with
+  * silently wrong rows. Operate compactions single-writer and off-peak,
+  * or front the tree with a manifest if serving cannot tolerate
+  * retries. */
 object ArtifactTree {
 
   /** `transform` runs inside the rewrite (the place physical row drops —

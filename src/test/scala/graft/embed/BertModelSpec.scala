@@ -204,6 +204,53 @@ class BertModelSpec extends AnyFunSuite {
     state
   }
 
+  test("MiniLM-L6-proportioned checkpoint runs the full safetensors path ungated") {
+    // the real-artifact geometry (hidden=384, heads=12, ffn=1536, 6
+    // layers — ~43 MB of F32 at the fixture vocab) through write →
+    // header parse → tensor mapping → encoder wiring, with the zeroed-
+    // blocks analytic answer making the output EXACTLY checkable at
+    // full width without a slow textbook forward: wo=0/w2=0 ⇒ every
+    // residual adds zero and γ=1/β=0 LNs are idempotent ⇒ final hidden
+    // = LN(word+pos+type)
+    val hidden = 384
+    val ffn = 1536
+    val layers = 6
+    val zeroed = checkpoint(layers = layers, hidden = hidden, ffn = ffn,
+      override_ = (0 until layers).flatMap { i =>
+        Seq(
+          s"encoder.layer.$i.attention.output.dense.weight" -> zeros(hidden, hidden),
+          s"encoder.layer.$i.attention.output.dense.bias" -> zeros(hidden),
+          s"encoder.layer.$i.output.dense.weight" -> zeros(hidden, ffn),
+          s"encoder.layer.$i.output.dense.bias" -> zeros(hidden))
+      }.toMap)
+    val m = modelOf(zeroed, heads = 12)
+    assert(m.dim == hidden)
+
+    val we = zeroed("embeddings.word_embeddings.weight")
+    val pe = zeroed("embeddings.position_embeddings.weight")
+    val te = zeroed("embeddings.token_type_embeddings.weight")
+    def ln(x: Array[Double]): Array[Double] = {
+      val mean = x.sum / x.length
+      val v = x.map(d => (d - mean) * (d - mean)).sum / x.length
+      x.map(d => (d - mean) / math.sqrt(v + 1e-12))
+    }
+    val frames = Seq(2, 4, 3).zipWithIndex.map { case (id, pos) =>
+      ln(Array.tabulate(hidden)(d =>
+        we.data(id * hidden + d).toDouble + pe.data(pos * hidden + d).toDouble +
+          te.data(d).toDouble))
+    }
+    val meanPooled = Array.tabulate(hidden)(d => frames.map(_(d)).sum / frames.length)
+    val norm = math.sqrt(meanPooled.map(x => x * x).sum)
+    val want = meanPooled.map(x => (x / norm).toFloat)
+
+    val got = m.encodeBatch(Seq("cat")).head
+    assert(got.length == hidden)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-5) }
+    // batch-invariance at full width: alone == inside a batch, bitwise
+    val inBatch = m.encodeBatch(Seq("dog fish", "cat", "fish")).apply(1)
+    assert(inBatch.toSeq == got.toSeq)
+  }
+
   test("random-weights forward matches the independent textbook implementation") {
     val tensors = checkpoint(layers = 2)
     val m = modelOf(tensors, heads = 2)

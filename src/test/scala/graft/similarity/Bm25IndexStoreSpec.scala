@@ -69,6 +69,77 @@ class Bm25IndexStoreSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("In(token"), plan)
   }
 
+  test("batched serve reproduces every per-call serve bit-for-bit") {
+    import spark.implicits._
+    val dir = newIndex(docs)
+    val batch = Seq(
+      (1L, Seq("spark", "join", "window")),
+      (2L, Seq("scan", "filter")),
+      (3L, Seq("sort", "merge", "hash", "batch")),
+      // a term absent from the corpus (df = 0) and a duplicate term —
+      // both per-call contract edges the batch must honor
+      (4L, Seq("vector", "zzz_not_a_token", "vector", "stream"))
+    ).toDF("query_id", "terms")
+    val served = Bm25IndexStore
+      .serveBm25TopKBatch(batch, dir, k = 10, roundTo = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val perCall = Seq(
+      1L -> Seq("spark", "join", "window"),
+      2L -> Seq("scan", "filter"),
+      3L -> Seq("sort", "merge", "hash", "batch"),
+      4L -> Seq("vector", "zzz_not_a_token", "stream")).flatMap { case (qid, terms) =>
+      Bm25IndexStore.serveBm25TopK(spark, dir, terms, k = 10, roundTo = -1)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.sortBy(t => (t._1, -t._3, t._2))
+    // bitwise: unrounded doubles compared exactly — the fold orders match
+    assert(served == perCall)
+  }
+
+  test("batched serve honors tombstones exactly like the per-call path") {
+    import spark.implicits._
+    val dir = newIndex(docs)
+    Bm25IndexStore.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 4 === 1).select("doc_id"), dir)
+    val batch = Seq((1L, Seq("spark", "join", "window")), (2L, Seq("scan", "filter")))
+      .toDF("query_id", "terms")
+    val served = Bm25IndexStore.serveBm25TopKBatch(batch, dir, k = 10, roundTo = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val perCall = Seq(1L -> Seq("spark", "join", "window"), 2L -> Seq("scan", "filter"))
+      .flatMap { case (qid, terms) =>
+        Bm25IndexStore.serveBm25TopK(spark, dir, terms, k = 10, roundTo = -1)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+    assert(served == perCall)
+  }
+
+  test("batched serve scans postings a constant number of times and prunes statically") {
+    import spark.implicits._
+    val dir = newIndex(docs)
+    def planOf(batch: org.apache.spark.sql.DataFrame): String =
+      Bm25IndexStore.serveBm25TopKBatch(batch, dir, k = 10, roundTo = 6)
+        .queryExecution.executedPlan.toString
+    val small = Seq((1L, Seq("spark", "join"))).toDF("query_id", "terms")
+    val large = Seq(
+      (1L, Seq("spark", "join")), (2L, Seq("scan", "filter")),
+      (3L, Seq("sort", "merge")), (4L, Seq("window", "batch")),
+      (5L, Seq("hash", "stream")), (6L, Seq("vector", "value")),
+      (7L, Seq("table", "query")), (8L, Seq("order", "group"))
+    ).toDF("query_id", "terms")
+    def postingsScans(plan: String): Int =
+      plan.sliding("postings".length).count(_ == "postings")
+    // the scoring plan reads the postings tree once (the df aggregate is
+    // its own bounded job before the plan is built): scan count must not
+    // grow with the batch — that's the amortization claim
+    val smallScans = postingsScans(planOf(small))
+    val largeScans = postingsScans(planOf(large))
+    assert(smallScans == largeScans,
+      s"postings scans grew with batch size: $smallScans -> $largeScans")
+    // and the read is still statically bucket-pruned
+    val plan = planOf(large)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tok_bucket"), plan)
+  }
+
   test("streaming ingest lands exactly once across a mid-stream crash") {
     import spark.implicits._
     val oneShot = newIndex(docs)

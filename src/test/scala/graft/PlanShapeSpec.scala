@@ -490,6 +490,28 @@ class PlanShapeSpec extends SparkSpec {
       s"tombstones/ must scan once:\n$plan")
   }
 
+  test("batched BM25 serving: corpus never shuffles, query side broadcast, per-query window") {
+    val df = SparkEntry.queries("q_bm25_served_batch")(spark, dir)
+    val plan = finalPlan(df)
+    // the postings read is still statically bucket-pruned
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tok_bucket"), plan)
+    // every query-side join broadcasts — the corpus side never rides a
+    // shuffle keyed by token or query
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    // the per-query top-k window is partitioned (bounded per query) —
+    // never a global sort-window over the scored rows
+    assertNoGlobalWindow(df, "q_bm25_served_batch")
+  }
+
+  test("daily pipeline stats plan stays broadcast-only over the store artifacts") {
+    val df = SparkEntry.queries("q_daily_pipeline")(spark, dir)
+    val plan = finalPlan(df)
+    // stats over three persisted stores: artifact scans + bounded
+    // aggregates; nothing corpus-sized meets a shuffle join
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assertNoGlobalWindow(df, "q_daily_pipeline")
+  }
+
   test("stream-ingested index serves with the same no-reencode plan") {
     // the serving plan over a stream-built index (base files + delta
     // subdirectories) must look exactly like the one-shot index's —

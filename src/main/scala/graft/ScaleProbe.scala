@@ -74,6 +74,15 @@ object ScaleProbe {
           spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id", nBuckets = 64)
         d
       }
+    // ANN serve-batch mode: the IVFADC index is a build artifact too
+    val ivfIdxDir: String =
+      if (!mode.startsWith("ivfidx_serve_batch:")) null
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-ivfsrv-").toString
+        graft.similarity.IndexStore.writeIvfPqIndex(
+          spark.read.parquet(s"$dir/embeddings.parquet"), d)
+        d
+      }
     // compact modes measure only the inner rewrite-and-swap; the
     // per-pass index setup runs inside run() but outside the slope
     var overrideSec: Option[Double] = None
@@ -103,6 +112,15 @@ object ScaleProbe {
         graft.similarity.Bm25IndexStore
           .serveBm25TopKBatch(batch, bm25IdxDir, k = 20, roundTo = 6)
           .count()
+      case m if m.startsWith("ivfidx_serve_batch:") =>
+        // the ANN side of the batch-amortization curve: n queries
+        // through ONE serveIvfPqTopK call against the prebuilt IVFADC
+        // index — the artifact collects, LUT broadcast, and cell-pruned
+        // codes scan are per-BATCH costs
+        val n = m.stripPrefix("ivfidx_serve_batch:").toInt
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        graft.similarity.IndexStore.serveIvfPqTopK(
+          emb.filter(col("vec_id") < n), ivfIdxDir, k = 10, nProbe = 3).count()
       case "bm25idx_buckets" =>
         // the hot-token skew signal: per-bucket posting-row distribution
         // of the fnv(token)-routed partition tree, plus the fattest

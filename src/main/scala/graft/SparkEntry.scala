@@ -3092,6 +3092,24 @@ ORDER BY doc_id, token""")
         .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
     }),
 
+    // ...and the batch path under a takedown (%9==4 tombstoned): batch
+    // df(t)/stats ride the same net-of-tombstones machinery as the
+    // per-call serve, so batch-served results equal an index rebuilt
+    // without the deleted docs — the batch oracle with the rebuilt-
+    // without docFilter
+    "q_bm25_served_batch_delete" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Seq(
+        (1L, Seq("spark", "join", "window")),
+        (2L, Seq("scan", "filter")),
+        (3L, Seq("sort", "merge", "hash", "batch")),
+        (4L, Seq("vector", "zzz_not_a_token", "vector", "stream"))
+      ).toDF("query_id", "terms")
+      graft.similarity.Bm25IndexStore
+        .serveBm25TopKBatch(batch, bm25DeletedIndexDirFor(s, dir), k = 10, roundTo = 6)
+        .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
+    }),
+
     // ...with a takedown applied: %9==4 tombstoned. Exclusion lands
     // BEFORE df(t) is counted and N/avgdl recompute from doclens net of
     // tombstones, so served results equal an index rebuilt without the
@@ -3828,11 +3846,14 @@ FROM docs ORDER BY score DESC, doc_id ASC LIMIT 20"""
     * the top-k cut is per query on the ROUNDED score (round-before-cut,
     * the per-call contract). The queries here mirror the engine's
     * `q_bm25_served_batch` batch literal — including a df=0 term, which
-    * contributes nothing to any fold on either side. */
-  private def bm25BatchSql: String =
+    * contributes nothing to any fold on either side. `docFilter` (a
+    * full `WHERE ...` clause) is the takedown oracle, same as
+    * [[bm25Sql]]'s: a logical delete served through the BATCH path must
+    * equal this rebuilt-without world. */
+  private def bm25BatchSql(docFilter: String = ""): String =
     s"""WITH base AS (
   SELECT doc_id, ${toksArrSql()} AS toks
-  FROM documents),
+  FROM documents$docFilter),
 tfs AS (
   SELECT doc_id, dl, term, count(*) AS tf FROM (
     SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
@@ -6252,7 +6273,8 @@ GROUP BY label, i ORDER BY label, dim""",
     // the persisted inverted index serves the same query: shares the
     // in-session oracle (served scores are bit-identical by contract)
     "q_bm25_served" -> bm25Sql(),
-    "q_bm25_served_batch" -> bm25BatchSql,
+    "q_bm25_served_batch" -> bm25BatchSql(),
+    "q_bm25_served_batch_delete" -> bm25BatchSql(" WHERE doc_id % 9 <> 4"),
 
     // ...with a takedown applied: %9==4 tombstoned out. df(t), N and
     // avgdl must ALL reflect the deletion, which the oracle models by

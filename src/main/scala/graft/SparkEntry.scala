@@ -403,6 +403,36 @@ object SparkEntry {
         "vec_id", "embedding", DailyAnnCells, IvfSeed, IvfSampleSize)
     }
 
+  /** The document-embedding IVFADC store behind the SERVED hybrid stack:
+    * fixture-embedded documents (exactly SQL-replayable) encoded into
+    * the cell-partitioned composed layout once per JVM. Centroids and
+    * residual codebooks are memoized so the oracle builder exports the
+    * SAME trained artifacts as literals. */
+  val DocAnnCells = 4
+  private[graft] def docAnnCentroidsFor(s: SparkSession, dir: String): Array[Array[Float]] =
+    memoTrained(s"docann|$dir|$DocAnnCells|$IvfSeed|$IvfSampleSize") {
+      graft.similarity.Similarity.trainedCentroids(
+        embedDocsFixture(tbl(s, dir, "documents")),
+        "vec_id", "embedding", DocAnnCells, IvfSeed, IvfSampleSize)
+    }
+  private[graft] def docAnnResidFor(s: SparkSession, dir: String): Array[Array[Array[Float]]] =
+    memoTrained(s"docannr|$dir|$DocAnnCells|2|8|$IvfSeed|$IvfSampleSize") {
+      graft.similarity.IvfPq.trainedResidualCodebooks(
+        embedDocsFixture(tbl(s, dir, "documents")), docAnnCentroidsFor(s, dir),
+        "vec_id", "embedding", 2, 8, IvfSeed, IvfSampleSize)
+    }
+  private val docAnnIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docAnnIndexDirFor(s: SparkSession, dir: String): String =
+    docAnnIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-docann-index-").toString
+      graft.similarity.IndexStore.writeIvfPqIndex(
+        embedDocsFixture(tbl(s, dir, "documents")), d,
+        nCells = DocAnnCells, m = 2, kCent = 8, seed = IvfSeed,
+        coarseCentroids = docAnnCentroidsFor(s, dir),
+        residCodebooks = docAnnResidFor(s, dir))
+      d
+    })
+
   private def dailyPipelineFor(s: SparkSession, dir: String): DailyPipeline =
     dailyPipelineRoots.computeIfAbsent(dir, { _ =>
       val docs = tbl(s, dir, "documents")
@@ -3154,6 +3184,23 @@ ORDER BY doc_id, token""")
         EmbedFixtureModelId, k = 20, poolK = 50)
     }),
 
+    // ...and the SAME retrieval front end served entirely from
+    // PERSISTED artifacts — the production shape: the lexical list from
+    // the BM25 inverted index (static bucket pruning), the semantic
+    // list from the document IVFADC index (dynamic cell pruning, ADC
+    // over stored codes — the ANN answer, approximate BY DESIGN), fused
+    // with the identical RRF contract. The oracle re-derives BOTH
+    // serving paths from exported literals: the BM25 chain and the full
+    // IVF cell-route + residual-code + ADC replay over the
+    // SQL-replayable fixture embedding, query vector included
+    "q_hybrid_served" -> ((s, dir) => {
+      embedFixtureRegistered
+      graft.similarity.HybridSearch.rrfServed(
+        s, bm25IndexDirFor(s, dir), docAnnIndexDirFor(s, dir),
+        Seq("spark", "join", "window"), "spark join window",
+        EmbedFixtureModelId, k = 20, poolK = 20, nProbe = 3)
+    }),
+
     // quality tier: Gopher/C4-style repetition metrics — pure Column
     // program, one tokenize, zero shuffle (scan-speed curation signal)
     "q_repetition" -> ((s, dir) => {
@@ -4592,6 +4639,79 @@ SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_units AS BIGINT) AS n_uni
 ORDER BY stage"""
   }
 
+  /** The SERVED hybrid stack fully re-derived: the BM25 chain (the
+    * persisted index serves bit-identically to the in-session operator,
+    * so the lexical replay is [[bm25Sql]]'s machinery cut at poolK) and
+    * the COMPLETE IVFADC serving replay over the fixture embedding —
+    * cell routing from exported centroid literals, residual codes from
+    * exported codebook literals, per-probe ADC, rank cut at poolK —
+    * with the query vector itself re-derived in SQL from the literal
+    * query string (vec_id −1, exactly like the engine's query row).
+    * Fusion/round/tie contract identical to the in-session RRF oracle. */
+  private def hybridServedOracleSql(spark: SparkSession, dir: String): String = {
+    val poolK = 20
+    val digits = (0 until EmbedFixtureDim)
+      .map(d => s"CAST((u // CAST(${BigInt(97).pow(d)} AS HUGEINT)) % 97 AS DOUBLE)")
+      .mkString(", ")
+    val vSql =
+      s"""SELECT doc_id AS vec_id, [$digits] AS vec
+  FROM (SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents)
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS vec_id, [$digits] AS vec
+  FROM (SELECT ${fnvSql("'spark join window'")} AS u)"""
+    s"""WITH base AS (
+  SELECT doc_id, ${toksArrSql()} AS toks
+  FROM documents),
+tfs AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY 1, 2, 3),
+corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM base),
+hits AS (
+  SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
+  FROM tfs WHERE term IN ('spark', 'join', 'window')),
+scored AS (
+  SELECT h.doc_id, h.term,
+    ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
+      * (h.tf * (1.2 + 1.0)) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS score_t
+  FROM hits h, corpus c),
+docs AS (
+  SELECT doc_id,
+    list_reduce(list(score_t ORDER BY term), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY doc_id),
+lex0 AS (
+  SELECT doc_id, round(score, 6) AS s FROM docs
+  ORDER BY s DESC, doc_id LIMIT $poolK),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
+  FROM lex0),
+${ivfCellCtesSql(docAnnCentroidsFor(spark, dir), vSql, queryFilter = "vec_id = -1")},
+${residCoreCtes(docAnnResidFor(spark, dir))},
+aterms AS (
+  SELECT q.query_id, cd.vec_id AS neighbor_id, q.m, q.d2
+  FROM qsd q
+  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.m = q.m AND cd.code = q.k),
+adc AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list(d2 ORDER BY m), (a, b) -> a + b) AS adist
+  FROM aterms GROUP BY 1, 2),
+sem AS (
+  SELECT neighbor_id AS doc_id, rank AS r_sem FROM (
+    SELECT neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adc)
+  WHERE rank <= $poolK)
+SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.r_lex, m.r_sem,
+  round(coalesce(1.0 / (60 + l.r_lex), 0.0)
+      + coalesce(1.0 / (60 + m.r_sem), 0.0), 6) AS rrf
+FROM lex l FULL JOIN sem m ON m.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20"""
+  }
+
   /** Index bookkeeping replay: cell routing from exported centroid
     * literals, tombstones from the delete rule (`vec_id % 7 = 3`). */
   private def ivfStatsOracleSql(spark: SparkSession, dir: String): String =
@@ -4701,6 +4821,7 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_daily_pipeline" -> dailyPipelineOracleSql(spark, dir)) +
+      ("q_hybrid_served" -> hybridServedOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       // the batched serve: same machinery, the batch's query filter in
       // the probe CTE — each query's rows equal serving it alone

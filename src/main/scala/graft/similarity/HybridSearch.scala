@@ -75,6 +75,20 @@ object HybridSearch {
       .collect()
       .map(_.get(0))
 
+    fuse(spark, lexIds, semIds, df.schema(idCol).dataType, k, rrfK, roundTo)
+  }
+
+  /** The positional-rank fusion both entry points share: ranks assigned
+    * over the two ≤ poolK collected lists, fused locally, rounded,
+    * sorted and cut to `k` in Spark. */
+  private def fuse(
+      spark: org.apache.spark.sql.SparkSession,
+      lexIds: Array[Any],
+      semIds: Array[Any],
+      idType: org.apache.spark.sql.types.DataType,
+      k: Int,
+      rrfK: Int,
+      roundTo: Int): DataFrame = {
     val rLex = lexIds.iterator.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
     val rSem = semIds.iterator.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
     def part(r: Option[Long]): Double = r.fold(0.0)(x => 1.0 / (rrfK + x))
@@ -84,7 +98,7 @@ object HybridSearch {
     }
 
     val schema = StructType(Seq(
-      StructField("doc_id", df.schema(idCol).dataType, nullable = true),
+      StructField("doc_id", idType, nullable = true),
       StructField("r_lex", LongType, nullable = true),
       StructField("r_sem", LongType, nullable = true),
       StructField("__rrf", DoubleType, nullable = false)))
@@ -93,5 +107,53 @@ object HybridSearch {
         round(col("__rrf"), roundTo).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** The SERVED hybrid stack — both candidate lists read from PERSISTED
+    * indexes, no corpus scan anywhere: the lexical list from the BM25
+    * inverted index ([[Bm25IndexStore.serveBm25TopK]] — ≤|terms| posting
+    * buckets via static pruning) and the semantic list from the IVFADC
+    * index ([[IndexStore.serveIvfPqTopK]] — nProbe of nCells cell
+    * directories via dynamic pruning, ADC over stored codes). This is
+    * the production retrieval front end: the corpus was tokenized,
+    * embedded and encoded ONCE at build time; a query costs two pruned
+    * artifact reads and a ≤2·poolK-row fusion.
+    *
+    * The semantic list is the ANN index's answer (approximate by
+    * design — probed cells + ADC distances), NOT the in-session exact
+    * cosine — the honest production trade [[rrf]]'s oracle-twin query
+    * quantifies via q_knn_probe_recall. The query vector embeds under
+    * `modelId` and enters with id −1 (never a corpus id, so the
+    * serve-path self-exclusion is inert). Fusion, rounding, ties and
+    * the final cut are [[rrf]]'s exactly. */
+  def rrfServed(
+      spark: org.apache.spark.sql.SparkSession,
+      bm25Dir: String,
+      annDir: String,
+      terms: Seq[String],
+      queryText: String,
+      modelId: String,
+      k: Int = 20,
+      poolK: Int = 20,
+      rrfK: Int = 60,
+      roundTo: Int = 6,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val lexIds: Array[Any] =
+      Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK, roundTo = roundTo)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .select("doc_id")
+        .collect()
+        .map(_.get(0))
+    val qVec: Array[Float] =
+      graft.embed.EmbedderRegistry.ensure(modelId).encodeBatch(Seq(queryText)).head
+    val qDf = Seq((-1L, qVec.toSeq)).toDF("vec_id", "embedding")
+    val semIds: Array[Any] =
+      IndexStore.serveIvfPqTopK(qDf, annDir, k = poolK, nProbe = nProbe)
+        .orderBy(col("rank").asc)
+        .select("neighbor_id")
+        .collect()
+        .map(_.get(0))
+    fuse(spark, lexIds, semIds, org.apache.spark.sql.types.LongType, k, rrfK, roundTo)
   }
 }

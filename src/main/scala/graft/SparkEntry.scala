@@ -433,6 +433,62 @@ object SparkEntry {
       d
     })
 
+  /** The document-REPLACE lifecycle — the stores' documented contract
+    * ("replacing a document is delete → compact → append") exercised
+    * end-to-end on each store and put under the DuckDB gate: after the
+    * cycle, every serve/probe must equal a store built directly over
+    * the corpus with the replacement text. Replace rule: `%17==3` docs
+    * get " refreshed edition" appended (token-visible, dl-visible, and
+    * embedding-visible, so staleness in ANY artifact — postings,
+    * doclens, stats, signatures, bands, codes — fails the hash). */
+  private val ReplaceTextSql =
+    "CASE WHEN doc_id % 17 = 3 THEN coalesce(text, '') || ' refreshed edition' ELSE text END"
+  private def replacedDocs(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("text",
+      when(col("doc_id") % 17 === 3,
+        concat(coalesce(col("text"), lit("")), lit(" refreshed edition")))
+        .otherwise(col("text")))
+
+  private val bm25ReplacedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25ReplacedIndexDirFor(s: SparkSession, dir: String): String =
+    bm25ReplacedRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-bm25-replace-").toString
+      copyTree(bm25IndexDirFor(s, dir), d)
+      val repl = replacedDocs(tbl(s, dir, "documents")).filter(col("doc_id") % 17 === 3)
+      graft.similarity.Bm25IndexStore.deleteFromBm25Index(repl.select("doc_id"), d)
+      graft.similarity.Bm25IndexStore.compactBm25Index(s, d)
+      graft.similarity.Bm25IndexStore
+        .appendToBm25Index(repl, d, "text", "doc_id", batchId = "replace")
+      d
+    })
+
+  private val dedupReplacedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupReplacedIndexDirFor(s: SparkSession, dir: String): String =
+    dedupReplacedRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-replace-").toString
+      copyTree(dedupIndexDirFor(s, dir), d)
+      val repl = replacedDocs(tbl(s, dir, "documents"))
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 17 === 3)
+      graft.dedup.DedupIndexStore.deleteFromDedupIndex(repl.select("doc_id"), d)
+      graft.dedup.DedupIndexStore.compactDedupIndex(s, d)
+      graft.dedup.DedupIndexStore
+        .appendToDedupIndex(repl, d, "text", "doc_id", batchId = "replace")
+      d
+    })
+
+  private val docAnnReplacedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docAnnReplacedIndexDirFor(s: SparkSession, dir: String): String =
+    docAnnReplacedRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-docann-replace-").toString
+      copyTree(docAnnIndexDirFor(s, dir), d)
+      val repl = embedDocsFixture(
+        replacedDocs(tbl(s, dir, "documents")).filter(col("doc_id") % 17 === 3))
+      graft.similarity.IndexStore.deleteFromIndex(repl.select("vec_id"), d)
+      graft.similarity.IndexStore.compactIvfIndex(s, d)
+      graft.similarity.IndexStore.appendToIvfPqIndex(repl, d)
+      d
+    })
+
   private def dailyPipelineFor(s: SparkSession, dir: String): DailyPipeline =
     dailyPipelineRoots.computeIfAbsent(dir, { _ =>
       val docs = tbl(s, dir, "documents")
@@ -2098,6 +2154,20 @@ ORDER BY doc_id, token""")
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
 
+    // the REPLACE lifecycle on the dedup store: indexed %17==3 docs
+    // re-signed with changed text through delete → compact → append.
+    // The probe (ORIGINAL delivery text) must match against the
+    // replacement signatures exactly as a one-shot build over the
+    // replaced corpus would — stale signatures or band rows flip pairs
+    // and fail the hash
+    "q_dedup_index_replaced" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupReplacedIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
+
     // dedup-index bookkeeping on the takedown index: doc/tombstone
     // counts plus the bucket distribution (distinct buckets, max bucket
     // size — the cap-pressure signal). Oracle re-derives everything
@@ -2591,6 +2661,23 @@ ORDER BY doc_id, token""")
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.IndexStore
         .serveIvfPqTopK(emb.filter(col("vec_id") < IvfQueryMax), ivfCompactedIndexDirFor(s, dir),
+          k = IvfK, nProbe = IvfProbe)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the REPLACE lifecycle on the ANN store: %17==3 documents
+    // re-embedded and re-encoded through delete → compact → append
+    // (encoding with the PERSISTED artifacts — never retrained), on the
+    // document IVFADC index. Queries are unreplaced docs (ids disjoint
+    // from the replace set), and serving must equal an index built
+    // directly over the replaced corpus — a stale code in any cell
+    // flips ADC distances and fails the hash
+    "q_knn_replaced" -> ((s, dir) => {
+      embedFixtureRegistered
+      val queries = embedDocsFixture(tbl(s, dir, "documents"))
+        .filter(col("vec_id") < 5 && col("vec_id") % 17 =!= 3)
+      graft.similarity.IndexStore
+        .serveIvfPqTopK(queries, docAnnReplacedIndexDirFor(s, dir),
           k = IvfK, nProbe = IvfProbe)
         .orderBy("query_id", "rank")
     }),
@@ -3159,6 +3246,19 @@ ORDER BY doc_id, token""")
       graft.similarity.Bm25IndexStore
         .serveBm25TopK(s, bm25StreamIndexDirFor(s, dir),
           Seq("spark", "join", "window"), k = 20, roundTo = 6)
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
+    // ...and the REPLACE lifecycle on the lexical store: %17==3 docs
+    // re-delivered with changed text through the documented contract
+    // (delete → compact → append). Serving — with "refreshed", a term
+    // that only exists in the replacement text — must equal an index
+    // built directly over the replaced corpus: df, dl, avgdl, N and the
+    // ranking all reflect the new text and none of the old (a stale
+    // posting, doclen or stats row fails the hash)
+    "q_bm25_replaced" -> ((s, dir) =>
+      graft.similarity.Bm25IndexStore
+        .serveBm25TopK(s, bm25ReplacedIndexDirFor(s, dir),
+          Seq("spark", "refreshed"), k = 20, roundTo = 6)
         .orderBy(col("score").desc, col("doc_id").asc)),
 
     // bm25-index bookkeeping on the takedown index: physical doc count
@@ -3737,12 +3837,13 @@ GROUP BY doc_id ORDER BY doc_id"""
     * `sig(doc_id, h, mh)` (missing shingle sets → Long.MaxValue fill,
     * matching the engine) — shared by the signature dump and the LSH
     * pairs oracle. */
-  private def minHashSigCtes(numHashes: Int, seed: Long): String = {
+  private def minHashSigCtes(
+      numHashes: Int, seed: Long, textExpr: String = "text"): String = {
     val vals = graft.dedup.Dedup.minHashParams(numHashes, seed)
       .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""params(h, a, b) AS (VALUES $vals),
 t AS (
-  SELECT doc_id, ${toksArrSql()} AS toks
+  SELECT doc_id, ${toksArrSql(textExpr)} AS toks
   FROM documents),
 g AS (
   SELECT doc_id, unnest(
@@ -3806,8 +3907,9 @@ WHERE est >= 0.125 ORDER BY id_a, id_b"""
     * checked) — used by the incremental composition, where a snapshot
     * diff gates which delivery docs reach the index probe. */
   private def dedupIndexProbeSqlWith(
-      candFilter: String, bszFilter: String = "", probeFilter: String = ""): String =
-    s"""WITH ${minHashSigCtes(32, 42L)},
+      candFilter: String, bszFilter: String = "", probeFilter: String = "",
+      textExpr: String = "text"): String =
+    s"""WITH ${minHashSigCtes(32, 42L, textExpr)},
 bb AS (SELECT doc_id, h AS band, ${fnvSql("CAST(mh AS VARCHAR)")} AS bh FROM sig),
 bsz AS (
   SELECT band, bh, count(*) AS n FROM bb WHERE doc_id % 3 <> 0$bszFilter GROUP BY 1, 2),
@@ -3858,9 +3960,11 @@ ORDER BY id_a, id_b"""
     * `docFilter` (a full `WHERE ...` clause) shrinks the corpus — the
     * takedown oracle: a logical delete must equal this rebuilt-without
     * world in df(t), N, avgdl, and the final ranking. */
-  private def bm25Sql(docFilter: String = ""): String =
+  private def bm25Sql(
+      docFilter: String = "", textExpr: String = "text",
+      terms: Seq[String] = Seq("spark", "join", "window")): String =
     s"""WITH base AS (
-  SELECT doc_id, ${toksArrSql()} AS toks
+  SELECT doc_id, ${toksArrSql(textExpr)} AS toks
   FROM documents$docFilter),
 tfs AS (
   SELECT doc_id, dl, term, count(*) AS tf FROM (
@@ -3873,7 +3977,7 @@ corpus AS (
   FROM base),
 hits AS (
   SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
-  FROM tfs WHERE term IN ('spark', 'join', 'window')),
+  FROM tfs WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})),
 scored AS (
   SELECT h.doc_id, h.term,
     ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
@@ -4712,6 +4816,23 @@ FROM lex l FULL JOIN sem m ON m.doc_id = l.doc_id
 ORDER BY rrf DESC, doc_id LIMIT 20"""
   }
 
+  /** The ANN replace lifecycle re-derived: the SAME persisted trained
+    * artifacts (centroid + residual-codebook literals — append never
+    * retrains), over the corpus with the replacement text's fixture
+    * embeddings. Query ids are disjoint from the replace set, so one
+    * `v` world serves both sides. */
+  private def knnReplacedOracleSql(spark: SparkSession, dir: String): String = {
+    val digits = (0 until EmbedFixtureDim)
+      .map(d => s"CAST((u // CAST(${BigInt(97).pow(d)} AS HUGEINT)) % 97 AS DOUBLE)")
+      .mkString(", ")
+    val vSql =
+      s"""SELECT doc_id AS vec_id, [$digits] AS vec
+  FROM (SELECT doc_id, ${fnvSql(s"coalesce($ReplaceTextSql, '')")} AS u FROM documents)"""
+    s"""WITH ${ivfCellCtesSql(docAnnCentroidsFor(spark, dir), vSql,
+      queryFilter = "vec_id < 5 AND vec_id % 17 <> 3")},
+${ivfAdcTailSql(docAnnResidFor(spark, dir))}"""
+  }
+
   /** Index bookkeeping replay: cell routing from exported centroid
     * literals, tombstones from the delete rule (`vec_id % 7 = 3`). */
   private def ivfStatsOracleSql(spark: SparkSession, dir: String): String =
@@ -4822,6 +4943,7 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_daily_pipeline" -> dailyPipelineOracleSql(spark, dir)) +
       ("q_hybrid_served" -> hybridServedOracleSql(spark, dir)) +
+      ("q_knn_replaced" -> knnReplacedOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       // the batched serve: same machinery, the batch's query filter in
       // the probe CTE — each query's rows equal serving it alone
@@ -6394,6 +6516,14 @@ GROUP BY label, i ORDER BY label, dim""",
     // the persisted inverted index serves the same query: shares the
     // in-session oracle (served scores are bit-identical by contract)
     "q_bm25_served" -> bm25Sql(),
+    // replace lifecycle: the oracle is an index built DIRECTLY over the
+    // corpus with the replacement text — delete→compact→append must be
+    // indistinguishable from it
+    "q_bm25_replaced" -> bm25Sql(
+      textExpr = ReplaceTextSql, terms = Seq("spark", "refreshed")),
+    "q_dedup_index_replaced" -> dedupIndexProbeSqlWith("", textExpr =
+      "CASE WHEN doc_id % 17 = 3 AND doc_id % 3 <> 0 " +
+        "THEN coalesce(text, '') || ' refreshed edition' ELSE text END"),
     "q_bm25_served_batch" -> bm25BatchSql(),
     "q_bm25_served_batch_delete" -> bm25BatchSql(" WHERE doc_id % 9 <> 4"),
 

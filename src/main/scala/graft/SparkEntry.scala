@@ -489,6 +489,24 @@ object SparkEntry {
       d
     })
 
+  /** The three store-stat rows both daily-pipeline queries read back:
+    * dedup (docs, band buckets), BM25 (docs, posting rows), ANN (codes,
+    * cells used). */
+  private def pipelineStoreStats(
+      s: SparkSession, p: DailyPipeline): org.apache.spark.sql.DataFrame = {
+    val dstats = graft.dedup.DedupIndexStore.describeDedupIndex(s, p.dedupDir)
+      .select(lit("dedup_index").as("stage"), col("n_docs"),
+        col("n_buckets").as("n_units"))
+    val bstats = graft.similarity.Bm25IndexStore.describeBm25Index(s, p.bm25Dir)
+      .select(lit("bm25_index").as("stage"), col("n_docs"),
+        col("n_postings").as("n_units"))
+    val astats = graft.similarity.IndexStore.describeIvfIndex(s, p.annDir)
+      .agg(coalesce(sum("n_codes"), lit(0L)).as("n_docs"),
+        count(lit(1)).as("n_units"))
+      .select(lit("ann_index").as("stage"), col("n_docs"), col("n_units"))
+    dstats.unionByName(bstats).unionByName(astats)
+  }
+
   private def dailyPipelineFor(s: SparkSession, dir: String): DailyPipeline =
     dailyPipelineRoots.computeIfAbsent(dir, { _ =>
       val docs = tbl(s, dir, "documents")
@@ -2126,18 +2144,30 @@ ORDER BY doc_id, token""")
         ("fresh", p.nFresh, 0L),
         ("decontaminated", p.nClean, 0L),
         ("survivors", p.nSurvivors, 0L)).toDF("stage", "n_docs", "n_units")
-      val dstats = graft.dedup.DedupIndexStore.describeDedupIndex(s, p.dedupDir)
-        .select(lit("dedup_index").as("stage"), col("n_docs"),
-          col("n_buckets").as("n_units"))
-      val bstats = graft.similarity.Bm25IndexStore.describeBm25Index(s, p.bm25Dir)
-        .select(lit("bm25_index").as("stage"), col("n_docs"),
-          col("n_postings").as("n_units"))
-      val astats = graft.similarity.IndexStore.describeIvfIndex(s, p.annDir)
-        .agg(coalesce(sum("n_codes"), lit(0L)).as("n_docs"),
-          count(lit(1)).as("n_units"))
-        .select(lit("ann_index").as("stage"), col("n_docs"), col("n_units"))
-      stages.unionByName(dstats).unionByName(bstats).unionByName(astats)
-        .orderBy("stage")
+      stages.unionByName(pipelineStoreStats(s, p)).orderBy("stage")
+    }),
+
+    // ...and DAY 2 of the loop: the same delivery re-arrives (the
+    // common production case — an unchanged re-drop). The snapshot
+    // diff produces ZERO fresh docs, so nothing reaches
+    // decontamination, the probe, or any append — the loop
+    // short-circuits at the gate by design — and all three stores must
+    // read back bit-for-bit as day 1 left them. The oracle is the
+    // day-1 store replay with zeroed stage counts: the loop is
+    // IDEMPOTENT under re-delivery, under the DuckDB gate
+    "q_daily_pipeline_day2" -> ((s, dir) => {
+      import s.implicits._
+      val p = dailyPipelineFor(s, dir)
+      val delivery = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val nFresh = graft.dedup.Dedup.snapshotDiff(delivery, delivery)
+        .filter(col("status").isin("added", "changed"))
+        .count()
+      val stages = Seq(
+        ("delivery", p.nDelivery, 0L),
+        ("fresh", nFresh, 0L),
+        ("decontaminated", nFresh, 0L),
+        ("survivors", nFresh, 0L)).toDF("stage", "n_docs", "n_units")
+      stages.unionByName(pipelineStoreStats(s, p)).orderBy("stage")
     }),
 
     // ...and the same takedown AFTER compaction: rows physically gone,
@@ -4666,7 +4696,8 @@ ${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}"""
     * fixture embedding (base-97 FNV digits; [[embedFixtureOracleSql]]'s
     * math). Every stage count and every store stat from first
     * principles — the whole production loop under one DuckDB gate. */
-  private def dailyPipelineOracleSql(spark: SparkSession, dir: String): String = {
+  private def dailyPipelineOracleSql(
+      spark: SparkSession, dir: String, day2: Boolean = false): String = {
     val cents = dailyAnnCentroidsFor(spark, dir).zipWithIndex
       .map { case (c, i) => s"($i, [${c.map(_.toDouble).mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n  ")
@@ -4731,9 +4762,9 @@ assign2 AS (
 SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_units AS BIGINT) AS n_units FROM (
   SELECT 'delivery' AS stage,
     (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_docs, 0 AS n_units
-  UNION ALL SELECT 'fresh', (SELECT count(*) FROM fresh), 0
-  UNION ALL SELECT 'decontaminated', (SELECT count(*) FROM clean), 0
-  UNION ALL SELECT 'survivors', (SELECT count(*) FROM surv), 0
+  UNION ALL SELECT 'fresh', ${if (day2) "0" else "(SELECT count(*) FROM fresh)"}, 0
+  UNION ALL SELECT 'decontaminated', ${if (day2) "0" else "(SELECT count(*) FROM clean)"}, 0
+  UNION ALL SELECT 'survivors', ${if (day2) "0" else "(SELECT count(*) FROM surv)"}, 0
   UNION ALL SELECT 'dedup_index', (SELECT count(*) FROM store),
     (SELECT count(*) FROM dbuckets)
   UNION ALL SELECT 'bm25_index', (SELECT count(*) FROM store),
@@ -4942,6 +4973,9 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_knn_opq" -> opqKnnOracleSql(spark, dir)) +
       ("q_knn_ivfpq" -> ivfPqOracleSql(spark, dir)) +
       ("q_daily_pipeline" -> dailyPipelineOracleSql(spark, dir)) +
+      // day 2 = the day-1 store world with zeroed stage counts: the
+      // re-delivered batch must cause NO store change (idempotence)
+      ("q_daily_pipeline_day2" -> dailyPipelineOracleSql(spark, dir, day2 = true)) +
       ("q_hybrid_served" -> hybridServedOracleSql(spark, dir)) +
       ("q_knn_replaced" -> knnReplacedOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +

@@ -683,6 +683,52 @@ object SparkEntry {
       d
     })
 
+  /** STREAMING QUERY SERVING — the other direction of the streaming
+    * story: not deltas into the index, but a QUERY LOG arriving as a
+    * stream and served against the static persisted index. Each
+    * micro-batch rides [[graft.similarity.Bm25IndexStore.serveBm25TopKBatch]]
+    * (the batch-amortized plan) and lands its results in a
+    * batch-id-scoped directory with overwrite semantics — the same
+    * idempotent-sink construction as every ingest path, so a replayed
+    * micro-batch rewrites the same directory and results are
+    * exactly-once. The staged query log is the q_bm25_served_batch
+    * batch split across TWO files → two micro-batches; per-query
+    * results are batch-split-invariant (each query's rows are
+    * bitwise the per-call serve's), so the streamed union shares the
+    * one-shot batch oracle. */
+  private val bm25ServeStreamRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25StreamServeDirFor(s: SparkSession, dir: String): String =
+    bm25ServeStreamRoots.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val idx = bm25IndexDirFor(s, dir)
+      val drop = java.nio.file.Files.createTempDirectory("graft-bm25-qdrop-").toString
+      val slice0 = Seq(
+        (1L, Seq("spark", "join", "window")),
+        (2L, Seq("scan", "filter"))).toDF("query_id", "terms")
+      slice0.coalesce(1).write.mode("overwrite").parquet(s"$drop/slice0")
+      Seq(
+        (3L, Seq("sort", "merge", "hash", "batch")),
+        (4L, Seq("vector", "zzz_not_a_token", "vector", "stream")))
+        .toDF("query_id", "terms")
+        .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice1")
+      val out = java.nio.file.Files.createTempDirectory("graft-bm25-qout-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-qckpt-").toString
+      val q = s.readStream.schema(slice0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.similarity.Bm25IndexStore
+            .serveBm25TopKBatch(batch, idx, k = 10, roundTo = 6)
+            .write.mode("overwrite").parquet(s"$out/batch-$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      out
+    })
+
   /** The BM25 index with a takedown applied: doc_id%9==4 tombstoned out
     * of a COPY of the base artifacts (a takedown never re-tokenizes). */
   private val bm25DeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3238,6 +3284,17 @@ ORDER BY doc_id, token""")
         .serveBm25TopKBatch(batch, bm25IndexDirFor(s, dir), k = 10, roundTo = 6)
         .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
     }),
+
+    // ...and the QUERY LOG as a stream: the same batch served across
+    // two checkpointed micro-batches against the static index, results
+    // landing exactly-once in batch-scoped dirs — the streamed union
+    // must be bitwise the one-shot batch serve, so it SHARES the batch
+    // oracle (per-query results are batch-split-invariant by the
+    // per-call parity contract)
+    "q_stream_bm25_serve" -> ((s, dir) =>
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(bm25StreamServeDirFor(s, dir))
+        .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)),
 
     // ...and the batch path under a takedown (%9==4 tombstoned): batch
     // df(t)/stats ride the same net-of-tombstones machinery as the
@@ -6559,6 +6616,8 @@ GROUP BY label, i ORDER BY label, dim""",
       "CASE WHEN doc_id % 17 = 3 AND doc_id % 3 <> 0 " +
         "THEN coalesce(text, '') || ' refreshed edition' ELSE text END"),
     "q_bm25_served_batch" -> bm25BatchSql(),
+    // the streamed query log unions to exactly the one-shot batch serve
+    "q_stream_bm25_serve" -> bm25BatchSql(),
     "q_bm25_served_batch_delete" -> bm25BatchSql(" WHERE doc_id % 9 <> 4"),
 
     // ...with a takedown applied: %9==4 tombstoned out. df(t), N and

@@ -2758,6 +2758,20 @@ ORDER BY doc_id, token""")
         .orderBy("query_id", "rank")
     }),
 
+    // ...and the composed stack's BATCH: ~|corpus|/7 queries rotated
+    // through the persisted matrix and served in ONE cell-pruned plan —
+    // the rotation mat-vec, artifact collects and LUT broadcasts are
+    // per-batch costs, per-query rows exactly what serving each alone
+    // returns (the same exported-literal oracle, batch filter in the
+    // probe CTE)
+    "q_knn_opq_served_batch" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.IndexStore
+        .serveOpqIvfTopK(emb.filter(col("vec_id") % 7 === 2), opqIvfIndexDirFor(s, dir),
+          k = IvfK, nProbe = IvfProbe)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_knn_opq_ivf_served" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.IndexStore
@@ -4993,7 +5007,9 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     * round, lifted back to DOUBLE — the [[opqAdcCtesSql]] contract),
     * then the UNCHANGED cell + residual-ADC machinery in the rotated
     * space with the rotated-space centroid/codebook literals. */
-  private def opqIvfPqOracleSql(spark: SparkSession, dir: String): String = {
+  private def opqIvfPqOracleSql(
+      spark: SparkSession, dir: String,
+      queryFilter: String = s"vec_id < $IvfQueryMax"): String = {
     val (rot, cents, rcbs) = opqIvfFor(spark, dir)
     val rotVals = rot.zipWithIndex
       .map { case (row, i) => s"(${i + 1}, [${row.mkString(", ")}]::DOUBLE[])" }
@@ -5004,7 +5020,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     s"""WITH rot(i, rv) AS (VALUES
   $rotVals),
 v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-${ivfCellCtesSql(cents, vSql)},
+${ivfCellCtesSql(cents, vSql, queryFilter = queryFilter)},
 ${ivfAdcTailSql(rcbs)}"""
   }
 
@@ -5047,7 +5063,11 @@ ${ivfAdcTailSql(ivfResidCodebooksFor(spark, dir))}""") +
       ("q_knn_index_stats" -> ivfStatsOracleSql(spark, dir)) +
       ("q_knn_probe_recall" -> ivfProbeSweepOracleSql(spark, dir)) +
       ("q_knn_opq_ivf" -> opqIvfPqOracleSql(spark, dir)) +
-      ("q_knn_opq_ivf_served" -> opqIvfPqOracleSql(spark, dir)) ++
+      ("q_knn_opq_ivf_served" -> opqIvfPqOracleSql(spark, dir)) +
+      // the composed stack's batched serve: same exported artifacts,
+      // the batch's query filter in the probe CTE
+      ("q_knn_opq_served_batch" ->
+        opqIvfPqOracleSql(spark, dir, queryFilter = "vec_id % 7 = 2")) ++
       topicOracleSql(spark, dir)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -113,6 +113,31 @@ class Bm25IndexStoreSpec extends SparkSpec {
     assert(served == perCall)
   }
 
+  test("batched serve degenerate edges: all-unknown terms, empty batch, mixed batch") {
+    import spark.implicits._
+    val dir = newIndex(docs)
+    // every term unknown -> zero rows, correct schema
+    val unknown = Seq((1L, Seq("zzz_nope", "zzz_also_nope"))).toDF("query_id", "terms")
+    val r1 = Bm25IndexStore.serveBm25TopKBatch(unknown, dir, k = 5)
+    assert(r1.columns.toSeq == Seq("query_id", "doc_id", "score"))
+    assert(r1.count() == 0)
+    // empty batch -> zero rows, no job failure
+    val empty = Seq.empty[(Long, Seq[String])].toDF("query_id", "terms")
+    assert(Bm25IndexStore.serveBm25TopKBatch(empty, dir, k = 5).count() == 0)
+    // mixed batch: the unknown-terms query is simply absent; the live
+    // query still serves exactly its per-call rows
+    val mixed = Seq(
+      (1L, Seq("zzz_nope")),
+      (2L, Seq("spark", "join", "window"))).toDF("query_id", "terms")
+    val served = Bm25IndexStore.serveBm25TopKBatch(mixed, dir, k = 10, roundTo = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.forall(_._1 == 2L))
+    val perCall = Bm25IndexStore.serveBm25TopK(spark, dir, Seq("spark", "join", "window"),
+        k = 10, roundTo = -1)
+      .collect().map(r => (2L, r.getLong(0), r.getDouble(1))).toSet
+    assert(served == perCall)
+  }
+
   test("batched serve scans postings a constant number of times and prunes statically") {
     import spark.implicits._
     val dir = newIndex(docs)

@@ -3402,6 +3402,29 @@ ORDER BY doc_id, token""")
         EmbedFixtureModelId, k = 20, poolK = 20, nProbe = 3)
     }),
 
+    // ...and a BATCH of hybrid queries served in a CONSTANT number of
+    // plans — the last per-query serving front end batch-amortized: ONE
+    // batched BM25 plan (postings scanned twice total, static bucket
+    // pruning) + ONE batched ANN plan (one codes read, dynamic cell
+    // pruning over the probe union) + one window-shaped fusion. Query 1
+    // is exactly q_hybrid_served's query; every query's rows are
+    // bitwise what per-call rrfServed returns for it (spec-pinned) —
+    // which is what the oracle re-derives per query from the shared
+    // queries CTE and the batch's negative-id query vectors
+    "q_hybrid_served_batch" -> ((s, dir) => {
+      embedFixtureRegistered
+      import s.implicits._
+      val batch = Seq(
+        (1L, Seq("spark", "join", "window"), "spark join window"),
+        (2L, Seq("scan", "filter"), "scan filter pushdown"),
+        (3L, Seq("sort", "merge", "hash"), "hash merge sort")
+      ).toDF("query_id", "terms", "text")
+      graft.similarity.HybridSearch.rrfServedBatch(
+        batch, bm25IndexDirFor(s, dir), docAnnIndexDirFor(s, dir),
+        EmbedFixtureModelId, k = 20, poolK = 20, nProbe = 3)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id").asc)
+    }),
+
     // quality tier: Gopher/C4-style repetition metrics — pure Column
     // program, one tokenize, zero shuffle (scan-speed curation signal)
     "q_repetition" -> ((s, dir) => {
@@ -4918,6 +4941,93 @@ FROM lex l FULL JOIN sem m ON m.doc_id = l.doc_id
 ORDER BY rrf DESC, doc_id LIMIT 20"""
   }
 
+  /** The BATCHED served-hybrid stack re-derived: the per-query BM25
+    * chain from a shared queries CTE ([[bm25BatchSql]]'s machinery with
+    * the poolK cut + rank per query), the full IVF cell-route +
+    * residual-code + ADC replay with the batch's THREE query vectors
+    * entering the `v` world under the engine's negative synthetic ids
+    * (sorted query ids 1,2,3 → −1,−2,−3), and the RRF fusion per query
+    * — every query's rows are what serving it alone produces, which is
+    * the engine's spec-pinned batch contract. */
+  private def hybridServedBatchOracleSql(spark: SparkSession, dir: String): String = {
+    val poolK = 20
+    val digits = (0 until EmbedFixtureDim)
+      .map(d => s"CAST((u // CAST(${BigInt(97).pow(d)} AS HUGEINT)) % 97 AS DOUBLE)")
+      .mkString(", ")
+    val qTexts = Seq(1L -> "spark join window", 2L -> "scan filter pushdown",
+      3L -> "hash merge sort")
+    val qVecSql = qTexts.map { case (qid, t) =>
+      s"""SELECT CAST(${-qid} AS BIGINT) AS vec_id, [$digits] AS vec
+  FROM (SELECT ${fnvSql(s"'$t'")} AS u)"""
+    }.mkString("\n  UNION ALL\n  ")
+    val vSql =
+      s"""SELECT doc_id AS vec_id, [$digits] AS vec
+  FROM (SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents)
+  UNION ALL
+  $qVecSql"""
+    s"""WITH base AS (
+  SELECT doc_id, ${toksArrSql()} AS toks
+  FROM documents),
+tfs AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY 1, 2, 3),
+corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM base),
+queries AS (
+  SELECT CAST(v.q AS BIGINT) AS query_id, v.term FROM (VALUES
+    (1, 'spark'), (1, 'join'), (1, 'window'),
+    (2, 'scan'), (2, 'filter'),
+    (3, 'sort'), (3, 'merge'), (3, 'hash')) v(q, term)),
+hits AS (
+  SELECT doc_id, term, tf, dl, count(*) OVER (PARTITION BY term) AS df
+  FROM tfs WHERE term IN (SELECT term FROM queries)),
+scored AS (
+  SELECT q.query_id, h.doc_id, h.term,
+    ln(1.0 + (c.n_docs - h.df + 0.5) / (h.df + 0.5))
+      * (h.tf * (1.2 + 1.0)) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl)) AS score_t
+  FROM hits h JOIN queries q ON q.term = h.term CROSS JOIN corpus c),
+docsq AS (
+  SELECT query_id, doc_id,
+    list_reduce(list(score_t ORDER BY term), (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY 1, 2),
+lex AS (
+  SELECT query_id, doc_id, rn AS r_lex FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rn
+    FROM docsq)
+  WHERE rn <= $poolK),
+${ivfCellCtesSql(docAnnCentroidsFor(spark, dir), vSql, queryFilter = "vec_id < 0")},
+${residCoreCtes(docAnnResidFor(spark, dir))},
+aterms AS (
+  SELECT q.query_id, cd.vec_id AS neighbor_id, q.m, q.d2
+  FROM qsd q
+  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.m = q.m AND cd.code = q.k),
+adc AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list(d2 ORDER BY m), (a, b) -> a + b) AS adist
+  FROM aterms GROUP BY 1, 2),
+sem AS (
+  SELECT CAST(-query_id AS BIGINT) AS query_id, neighbor_id AS doc_id,
+    rank AS r_sem
+  FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+    FROM adc)
+  WHERE rank <= $poolK)
+SELECT query_id, doc_id, r_lex, r_sem, rrf FROM (
+  SELECT query_id, doc_id, l.r_lex, m.r_sem,
+    round(coalesce(1.0 / (60 + l.r_lex), 0.0)
+        + coalesce(1.0 / (60 + m.r_sem), 0.0), 6) AS rrf
+  FROM lex l FULL JOIN sem m USING (query_id, doc_id))
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) <= 20
+ORDER BY query_id, rrf DESC, doc_id"""
+  }
+
   /** The ANN replace lifecycle re-derived: the SAME persisted trained
     * artifacts (centroid + residual-codebook literals — append never
     * retrains), over the corpus with the replacement text's fixture
@@ -5050,6 +5160,7 @@ ${ivfAdcTailSql(rcbs)}"""
       // re-delivered batch must cause NO store change (idempotence)
       ("q_daily_pipeline_day2" -> dailyPipelineOracleSql(spark, dir, day2 = true)) +
       ("q_hybrid_served" -> hybridServedOracleSql(spark, dir)) +
+      ("q_hybrid_served_batch" -> hybridServedBatchOracleSql(spark, dir)) +
       ("q_knn_replaced" -> knnReplacedOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       // the batched serve: same machinery, the batch's query filter in

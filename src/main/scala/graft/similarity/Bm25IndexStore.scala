@@ -425,7 +425,13 @@ object Bm25IndexStore {
     * rows [[serveBm25TopK]] returns for it (spec-pinned, and the batch
     * query shares the per-call DuckDB oracle shape). Tombstones are
     * honored exactly like the per-call path (anti-join after the pruned
-    * scan, constants net of tombstones). */
+    * scan, constants net of tombstones).
+    *
+    * `queries` is evaluated MORE THAN ONCE (the bucket-literal
+    * aggregate, the term-set broadcast, the scoring join): a caller
+    * whose query table rides an expensive derivation (tokenize, a
+    * remote read) should persist it first — the same no-cache-residue
+    * rule documented on `probeDedupIndex`. */
   def serveBm25TopKBatch(
       queries: DataFrame,
       path: String,
@@ -449,10 +455,15 @@ object Bm25IndexStore {
     val buckets = qterms
       .select(bucketCol(col("token"), m.nBuckets).as("b")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    // zero-rows shell with the caller's query-id type, for the no-terms /
+    // zero-rows shell with the caller's query-id type AND the index's
+    // doc-id type (taken from the postings artifact, like the live
+    // path — a Long literal would hand non-Long-id indexes a different
+    // degenerate-batch schema than live batches), for the no-terms /
     // no-hits degenerate batches
     def emptyResult: DataFrame =
-      qterms.select(col("query_id"), lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+      qterms.select("query_id").limit(0)
+        .crossJoin(readPostings(spark, path).select("doc_id").limit(0))
+        .select(col("query_id"), col("doc_id"), lit(0.0).as("score"))
     if (buckets.isEmpty) return emptyResult
 
     val termSet = qterms.select("token").distinct()

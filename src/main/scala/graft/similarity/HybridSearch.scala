@@ -2,7 +2,7 @@ package graft.similarity
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -139,8 +139,14 @@ object HybridSearch {
       roundTo: Int = 6,
       nProbe: Int = 3): DataFrame = {
     import spark.implicits._
-    val lexIds: Array[Any] =
+    val lexServed =
       Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK, roundTo = roundTo)
+    // the fused schema's doc-id type comes from the index artifact,
+    // like everything else served — a hardcoded LongType would break
+    // createDataFrame on an index built over a non-Long id column
+    val idType = lexServed.schema("doc_id").dataType
+    val lexIds: Array[Any] =
+      lexServed
         .orderBy(col("score").desc, col("doc_id").asc)
         .select("doc_id")
         .collect()
@@ -154,6 +160,118 @@ object HybridSearch {
         .select("neighbor_id")
         .collect()
         .map(_.get(0))
-    fuse(spark, lexIds, semIds, org.apache.spark.sql.types.LongType, k, rrfK, roundTo)
+    fuse(spark, lexIds, semIds, idType, k, rrfK, roundTo)
+  }
+
+  /** Serve a BATCH of hybrid queries from the persisted indexes in a
+    * CONSTANT number of plans — the last per-query serving front end
+    * batch-amortized: [[rrfServed]] pays two sequential serves plus a
+    * driver-side fusion PER QUERY, while a production retrieval job
+    * answers a whole query log per run. Here the batch shares
+    * everything:
+    *
+    *   - `queries` is a DataFrame `(queryIdCol, termsCol:
+    *     array<string>, textCol: string)` — one row per query, terms
+    *     distinct per row (the per-call contract), text the semantic
+    *     query,
+    *   - the lexical lists come from ONE
+    *     [[Bm25IndexStore.serveBm25TopKBatch]] plan (postings scanned
+    *     twice TOTAL, static bucket pruning — the batched-BM25
+    *     contract), ranked per query by the per-call `(score desc,
+    *     doc_id asc)` tie rule,
+    *   - the semantic lists come from ONE
+    *     [[IndexStore.serveIvfPqTopK]] plan over the embedded query
+    *     table (the serve is natively batched: one codes read, dynamic
+    *     cell pruning over the batch's probe union). Query texts embed
+    *     DISTRIBUTED through [[graft.embed.Embedders.embed]] — bitwise
+    *     the per-call driver encode because every bundled model is
+    *     batch-size-invariant (spec-pinned for the transformer engine),
+    *   - queries enter the ANN serve under SYNTHETIC NEGATIVE ids
+    *     (distinct query ids collected sorted — query-proportional
+    *     driver traffic, the batched-BM25 bucket-collect class — and
+    *     mapped to −1, −2, …), so the serve-path self-exclusion is
+    *     inert exactly like [[rrfServed]]'s fixed −1 even when caller
+    *     query ids collide with corpus doc ids,
+    *   - fusion is one full-outer join on `(query_id, doc_id)` over
+    *     the two ≤ |batch|·poolK-row rank lists with [[rrf]]'s exact
+    *     arithmetic (lex part + sem part in that order, absent side
+    *     contributing literal 0.0, Spark `round` at `roundTo`), and the
+    *     per-query cut is a `row_number` window with the `(rrf desc,
+    *     doc_id asc)` tie rule.
+    *
+    * Result: `(query_id, doc_id, r_lex, r_sem, rrf)` — for every query,
+    * bitwise the rows [[rrfServed]] returns for it (spec-pinned).
+    * Like the batched BM25 serve, `queries` is evaluated more than once
+    * (id collect, both serves): persist it first if it rides an
+    * expensive derivation. */
+  def rrfServedBatch(
+      queries: DataFrame,
+      bm25Dir: String,
+      annDir: String,
+      modelId: String,
+      queryIdCol: String = "query_id",
+      termsCol: String = "terms",
+      textCol: String = "text",
+      k: Int = 20,
+      poolK: Int = 20,
+      rrfK: Int = 60,
+      roundTo: Int = 6,
+      nProbe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val qid = col(queryIdCol).as("query_id")
+
+    // lexical ranks: ONE batched BM25 plan, per-query row_number under
+    // the per-call tie rule (batch rows are bitwise the per-call serve's
+    // per query, so ranks coincide with rrfServed's positional ranks)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = Bm25IndexStore
+      .serveBm25TopKBatch(queries.select(qid, col(termsCol).as("terms")),
+        bm25Dir, k = poolK, roundTo = roundTo)
+      .select(col("query_id"), col("doc_id"),
+        row_number().over(wLex).cast("long").as("r_lex"))
+
+    // synthetic negative ANN ids: distinct query ids, sorted, → −(i+1)
+    val qids = queries.select(qid).distinct().orderBy(col("query_id"))
+      .collect().map(_.get(0))
+    val idType = queries.schema(queryIdCol).dataType
+    val mapSchema = StructType(Seq(
+      StructField("query_id", idType, nullable = true),
+      StructField("__qvid", LongType, nullable = false)))
+    val qidMap = spark.createDataFrame(
+      qids.zipWithIndex.map { case (id, i) => Row(id, -(i + 1L)) }.toSeq.asJava,
+      mapSchema)
+
+    // semantic ranks: embed the query column once (distributed), ONE
+    // batched ANN serve over the negative-id query table
+    val qVecs = graft.embed.Embedders
+      .embed(queries.select(qid, col(textCol).as("__t")), "__t", "embedding", modelId)
+      .join(broadcast(qidMap), Seq("query_id"))
+      .select(col("__qvid"), col("embedding"))
+    val sem = IndexStore
+      .serveIvfPqTopK(qVecs, annDir, idCol = "__qvid", k = poolK, nProbe = nProbe)
+      .select(col("query_id").as("__qvid"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_sem"))
+      .join(broadcast(qidMap), Seq("__qvid"))
+      .select(col("query_id"), col("doc_id"), col("r_sem"))
+
+    // rrf's exact arithmetic: long rank + int rrfK promoted to long,
+    // 1.0 / long → double, lex part + sem part in that order, absent
+    // side a literal 0.0, Spark round at roundTo — the per-call fuse
+    // bit for bit
+    def part(r: Column): Column =
+      coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_sem"),
+        round(part(col("r_lex")) + part(col("r_sem")), roundTo).as("rrf"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 }

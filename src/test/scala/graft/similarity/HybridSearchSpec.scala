@@ -79,4 +79,102 @@ class HybridSearchSpec extends SparkSpec {
     val b = run().collect().toSeq
     assert(a == b)
   }
+
+  // ------------------------------------------------- served batch path
+
+  /** dim-4 letter-histogram model so the IVFPQ index can use m=2. */
+  private val BatchModelId = "test:hybrid-letters4"
+  private def batchRegistered: Unit = graft.embed.EmbedderRegistry.register(
+    BatchModelId,
+    new graft.embed.EmbeddingModel {
+      override def dim: Int = 4
+      override def countTokens(text: String): Int =
+        if (text == null) 0 else text.split("\\s+").length
+      override def encodeBatch(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map { t =>
+          val s = if (t == null) "" else t
+          Array('a', 'b', 'c', 'd').map(ch => s.count(_ == ch).toFloat)
+        }
+    })
+
+  /** A corpus whose texts mix BM25 terms with letter payloads, plus the
+    * two persisted indexes the served stack reads. */
+  private def servedFixture(): (String, String) = {
+    import spark.implicits._
+    batchRegistered
+    val corpus = (1L to 24L).map { i =>
+      val terms = Seq("spark", "join", "window", "scan", "filter", "sort")
+        .zipWithIndex.collect { case (t, j) if i % (j + 2) == 0 => t }
+      val letters = Seq("a" * (i % 5).toInt, "b" * (i % 3).toInt,
+        "c" * (i % 7).toInt, "d" * (i % 4).toInt)
+      (i, (terms ++ letters).filter(_.nonEmpty).mkString(" "))
+    }.toDF("doc_id", "text")
+    val bm25Dir = java.nio.file.Files.createTempDirectory("hybrid-bm25-").toString
+    Bm25IndexStore.writeBm25Index(corpus, bm25Dir, "text", "doc_id", nBuckets = 8)
+    val annDir = java.nio.file.Files.createTempDirectory("hybrid-ann-").toString
+    val vecs = graft.embed.Embedders
+      .embed(corpus, "text", "embedding", BatchModelId)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    IndexStore.writeIvfPqIndex(vecs, annDir, nCells = 2, m = 2, kCent = 4, seed = 7L)
+    (bm25Dir, annDir)
+  }
+
+  private def batchQueries = {
+    import spark.implicits._
+    // query ids 1/2/3 COLLIDE with corpus doc ids on purpose: the
+    // negative-id remap must keep the ANN self-exclusion inert exactly
+    // like rrfServed's fixed −1
+    Seq(
+      (1L, Seq("spark", "join", "window"), "aa bcd"),
+      (2L, Seq("scan", "filter"), "dddd"),
+      (3L, Seq("sort", "spark"), "abc abc")
+    ).toDF("query_id", "terms", "text")
+  }
+
+  test("served batch reproduces per-call rrfServed rows exactly per query") {
+    val (bm25Dir, annDir) = servedFixture()
+    val batch = HybridSearch.rrfServedBatch(
+        batchQueries, bm25Dir, annDir, BatchModelId,
+        k = 8, poolK = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    val qs = batchQueries.collect()
+    assert(batch.keySet == Set(1L, 2L, 3L))
+    qs.foreach { q =>
+      val qid = q.getLong(0)
+      val perCall = HybridSearch.rrfServed(
+          spark, bm25Dir, annDir,
+          q.getSeq[String](1), q.getString(2), BatchModelId,
+          k = 8, poolK = 5, nProbe = 2)
+        .collect()
+        .map(r => (qid, r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          r.getDouble(3)))
+        .toSet
+      assert(batch(qid).toSet == perCall,
+        s"query $qid: batch ${batch(qid).toSet} != per-call $perCall")
+      assert(perCall.nonEmpty)
+    }
+  }
+
+  test("served batch plan reads each index a constant number of times") {
+    import spark.implicits._
+    val (bm25Dir, annDir) = servedFixture()
+    def planOf(qs: org.apache.spark.sql.DataFrame): String =
+      HybridSearch.rrfServedBatch(qs, bm25Dir, annDir, BatchModelId,
+          k = 8, poolK = 5, nProbe = 2)
+        .queryExecution.executedPlan.toString
+    def scans(plan: String, segment: String): Int =
+      s"""/$segment(__v\\d+)?(?![\\w-])""".r.findAllIn(plan).length
+    val one = planOf(batchQueries.limit(1))
+    val three = planOf(batchQueries)
+    // ONE lexical plan + ONE semantic plan total, however many queries:
+    // postings and codes scan counts must not grow with the batch
+    assert(scans(one, "postings") == scans(three, "postings"),
+      s"postings scans grew: ${scans(one, "postings")} -> ${scans(three, "postings")}")
+    assert(scans(one, "ivf_codes") == scans(three, "ivf_codes"),
+      s"ivf_codes scans grew: ${scans(one, "ivf_codes")} -> ${scans(three, "ivf_codes")}")
+    assert(scans(three, "ivf_codes") == 1, three)
+  }
 }

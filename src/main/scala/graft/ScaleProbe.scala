@@ -174,6 +174,50 @@ object ScaleProbe {
           spark.read.parquet(s"${m.substring(m.indexOf(':') + 1)}/documents.parquet")
             .filter(col("doc_id") % 3 === 0),
           dedupIdxDir, "text", "doc_id", threshold = 0.125).count()
+      case cc if cc.startsWith("ccskew:") =>
+        // connectedComponents under the adversarial shape the object
+        // doc names: ONE component spanning half the node domain (so
+        // the component root's symmetrized neighborhood grows toward
+        // n/2 as contraction proceeds — the window shape's skew
+        // hazard), the other half small 2-node components.
+        // ccskew:<window|groupby>:<nNodes> — generated in-memory,
+        // deterministic (xxhash-derived extra edges), dir is unused.
+        val parts = cc.stripPrefix("ccskew:").split(":")
+        val via = parts(0)
+        val n = parts(1).toLong
+        val half = n / 2
+        import spark.implicits._
+        // mega component on [0, half): a chain (i, i+1) guaranteeing
+        // connectivity + one pseudo-random long-range edge per node
+        // (hash-derived), ~2 edges/node — web-boilerplate-cluster shape
+        val chain = spark.range(half - 1)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        val extra = spark.range(half)
+          .select(col("id").as("id_a"),
+            pmod(xxhash64(col("id")), lit(half)).as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+        // small components on [half, n): disjoint pairs
+        val smalls = spark.range(half / 2)
+          .select((col("id") * 2 + half).as("id_a"),
+            (col("id") * 2 + half + 1).as("id_b"))
+          .filter(col("id_b") < n)
+        val pairs = chain.union(extra).union(smalls)
+        graft.dedup.Dedup.connectedComponents(pairs, minVia = via).count()
+      case cc if cc.startsWith("ccstar:") =>
+        // the maximum-skew shape: node 0 adjacent to EVERY node in
+        // [1, n/2) from round one — the window shape's single fattest
+        // possible partition (no contraction needed to build it)
+        val parts = cc.stripPrefix("ccstar:").split(":")
+        val via = parts(0)
+        val n = parts(1).toLong
+        val half = n / 2
+        val hub = spark.range(1, half)
+          .select(lit(0L).as("id_a"), col("id").as("id_b"))
+        val smalls = spark.range(half / 2)
+          .select((col("id") * 2 + half).as("id_a"),
+            (col("id") * 2 + half + 1).as("id_b"))
+          .filter(col("id_b") < n)
+        graft.dedup.Dedup.connectedComponents(hub.union(smalls), minVia = via).count()
       case "snapshot_diff" =>
         // change detection between two deliveries derived from the
         // dir's corpus (the q_snapshot_diff split rules) — hash-only

@@ -638,20 +638,36 @@ object Dedup {
     * The fixpoint is the star forest `(member, root)` with root = the
     * component minimum, so labels are deterministic and identical to
     * what min-label propagation produces. Each round is bounded
-    * shuffle algebra (a min-aggregate + an equi-join + a distinct per
-    * star op) with no UNSPILLABLE per-node state — unlike hash-to-min,
-    * where the minimum node accumulates its whole component into ONE
-    * row (a true OOM bomb for web-scale duplicate groups). The caveat
-    * worth stating: the per-node neighborhood min rides a
-    * `Window.partitionBy(u)` with no orderBy, and WindowExec buffers
-    * (and, under pressure, SPILLS) each node's partition — as
-    * contraction proceeds, the component-minimum node's symmetrized
-    * neighborhood grows toward component size, so a mega-component's
-    * root is a per-node skew hotspot of the spill/stragglers class,
-    * not the single-row-OOM class. If that skew ever dominates, the
-    * min can be computed as a groupBy partial aggregate (map-side
-    * combine, no row buffering) + join-back at the price of a second
-    * exchange per star op.
+    * shuffle algebra with no UNSPILLABLE per-node state — unlike
+    * hash-to-min, where the minimum node accumulates its whole
+    * component into ONE row (a true OOM bomb for web-scale duplicate
+    * groups).
+    *
+    * The per-node neighborhood min has TWO physical shapes, selected
+    * by `minVia` (label-identical, spec-pinned):
+    *
+    *   - `"window"` (the default): the min rides `Window.partitionBy
+    *     (u)` over the SAME exchange that groups the neighborhood —
+    *     one exchange per star op. WindowExec buffers each node's
+    *     partition in an `ExternalAppendOnlyUnsafeRowArray` that
+    *     SPILLS past 4096 in-memory rows, so a mega-component's root
+    *     (whose symmetrized neighborhood grows toward component size
+    *     as contraction proceeds) degrades to a spilling straggler
+    *     task, never an OOM. Measured on the adversarial fixtures
+    *     SCALING.md records (a 1M-node half-domain component, and a
+    *     pure 1M-leaf star — the fattest possible single partition):
+    *     the window shape WINS at every scale tried, 1.2–1.4×,
+    *     because the saved exchange outweighs a spill that stays
+    *     inside one task's disk bandwidth at these component sizes;
+    *   - `"groupby"`: `groupBy(u).agg(min(v))` + join-back — the min
+    *     rides MAP-SIDE COMBINE and the join streams, so NO task ever
+    *     buffers a neighborhood, at the price of a second exchange
+    *     per star op. The insurance shape for the regime past the
+    *     measured range — a component root whose neighborhood
+    *     (≳100M edges, RefinedWeb-class boilerplate clusters) would
+    *     turn the window task's spill into minutes of single-task
+    *     disk I/O; the groupby straggler streams the same rows
+    *     without materializing them.
     *
     * Convergence detection: each round's edge set is lazily
     * `localCheckpoint`ed and ONE driver action computes its
@@ -668,19 +684,36 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIterations: Int = 30): DataFrame = {
-    // Each star op is ONE u-partitioned exchange: the neighborhood min
-    // rides a partitioned window over the same shuffle that groups the
-    // neighborhood, instead of a groupBy + join-back (two exchanges).
+      maxIterations: Int = 30,
+      minVia: String = "window"): DataFrame = {
+    require(minVia == "groupby" || minVia == "window",
+      s"connectedComponents: minVia must be 'groupby' or 'window', got '$minVia'")
     // Only small-star (the end of a round) canonicalizes with distinct —
     // large-star's duplicate emissions are absorbed by small-star's
-    // window min, and the set semantics the xor-signature needs hold at
-    // the round boundary.
+    // neighborhood min, and the set semantics the xor-signature needs
+    // hold at the round boundary.
+    //
+    // window shape: ONE u-partitioned exchange per star op — the min
+    // rides a partitioned window over the same shuffle that groups the
+    // neighborhood (WindowExec buffers each node's partition: the
+    // skew-free regime's shape).
+    // groupby shape: the min is a partial aggregate (map-side combine,
+    // no buffering) joined back — a second exchange per star op, but
+    // no task ever holds a neighborhood in memory (the mega-component
+    // shape; see the object doc and SCALING.md).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
-      val w = Window.partitionBy("u")
-      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      val withM =
+        if (minVia == "window") {
+          val w = Window.partitionBy("u")
+          sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        } else {
+          val mins = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+          sym.join(mins, Seq("u"))
+            .withColumn("m", least(col("__mn"), col("u")))
+        }
+      withM
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
     }
@@ -688,10 +721,18 @@ object Dedup {
       val dir = e.select(
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val w = Window.partitionBy("u")
-      val withM = dir.withColumn("m", min(col("v")).over(w)) // m ≤ u by direction
-      withM.select(col("v").as("u"), col("m").as("v"))
-        .union(withM.select(col("u"), col("m").as("v")))
+      // m ≤ u by direction, so u itself re-roots to m
+      val (perEdge, perNode) =
+        if (minVia == "window") {
+          val w = Window.partitionBy("u")
+          val withM = dir.withColumn("m", min(col("v")).over(w))
+          (withM, withM.select(col("u"), col("m")))
+        } else {
+          val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+          (dir.join(mins, Seq("u")), mins)
+        }
+      perEdge.select(col("v").as("u"), col("m").as("v"))
+        .union(perNode.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
     }
@@ -754,8 +795,9 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIterations: Int = 30): DataFrame =
-    connectedComponents(pairs, aCol, bCol, maxIterations)
+      maxIterations: Int = 30,
+      minVia: String = "window"): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIterations, minVia)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
 

@@ -86,6 +86,32 @@ class DuplicateClustersSpec extends SparkSpec {
     }
   }
 
+  test("window and groupby neighborhood-min variants produce identical labels") {
+    import spark.implicits._
+    // three regimes in one graph: a permuted CHAIN (the diameter
+    // adversary), a MEGA-STAR component spanning half the node domain
+    // rooted mid-chain (the neighborhood-skew adversary the groupby
+    // shape exists for), random small components, and singleton
+    // self-pairs
+    val rnd = new scala.util.Random(13L)
+    val chainIds = rnd.shuffle((100L until 300L).toVector)
+    val chain = chainIds.sliding(2).map(w => (w(0), w(1))).toVector
+    val star = (301L until 500L).map(i => (chainIds(50), i))
+    val small = Seq.fill(100)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    val selfs = Seq((900L, 900L), (901L, 901L))
+    val pairs = (chain ++ star ++ small ++ selfs).toDF("id_a", "id_b")
+    def labels(via: String): Map[Long, Long] =
+      Dedup.connectedComponents(pairs, minVia = via)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gb = labels("groupby")
+    val win = labels("window")
+    assert(gb == win, s"variants disagree: ${gb.toSet.diff(win.toSet).take(5)}")
+    // and both put the chain+star mega-component under one min root
+    val megaNodes = (chainIds ++ (301L until 500L)).toSet
+    assert(megaNodes.map(gb).size == 1)
+  }
+
   test("survivorsByQuality keeps the argmax member, ties to smallest id, singletons untouched") {
     import spark.implicits._
     val docs = Seq(

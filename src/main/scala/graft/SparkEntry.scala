@@ -552,6 +552,58 @@ object SparkEntry {
         delivery.count(), freshDocs.count(), clean.count(), surv.count())
     })
 
+  /** DAY 2 of the daily loop, run FOR REAL against COPIES of the day-1
+    * stores: the re-delivered batch goes through the full downstream —
+    * diff, decontamination, probe, and all three APPENDS — with the
+    * (empty) survivor set actually invoking each store's append path.
+    * Idempotence under re-delivery is therefore the appends' measured
+    * behavior under the oracle (stats must read back bit-for-bit as
+    * day 1 left them), not a short-circuit assumption about what an
+    * empty append WOULD do. */
+  private val dailyPipelineDay2Roots =
+    new java.util.concurrent.ConcurrentHashMap[String, DailyPipeline]()
+  private def dailyPipelineDay2For(s: SparkSession, dir: String): DailyPipeline =
+    dailyPipelineDay2Roots.computeIfAbsent(dir, { _ =>
+      val p = dailyPipelineFor(s, dir)
+      val docs = tbl(s, dir, "documents")
+      val atRest = docs.filter(col("doc_id") % 3 =!= 0)
+      val delivery = docs.filter(col("doc_id") % 3 === 0)
+      // the same delivery re-arrives: yesterday IS today
+      val fresh = graft.dedup.Dedup.snapshotDiff(delivery, delivery)
+        .filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      val freshDocs = delivery.join(fresh, Seq("doc_id"))
+      val evalSplit = atRest.filter(col("doc_id") % 11 === 0)
+      val contaminated = graft.dedup.Decontaminate
+        .overlap(evalSplit, freshDocs, "text", "doc_id", n = 3)
+        .select("doc_id")
+      val clean = freshDocs.join(contaminated, Seq("doc_id"), "left_anti")
+      val matched = graft.dedup.DedupIndexStore
+        .probeDedupIndex(clean, dedupIndexDirFor(s, dir), "text", "doc_id",
+          threshold = 0.125)
+        .select(col("id_new").as("doc_id")).distinct()
+      val stage = java.nio.file.Files.createTempDirectory("graft-daily2-stage-").toString
+      clean.join(matched, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/survivors")
+      // explicit schema: the empty survivor stage may land with no
+      // part files, and schema inference over an empty dir throws
+      val surv = s.read.schema(delivery.schema).parquet(s"$stage/survivors")
+      val dd = java.nio.file.Files.createTempDirectory("graft-daily2-dedup-").toString
+      copyTree(p.dedupDir, dd)
+      graft.dedup.DedupIndexStore
+        .appendToDedupIndex(surv, dd, "text", "doc_id", batchId = "daily2")
+      val bd = java.nio.file.Files.createTempDirectory("graft-daily2-bm25-").toString
+      copyTree(p.bm25Dir, bd)
+      graft.similarity.Bm25IndexStore
+        .appendToBm25Index(surv, bd, "text", "doc_id", batchId = "daily2")
+      val ad = java.nio.file.Files.createTempDirectory("graft-daily2-ann-").toString
+      copyTree(p.annDir, ad)
+      graft.similarity.IndexStore.appendToIvfPqIndex(embedDocsFixture(surv), ad)
+      DailyPipeline(dd, bd, ad,
+        delivery.count(), freshDocs.count(), clean.count(),
+        s.read.schema(delivery.schema).parquet(s"$stage/survivors").count())
+    })
+
   /** Fixture plumbing: clone an index's artifact tree so a lifecycle
     * variant (delete, compact) starts from the SAME base artifacts
     * without re-signing/re-encoding the corpus — exactly the production
@@ -2194,26 +2246,24 @@ ORDER BY doc_id, token""")
     }),
 
     // ...and DAY 2 of the loop: the same delivery re-arrives (the
-    // common production case — an unchanged re-drop). The snapshot
-    // diff produces ZERO fresh docs, so nothing reaches
-    // decontamination, the probe, or any append — the loop
-    // short-circuits at the gate by design — and all three stores must
-    // read back bit-for-bit as day 1 left them. The oracle is the
-    // day-1 store replay with zeroed stage counts: the loop is
-    // IDEMPOTENT under re-delivery, under the DuckDB gate
+    // common production case — an unchanged re-drop) and the WHOLE
+    // loop runs for real against COPIES of the day-1 stores — the
+    // snapshot diff yields ZERO fresh docs, the empty survivor set
+    // flows through decontamination, the probe, and all three stores'
+    // ACTUAL append paths (dailyPipelineDay2For), and the appended-to
+    // copies must read back bit-for-bit as day 1 left them. The
+    // oracle is the day-1 store replay with zeroed stage counts: the
+    // loop — appends included, not short-circuited — is IDEMPOTENT
+    // under re-delivery, under the DuckDB gate
     "q_daily_pipeline_day2" -> ((s, dir) => {
       import s.implicits._
-      val p = dailyPipelineFor(s, dir)
-      val delivery = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-      val nFresh = graft.dedup.Dedup.snapshotDiff(delivery, delivery)
-        .filter(col("status").isin("added", "changed"))
-        .count()
+      val p2 = dailyPipelineDay2For(s, dir)
       val stages = Seq(
-        ("delivery", p.nDelivery, 0L),
-        ("fresh", nFresh, 0L),
-        ("decontaminated", nFresh, 0L),
-        ("survivors", nFresh, 0L)).toDF("stage", "n_docs", "n_units")
-      stages.unionByName(pipelineStoreStats(s, p)).orderBy("stage")
+        ("delivery", p2.nDelivery, 0L),
+        ("fresh", p2.nFresh, 0L),
+        ("decontaminated", p2.nClean, 0L),
+        ("survivors", p2.nSurvivors, 0L)).toDF("stage", "n_docs", "n_units")
+      stages.unionByName(pipelineStoreStats(s, p2)).orderBy("stage")
     }),
 
     // ...and the same takedown AFTER compaction: rows physically gone,

@@ -23,6 +23,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // CALIBRATION PROBES — the drift normalizer: cross-round comparison on
+    // this box is dominated by a ~1.6× same-day speed band on identical
+    // code, so every capture carries two fixed synthetic queries over
+    // generated-in-memory data (no files, no caches, plans frozen): a
+    // pure SCAN (codegen'd hash-fold over range — CPU throughput) and a
+    // pure SHUFFLE (range → hash-keyed exchange → two-level aggregate —
+    // exchange throughput). A judge normalizes any query delta by the
+    // ratio of the two captures' calibration times instead of trusting
+    // raw seconds. Measured as median of 3 after 1 untimed warmup, both
+    // BEFORE the query passes (pre) and AFTER (post) so drift DURING a
+    // capture is visible too.
+    import org.apache.spark.sql.functions._
+    def calibScan(): Unit = {
+      // bit_xor fold: order-free and ANSI-safe (a sum of 400M hashes
+      // overflows long under ANSI mode)
+      spark.range(1600000000L).agg(expr("bit_xor(xxhash64(id))")).head(); ()
+    }
+    def calibShuffle(): Unit = {
+      spark.range(20000000L)
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(max("n"), count(lit(1))).head()
+      ()
+    }
+    def calibMedian(f: () => Unit): Double = {
+      f() // warmup: codegen compile
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val calibScanPre = calibMedian(calibScan)
+    val calibShufflePre = calibMedian(calibShuffle)
+    println(f"""{"calibration":"pre","scan_sec":$calibScanPre%.3f,"shuffle_sec":$calibShufflePre%.3f}""")
     // One untimed warmup pass: absorbs JVM/JIT + codegen compilation so the
     // timed passes measure steady-state query cost, comparable across rounds.
     benchQueries.foreach { case (_, fn) =>
@@ -82,8 +116,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum
+    val calibScanPost = calibMedian(calibScan)
+    val calibShufflePost = calibMedian(calibShuffle)
+    println(f"""{"calibration":"post","scan_sec":$calibScanPost%.3f,"shuffle_sec":$calibShufflePost%.3f}""")
+    val calib = f""""calibration":{"scan_sec_pre":$calibScanPre%.3f,""" +
+      f""""shuffle_sec_pre":$calibShufflePre%.3f,"scan_sec_post":$calibScanPost%.3f,""" +
+      f""""shuffle_sec_post":$calibShufflePost%.3f}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file: the driver's stdout capture has
     // truncated the head of long lines before (BENCH_r07 parsed null), so

@@ -77,9 +77,11 @@ object DedupIndexStore {
     // independent write actions over `sigs` would re-shingle and
     // re-hash the whole corpus (2× the build's dominant cost)
     Dedup.minHashSignatures(corpus, textCol, idCol, numHashes, shingleSize, seed)
-      .write.mode("overwrite").parquet(s"$path/signatures")
-    bandRows(spark.read.parquet(s"$path/signatures"), bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode("overwrite").parquet(
+        graft.util.ArtifactTree.resolve(spark, path, "signatures"))
+    bandRows(readSignatures(spark, path), bands)
+      .write.mode("overwrite").parquet(
+        graft.util.ArtifactTree.resolve(spark, path, "bands"))
   }
 
   /** The persisted signature config. Bounded driver action (one row). */
@@ -121,10 +123,14 @@ object DedupIndexStore {
     // signatures subdirectory (the recursive readers flatten it; a
     // compaction folds it away) and bands derive from the written files
     val id = if (batchId.nonEmpty) batchId else java.util.UUID.randomUUID().toString.take(8)
+    // deltas land INSIDE the resolved (possibly versioned) trees, so
+    // they compact away with their base
+    val sigTree = graft.util.ArtifactTree.resolve(spark, path, "signatures")
     Dedup.minHashSignatures(newDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-      .write.mode("overwrite").parquet(s"$path/signatures/append-$id")
-    bandRows(spark.read.parquet(s"$path/signatures/append-$id"), m.bands)
-      .write.mode("overwrite").parquet(s"$path/bands/append-$id")
+      .write.mode("overwrite").parquet(s"$sigTree/append-$id")
+    bandRows(spark.read.parquet(s"$sigTree/append-$id"), m.bands)
+      .write.mode("overwrite").parquet(
+        graft.util.ArtifactTree.resolve(spark, path, "bands") + s"/append-$id")
   }
 
   /** Streaming delta ingest: document deltas arrive as a stream and land
@@ -145,12 +151,16 @@ object DedupIndexStore {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sign-once per batch: bands derive from the just-written delta
         // signatures (replay rewrites both dirs, preserving idempotence)
+        val sigTree = graft.util.ArtifactTree
+          .resolve(batch.sparkSession, path, "signatures")
         Dedup.minHashSignatures(
             batch, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-          .write.mode("overwrite").parquet(s"$path/signatures/delta-$batchId")
+          .write.mode("overwrite").parquet(s"$sigTree/delta-$batchId")
         bandRows(
-            batch.sparkSession.read.parquet(s"$path/signatures/delta-$batchId"), m.bands)
-          .write.mode("overwrite").parquet(s"$path/bands/delta-$batchId")
+            batch.sparkSession.read.parquet(s"$sigTree/delta-$batchId"), m.bands)
+          .write.mode("overwrite").parquet(
+            graft.util.ArtifactTree.resolve(batch.sparkSession, path, "bands") +
+              s"/delta-$batchId")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -205,10 +215,12 @@ object DedupIndexStore {
   /** Flat + streaming-delta trees (same recursive-read posture as the
     * ANN store's code table). */
   def readSignatures(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/signatures")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(graft.util.ArtifactTree.resolve(spark, path, "signatures"))
 
   def readBands(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/bands")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(graft.util.ArtifactTree.resolve(spark, path, "bands"))
 
   /** Index bookkeeping — the ops surface for the persisted dedup tier:
     * document count, tombstone count (takedown debt the next compaction

@@ -133,13 +133,17 @@ object Bm25IndexStore {
       .groupBy(bucketCol(col("token"), nBuckets).as("tok_bucket"),
         col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+    // writes into a COMPACTED tree resolve through the manifest — the
+    // live tree may be a versioned sibling (ArtifactTree.resolve)
     if (postingsDelta.isEmpty)
-      postings.write.partitionBy("tok_bucket").mode(postingsMode).parquet(s"$path/postings")
+      postings.write.partitionBy("tok_bucket").mode(postingsMode)
+        .parquet(graft.util.ArtifactTree.resolve(spark, path, "postings"))
     else
       postings.write.mode("overwrite").parquet(s"$path/postings_deltas/$postingsDelta")
     val dlSub = if (doclensSub.isEmpty) "" else s"/$doclensSub"
     exploded.select(col("doc_id"), col("dl")).distinct()
-      .write.mode("overwrite").parquet(s"$path/doclens$dlSub")
+      .write.mode("overwrite")
+      .parquet(graft.util.ArtifactTree.resolve(spark, path, "doclens") + dlSub)
     graft.util.ArtifactTree.remove(
       spark, path, dump.substring(path.length + 1))
   }
@@ -148,7 +152,8 @@ object Bm25IndexStore {
     * any streaming-delta subtree (where `tok_bucket` is a data column —
     * schema-aligned union). */
   private def readPostings(spark: SparkSession, path: String): DataFrame = {
-    val main = spark.read.parquet(s"$path/postings")
+    val main = spark.read.parquet(
+      graft.util.ArtifactTree.resolve(spark, path, "postings"))
     graft.util.ArtifactTree.readOptional(spark, path, "postings_deltas") match {
       case None => main
       case Some(d) => main.unionByName(d)
@@ -198,7 +203,8 @@ object Bm25IndexStore {
   }
 
   def readDoclens(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/doclens")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(graft.util.ArtifactTree.resolve(spark, path, "doclens"))
 
   /** Incremental maintenance: tokenize NEW documents under the
     * PERSISTED config and append. Delta-sized tokenize cost. Ids must

@@ -51,7 +51,8 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     corpus
       .select(col(idCol).as("neighbor_id"), ProductQuant.encodeCol(col(vecCol), cbs).as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(
+        graft.util.ArtifactTree.resolve(spark, path, "codes"))
   }
 
   /** Load the codebooks artifact back into the `[m][k][dsub]` layout the
@@ -86,7 +87,8 @@ object IndexStore {
     val cbs = readCodebooks(newVectors.sparkSession, path)
     newVectors
       .select(col(idCol).as("neighbor_id"), ProductQuant.encodeCol(col(vecCol), cbs).as("codes"))
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(
+        graft.util.ArtifactTree.resolve(newVectors.sparkSession, path, "codes"))
   }
 
   /** Streaming delta ingest — the production shape of [[appendToPqIndex]]:
@@ -114,7 +116,9 @@ object IndexStore {
         batch
           .select(col(idCol).as("neighbor_id"),
             ProductQuant.encodeCol(col(vecCol), cbs).as("codes"))
-          .write.mode("overwrite").parquet(s"$path/codes/delta-$batchId")
+          .write.mode("overwrite").parquet(
+            graft.util.ArtifactTree.resolve(batch.sparkSession, path, "codes") +
+              s"/delta-$batchId")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -124,7 +128,8 @@ object IndexStore {
   /** The full code table: the build job's flat files plus every
     * committed streaming delta subdirectory. */
   def readCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(graft.util.ArtifactTree.resolve(spark, path, "codes"))
 
   /** Tombstone vectors out of the index — the takedown/opt-out job
     * (FAISS's `remove_ids`, re-expressed for a persisted distributed
@@ -218,7 +223,8 @@ object IndexStore {
       .toDF("m", "k", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/resid_codebooks")
     IvfPq.encodeIvfLists(corpus, cents, cbs, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/ivf_codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(
+        graft.util.ArtifactTree.resolve(spark, path, "ivf_codes"))
   }
 
   /** Load the two tiny IVF artifacts back (bounded driver actions). */
@@ -298,7 +304,8 @@ object IndexStore {
       vecCol: String = "embedding"): Unit = {
     val (cents, cbs) = readIvfArtifacts(newVectors.sparkSession, path)
     IvfPq.encodeIvfLists(newVectors, cents, cbs, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/ivf_codes")
+      .write.mode("append").partitionBy("cell").parquet(
+        graft.util.ArtifactTree.resolve(newVectors.sparkSession, path, "ivf_codes"))
   }
 
   /** Serve IVFADC top-k entirely from the persisted index: no k-means,
@@ -315,7 +322,8 @@ object IndexStore {
       nProbe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     val (cents, cbs) = readIvfArtifacts(spark, path)
-    val lists = spark.read.parquet(s"$path/ivf_codes")
+    val lists = spark.read.parquet(
+      graft.util.ArtifactTree.resolve(spark, path, "ivf_codes"))
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
     // tombstones ride the excludeIds hook (post-cell-join anti-join),
     // NOT a filter on the lists scan — that would sit between the
@@ -333,7 +341,8 @@ object IndexStore {
     * compaction reclaims). One codes scan + a broadcast tombstone tag;
     * the aggregate is nCells rows. */
   def describeIvfIndex(spark: SparkSession, path: String): DataFrame = {
-    val codes = spark.read.parquet(s"$path/ivf_codes")
+    val codes = spark.read.parquet(
+      graft.util.ArtifactTree.resolve(spark, path, "ivf_codes"))
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"))
     val tagged = tombstones(spark, path) match {
       case None => codes.withColumn("dead", lit(false))

@@ -1,44 +1,89 @@
 package graft.util
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared maintenance for parquet artifact trees that accrete streaming
-  * delta subdirectories (the ANN code table, the dedup index's
-  * signatures and bands): rewrite base + all deltas into `targetFiles`
-  * fresh files and swap the tree in place. Months of micro-batch deltas
-  * are thousands of tiny files, and scan throughput dies by file-open
-  * overhead long before data volume matters.
+  * delta subdirectories (the ANN code tables, the dedup index's
+  * signatures and bands, the BM25 postings/doclens): rewrite base + all
+  * deltas into `targetFiles` fresh files and publish the new tree.
+  * Months of micro-batch deltas are thousands of tiny files, and scan
+  * throughput dies by file-open overhead long before data volume
+  * matters.
   *
-  * Hadoop FS API throughout — the rest of the index IO goes through
-  * Spark's FS layer, so the stores must work on HDFS/object stores too,
-  * not just the local filesystem. The swap is two directory renames —
-  * NOT atomic against a concurrently running serving job (a production
-  * deployment puts a manifest or table format in front; documented
-  * limitation, same class as the parquet-overwrite the build jobs
-  * already do). Crash recovery: a prior run that died between the two
-  * renames leaves `<subdir>_precompact` behind — if the live tree also
-  * exists the leftover is garbage and is deleted; if the live tree is
-  * MISSING the crash was mid-swap and the old tree (the only complete
-  * copy) is restored before proceeding.
+  * THE SWAP IS MANIFEST-FRONTED (round 17; the two-directory-rename
+  * swap it replaces had a documented fail-and-retry window). Layout:
+  * the first compaction of `<subdir>` writes the rewritten tree to a
+  * VERSIONED sibling `<subdir>__v1` and publishes it by creating one
+  * empty marker file `<subdir>_manifest/v-00000001`; every subsequent
+  * compaction writes `__v<N+1>` and publishes marker `v-<N+1>`. Readers
+  * go through [[resolve]]: highest marker wins, no manifest means the
+  * legacy plain `<root>/<subdir>` tree. Appends write INTO the resolved
+  * tree, so delta subdirectories version along with their base.
   *
   * READER-DURING-SWAP contract (spec-pinned in `ArtifactTreeSpec`): a
-  * probe/serve that resolves the live path can observe exactly three
-  * states — the complete OLD tree (before the first rename), a loud
-  * path-not-found failure (inside the two-rename window, where the live
-  * path briefly does not exist — fail-and-retry territory, rename makes
-  * no torn directory to read), or the complete NEW tree (after the
-  * second rename; the lingering `_precompact`/`_compacting` siblings
-  * are invisible because every reader addresses `<root>/<subdir>`
-  * only). A reader can never see a MIX of old and new rows: the new
-  * tree is written complete under `_compacting` before any rename
-  * touches the live path, and the two trees never share a directory.
-  * The one remaining hazard is a reader whose files were LISTED before
-  * the swap and opened after (Spark plans cache file listings) — it
-  * fails with deleted/missing-file errors, again loudly, never with
-  * silently wrong rows. Operate compactions single-writer and off-peak,
-  * or front the tree with a manifest if serving cannot tolerate
-  * retries. */
+  * reader that resolved the live tree — at ANY point before, during,
+  * or after a concurrent compaction — reads a COMPLETE tree
+  * successfully. Before the marker lands it resolves the old version;
+  * after, the new one. There is no window where the resolved path does
+  * not exist, because publish is ONE file create (no rename touches a
+  * live path) and the superseded tree is garbage-collected only one
+  * full compaction cycle later — a reader holding the old resolution
+  * (including one whose Spark plan cached its file listing) keeps
+  * reading intact old files through the entire swap. Scope of the
+  * atomicity claim, stated honestly: it rests on "marker visible ⇒
+  * tree committed", which holds on any store whose single-file create
+  * is atomic — HDFS and POSIX trivially, and OBJECT STORES too (a PUT
+  * is atomic per object; the marker is created only after the tree's
+  * write job returns). The old two-rename swap could not say this for
+  * object stores, where directory rename is per-file copy+delete and a
+  * lister could observe a partially-populated tree. A reader that
+  * resolves through a STALE listing of the manifest directory merely
+  * reads the previous complete version — stale, never torn, never
+  * silently short. Operate compactions single-writer; the grace window
+  * (exactly one previous version retained) bounds disk overhead to 2×
+  * the tree during the cycle after a compaction.
+  *
+  * Crash posture: a compaction that dies before the marker create
+  * leaves an orphan `__v<N+1>` tree the next run OVERWRITES (same
+  * version number — current version is still N); one that dies after
+  * the marker but before GC leaves extra old trees the next run
+  * GCs. Both re-runs are idempotent. Legacy `_precompact` half-states
+  * from the pre-manifest layout are still healed on entry. */
 object ArtifactTree {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: Path, subdir: String): Path =
+    new Path(root, s"${subdir}_manifest")
+
+  private def marker(root: Path, subdir: String, v: Int): Path =
+    new Path(manifestDir(root, subdir), f"v-$v%08d")
+
+  private def versionedTree(root: Path, subdir: String, v: Int): Path =
+    new Path(root, s"${subdir}__v$v")
+
+  /** Highest published version; 0 = no manifest (legacy plain tree). */
+  private def currentVersion(fs: FileSystem, root: Path, subdir: String): Int = {
+    val md = manifestDir(root, subdir)
+    if (!fs.exists(md)) 0
+    else fs.listStatus(md).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.stripPrefix("v-").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** The CURRENT live tree path — every reader of (and appender into) a
+    * compactable subtree goes through this: the highest manifest
+    * version's `<subdir>__v<N>`, or the plain `<root>/<subdir>` when no
+    * compaction has versioned the tree yet. One bounded file-listing of
+    * the manifest directory. */
+  def resolve(spark: SparkSession, root: String, subdir: String): String = {
+    val hp = new Path(root)
+    val v = currentVersion(fsOf(spark, hp), hp, subdir)
+    if (v == 0) new Path(hp, subdir).toString
+    else versionedTree(hp, subdir, v).toString
+  }
 
   /** `transform` runs inside the rewrite (the place physical row drops —
     * tombstone folding — belong: compaction is the one job that already
@@ -54,15 +99,22 @@ object ArtifactTree {
       targetFiles: Int,
       transform: DataFrame => DataFrame = identity,
       partitionCols: Seq[String] = Nil): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(root)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(hp, subdir)
-    val tmp = new org.apache.hadoop.fs.Path(hp, s"${subdir}_compacting")
-    val old = new org.apache.hadoop.fs.Path(hp, s"${subdir}_precompact")
+    val hp = new Path(root)
+    val fs = fsOf(spark, hp)
+    val plain = new Path(hp, subdir)
+    // legacy half-state healing (pre-manifest two-rename layout): a run
+    // that died between its renames left the only complete copy at
+    // _precompact — restore it; one that died after left garbage — drop it
+    val old = new Path(hp, s"${subdir}_precompact")
     if (fs.exists(old)) {
-      if (fs.exists(live)) fs.delete(old, true)
-      else { if (!fs.rename(old, live)) sys.error(s"compact: failed to restore $old -> $live") }
+      if (fs.exists(plain) || currentVersion(fs, hp, subdir) > 0) fs.delete(old, true)
+      else if (!fs.rename(old, plain)) sys.error(s"compact: failed to restore $old -> $plain")
     }
+    val tmp = new Path(hp, s"${subdir}_compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // pre-manifest orphan
+
+    val curV = currentVersion(fs, hp, subdir)
+    val live = if (curV == 0) plain else versionedTree(hp, subdir, curV)
     // recursiveFileLookup flattens streaming-delta subtrees but DISABLES
     // partition-column inference — a partitioned tree must go through
     // normal partition discovery or its partition columns vanish
@@ -71,24 +123,42 @@ object ArtifactTree {
         spark.read.option("recursiveFileLookup", "true").parquet(live.toString)
       else spark.read.parquet(live.toString)
     val rewritten = transform(source)
+    val newV = curV + 1
+    val newTree = versionedTree(hp, subdir, newV)
     val writer =
       if (partitionCols.isEmpty) rewritten.repartition(targetFiles).write
       else rewritten
         .repartition(targetFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
         .write.partitionBy(partitionCols: _*)
-    writer.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(live, old)) sys.error(s"compact: rename $live -> $old failed")
-    if (!fs.rename(tmp, live)) sys.error(s"compact: rename $tmp -> $live failed")
-    // old tree removed only after the new one is in place
-    fs.delete(old, true)
+    // overwrite: an orphan __v<newV> from a crashed run (no marker, so
+    // current version never advanced) is rewritten in place
+    writer.mode("overwrite").parquet(newTree.toString)
+
+    // PUBLISH: one atomic empty-file create — the marker's NAME carries
+    // the version, so a lister can never read a torn marker
+    fs.mkdirs(manifestDir(hp, subdir))
+    val mk = marker(hp, subdir, newV)
+    if (fs.exists(mk)) fs.delete(mk, false) // crashed-run leftover
+    fs.create(mk, false).close()
+
+    // GC with a one-cycle grace window: the version superseded JUST NOW
+    // (curV) survives until the next compaction, so in-flight readers
+    // finish on intact files; everything older goes
+    for (v <- 1 until curV) {
+      fs.delete(versionedTree(hp, subdir, v), true)
+      fs.delete(marker(hp, subdir, v), false)
+    }
+    if (curV >= 1 && fs.exists(plain)) fs.delete(plain, true) // legacy tree, one cycle old
   }
 
   /** Whether an artifact subtree exists (absent ⇒ callers skip its scan
     * entirely — the zero-tombstone plan is byte-identical to the
-    * pre-delete-feature plan). */
+    * pre-delete-feature plan). Delta-class subtrees (tombstones,
+    * postings_deltas, stats_net) are never compacted, so they stay at
+    * their plain path — no resolve. */
   def exists(spark: SparkSession, root: String, subdir: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(root, subdir)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    val hp = new Path(root, subdir)
+    fsOf(spark, hp).exists(hp)
   }
 
   /** Optional artifact subtree (the tombstone pattern both index
@@ -101,7 +171,7 @@ object ArtifactTree {
   /** Remove an artifact subtree (tombstone clearing after a compaction
     * has folded the drops in). */
   def remove(spark: SparkSession, root: String, subdir: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(root, subdir)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val hp = new Path(root, subdir)
+    fsOf(spark, hp).delete(hp, true)
   }
 }

@@ -149,10 +149,13 @@ class DedupIndexStoreSpec extends SparkSpec {
     val before = probeSet(probes, inc)
     DedupIndexStore.compactDedupIndex(spark, inc, targetFiles = 2)
     import scala.jdk.CollectionConverters._
+    // live trees resolve through the manifest (compaction versions
+    // them); the superseded trees linger one grace cycle, invisible
     for (sub <- Seq("signatures", "bands"))
-      assert(java.nio.file.Files.list(java.nio.file.Paths.get(inc, sub)).iterator().asScala
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(
+          graft.util.ArtifactTree.resolve(spark, inc, sub))).iterator().asScala
         .forall(p => !p.getFileName.toString.startsWith("delta-")),
-        s"compaction must remove $sub delta subdirectories")
+        s"compaction must remove $sub delta subdirectories from the live tree")
     assert(probeSet(probes, inc) == before, "probe must be unchanged by compaction")
   }
 

@@ -83,14 +83,20 @@ class IndexStoreSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(afterA == expected)
 
-    // half-state B: crash MID-swap — codes was renamed away but the new
-    // tree never moved in; codes_precompact holds the only copy.
-    // Compaction must restore it before compacting.
-    java.nio.file.Files.move(codes, pre)
-    assert(!java.nio.file.Files.exists(codes))
-    IndexStore.compactPqIndex(spark, dir, targetFiles = 2)
-    assert(java.nio.file.Files.exists(codes) && !java.nio.file.Files.exists(pre))
-    val afterB = IndexStore.servePqTopK(q, df, dir, k = 5, shortlistK = 20)
+    // half-state B: a PRE-MANIFEST run crashed MID-swap — the plain
+    // codes tree was renamed away and codes_precompact holds the only
+    // copy (modeled on a FRESH dir: manifest compactions never rename,
+    // so this half-state can only be inherited from the legacy layout).
+    // Compaction must restore it before compacting into the versioned
+    // layout.
+    val dirB = java.nio.file.Files.createTempDirectory("graft-indexstore-b-").toString
+    IndexStore.writePqIndex(df, dirB, m = 4, kCent = 8, seed = 3L, sampleSize = 200)
+    val rootB = java.nio.file.Paths.get(dirB)
+    java.nio.file.Files.move(rootB.resolve("codes"), rootB.resolve("codes_precompact"))
+    assert(!java.nio.file.Files.exists(rootB.resolve("codes")))
+    IndexStore.compactPqIndex(spark, dirB, targetFiles = 2)
+    assert(!java.nio.file.Files.exists(rootB.resolve("codes_precompact")))
+    val afterB = IndexStore.servePqTopK(q, df, dirB, k = 5, shortlistK = 20)
       .orderBy("query_id", "rank").collect().toSeq
     assert(afterB == expected)
   }

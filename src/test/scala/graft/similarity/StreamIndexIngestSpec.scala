@@ -92,10 +92,14 @@ class StreamIndexIngestSpec extends SparkSpec {
       val servedBefore = IndexStore.servePqTopK(q, df, inc, k = 5, shortlistK = 20)
         .orderBy("query_id", "rank").collect().toSeq
       IndexStore.compactPqIndex(spark, inc, targetFiles = 2)
-      val codesDir = java.nio.file.Paths.get(inc, "codes")
+      // the LIVE tree (manifest-resolved — compaction versions it) holds
+      // no delta subdirectories; the superseded tree lingers one grace
+      // cycle by design and is invisible to readers
+      val codesDir = java.nio.file.Paths.get(
+        graft.util.ArtifactTree.resolve(spark, inc, "codes"))
       assert(java.nio.file.Files.list(codesDir).iterator().asScala
         .forall(p => !p.getFileName.toString.startsWith("delta-")),
-        "compaction must remove delta subdirectories")
+        "compaction must remove delta subdirectories from the live tree")
       val compacted = IndexStore.readCodes(spark, inc)
         .orderBy("neighbor_id").as[(Long, Seq[Int])].collect().toSeq
       assert(compacted == oneShot, "compaction must preserve every code")

@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The artifact-tree swap's READER contract, pinned state by state: a
-  * concurrent probe/serve resolving the live path sees the complete old
-  * tree, a loud path-not-found, or the complete new tree — never a torn
-  * mix of old and new rows, and never a silent wrong answer. Plus the
-  * crash half-states' recovery (a re-run heals both), complementing the
-  * store-level lifecycle specs. */
+/** The manifest-fronted artifact swap's READER contract, pinned state
+  * by state: a reader resolving the live tree at ANY point around a
+  * concurrent compaction reads a COMPLETE tree successfully — the old
+  * version before the marker lands, the new one after — and a reader
+  * already holding the old resolution keeps reading intact files
+  * through the whole swap (the one-cycle grace window). Plus the
+  * legacy pre-manifest crash half-states, still healed on entry. */
 class ArtifactTreeSpec extends SparkSpec {
 
   private def freshTree(): (String, java.nio.file.Path) = {
@@ -20,55 +21,67 @@ class ArtifactTreeSpec extends SparkSpec {
     (root.toString, root)
   }
 
-  private def readGen(root: String): Set[String] = {
-    spark.read.parquet(s"$root/data").select("gen").distinct()
+  private def readGen(root: String): Set[String] =
+    spark.read.parquet(ArtifactTree.resolve(spark, root, "data"))
+      .select("gen").distinct()
       .collect().map(_.getString(0)).toSet
-  }
 
-  test("reader during the swap window: old tree, loud failure, or new tree — never a mix") {
-    val (root, rootPath) = freshTree()
+  test("reader during the swap SUCCEEDS on the old tree; resolve flips atomically") {
+    val (root, _) = freshTree()
     import spark.implicits._
 
-    // Stage the compaction by hand, freezing each intermediate state.
-    // State A: the new tree is fully written under _compacting, live
-    // untouched — a reader sees ONLY old rows.
-    (1 to 50).map(i => (i.toLong, "new")).toDF("id", "gen")
-      .write.mode("overwrite").parquet(s"$root/data_compacting")
-    assert(readGen(root) == Set("old"),
-      "pre-swap reader must see the complete old tree only")
+    // a reader resolves BEFORE any compaction: legacy plain tree
+    val preSwapPath = ArtifactTree.resolve(spark, root, "data")
+    assert(preSwapPath.endsWith("/data"))
+    val preSwapReader = spark.read.parquet(preSwapPath)
 
-    // State B: first rename done (live -> _precompact), live missing —
-    // a reader fails LOUDLY (path not found), it can never read a torn
-    // directory, because rename never leaves partial contents behind.
-    val live = rootPath.resolve("data")
-    val pre = rootPath.resolve("data_precompact")
-    java.nio.file.Files.move(live, pre)
-    val e = intercept[Exception] { readGen(root) }
-    val msg = e.getMessage
-    assert(msg != null && (msg.contains("data") || msg.contains("PATH_NOT_FOUND")),
-      s"mid-swap reader must fail on the missing live path, got: $msg")
+    // first compaction: rewrites to data__v1 and publishes marker v-1;
+    // the legacy tree is NOT touched (grace window), so the pre-swap
+    // reader still reads complete old files — no loud failure, no
+    // missing path, the round-16 fail-and-retry window is gone
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v1")))
+    assert(preSwapReader.select("gen").distinct().collect()
+      .map(_.getString(0)).toSet == Set("old"),
+      "a reader holding the pre-swap resolution must still read the intact old tree")
+    // a NEW reader resolves through the manifest to the new version
+    assert(ArtifactTree.resolve(spark, root, "data").endsWith("/data__v1"))
+    assert(readGen(root) == Set("v1"))
 
-    // State C: second rename done — a reader sees ONLY new rows even
-    // though the old tree still lingers as _precompact (readers address
-    // <root>/data only; the siblings are invisible).
-    java.nio.file.Files.move(rootPath.resolve("data_compacting"), live)
-    assert(readGen(root) == Set("new"),
-      "post-swap reader must see the complete new tree only")
+    // second compaction: publishes v2, GCs the legacy plain tree (one
+    // cycle old) but keeps v1 as the new grace version
+    val v1Reader = spark.read.parquet(s"$root/data__v1")
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v2")))
+    assert(ArtifactTree.resolve(spark, root, "data").endsWith("/data__v2"))
+    assert(readGen(root) == Set("v2"))
+    assert(v1Reader.select("gen").distinct().collect()
+      .map(_.getString(0)).toSet == Set("v1"),
+      "the immediately-superseded version survives one full cycle")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data")),
+      "the legacy plain tree is GC'd one cycle after its supersession")
+
+    // third compaction: v1 (now two cycles old) is GC'd, v2 survives
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v2")))
+    assert(readGen(root) == Set("v2"))
   }
 
-  test("crash half-states: a re-run compact heals both rename orders") {
+  test("legacy crash half-states: a re-run compact heals both rename orders") {
     import spark.implicits._
-    // half-state 1: died between the renames — only _precompact holds
-    // the data; a re-run restores it and compacts normally
+    // half-state 1: a PRE-MANIFEST run died between its renames — only
+    // _precompact holds the data; a re-run restores it and compacts
+    // into the manifested layout normally
     val (root1, rootPath1) = freshTree()
     java.nio.file.Files.move(rootPath1.resolve("data"), rootPath1.resolve("data_precompact"))
     ArtifactTree.compact(spark, root1, "data", targetFiles = 2)
     assert(readGen(root1) == Set("old"))
     assert(!java.nio.file.Files.exists(rootPath1.resolve("data_precompact")))
 
-    // half-state 2: died after the second rename but before the old-tree
-    // delete — _precompact is garbage next to a complete live tree; a
-    // re-run deletes it and the live rows are untouched
+    // half-state 2: died after its second rename but before the
+    // old-tree delete — _precompact is garbage next to a complete live
+    // tree; a re-run deletes it and the live rows are untouched
     val (root2, rootPath2) = freshTree()
     (1 to 100).map(i => (i.toLong, "old")).toDF("id", "gen")
       .write.mode("overwrite").parquet(s"$root2/data_precompact")
@@ -77,13 +90,27 @@ class ArtifactTreeSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(rootPath2.resolve("data_precompact")))
   }
 
+  test("crashed manifested run: orphan versioned tree is overwritten, re-run publishes once") {
+    import spark.implicits._
+    val (root, rootPath) = freshTree()
+    // simulate a run that wrote the new tree but died before the marker:
+    // an orphan data__v1 with garbage content, current version still 0
+    (1 to 7).map(i => (i.toLong, "torn")).toDF("id", "gen")
+      .write.mode("overwrite").parquet(s"$root/data__v1")
+    assert(readGen(root) == Set("old"), "no marker -> orphan invisible to readers")
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2)
+    assert(readGen(root) == Set("old"), "re-run rewrites the orphan in place")
+    assert(java.nio.file.Files.exists(rootPath.resolve("data_manifest/v-00000001")))
+  }
+
   test("compact folds a transform exactly once and bounds the file count") {
     val (root, _) = freshTree()
     ArtifactTree.compact(spark, root, "data", targetFiles = 2,
       transform = df => df.filter(col("id") % 2 === 0))
-    val rows = spark.read.parquet(s"$root/data")
+    val live = ArtifactTree.resolve(spark, root, "data")
+    val rows = spark.read.parquet(live)
     assert(rows.count() == 50)
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/data"))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(live))
       .toArray.map(_.toString).count(_.endsWith(".parquet"))
     assert(files <= 2, s"expected <= 2 parquet files, got $files")
   }

@@ -74,6 +74,46 @@ object ScaleProbe {
           spark.read.parquet(s"$dir/documents.parquet"), d, "text", "doc_id", nBuckets = 64)
         d
       }
+    // Zipf-skew mode: the r16 bucket study held top-token df constant
+    // while a real corpus grows it ∝ N — this mode builds the index
+    // over a SYNTHETIC Zipf corpus (s≈1.1, vocab 100k, 100 tokens/doc,
+    // bounded-Zipf inverse-CDF over a per-position hash draw, fully
+    // deterministic) where stopword-class tokens appear in nearly
+    // every document, prints the bucket distribution, and times a
+    // serve whose query contains the HOTTEST term. bm25zipf:<nDocs>.
+    val zipfIdxDir: String =
+      if (!mode.startsWith("bm25zipf:")) null
+      else {
+        val n = mode.stripPrefix("bm25zipf:").toLong
+        val d = java.nio.file.Files.createTempDirectory("graft-scale-zipf-").toString
+        val vocab = 100000
+        val s = 1.1
+        val tailC = 1.0 - math.pow(vocab.toDouble, 1.0 - s) // CDF normalizer
+        val u = (pmod(xxhash64(col("doc_id") * 101 + col("j")), lit(1000000000L))
+          .cast("double") + 0.5) / 1e9
+        val rank = least(greatest(
+            pow(lit(1.0) - u * lit(tailC), lit(1.0 / (1.0 - s))), lit(1.0)),
+          lit(vocab.toDouble)).cast("long")
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"), explode(sequence(lit(0), lit(99))).as("j"))
+          .select(col("doc_id"), concat(lit("t"), rank).as("tok"))
+          .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+        graft.similarity.Bm25IndexStore.writeBm25Index(
+          docs, d, "text", "doc_id", nBuckets = 64)
+        val post = spark.read.parquet(
+          graft.util.ArtifactTree.resolve(spark, d, "postings"))
+        val bd = post.groupBy("tok_bucket").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), min("n").as("mn"),
+            expr("percentile(n, 0.5)").as("p50"), max("n").as("mx")).head()
+        val top = post.groupBy("token").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token")).limit(3).collect()
+          .map(r => s""""${r.getAs[String]("token")}":${r.getAs[Long]("df")}""")
+          .mkString("{", ",", "}")
+        println(s"""{"mode":"$mode","buckets":${bd.getAs[Long]("buckets")},""" +
+          s""""min":${bd.getAs[Long]("mn")},"p50":${bd.getAs[Double]("p50")},""" +
+          s""""max":${bd.getAs[Long]("mx")},"top_df":$top}""")
+        d
+      }
     // ANN serve-batch mode: the IVFADC index is a build artifact too
     val ivfIdxDir: String =
       if (!mode.startsWith("ivfidx_serve_batch:")) null
@@ -83,6 +123,33 @@ object ScaleProbe {
           spark.read.parquet(s"$dir/embeddings.parquet"), d)
         d
       }
+    // hybrid serve modes: BOTH persisted indexes over the dir's
+    // documents (BM25 inverted + IVFADC over the SQL-replayable fixture
+    // embedding) — built once untimed; hybrid_serve_batch:<n> times one
+    // rrfServedBatch plan over n queries, hybrid_serve_one times the
+    // per-call rrfServed — the batch-amortization pair for the fused
+    // retrieval front end
+    val hybridDirs: (String, String) =
+      if (!mode.startsWith("hybrid_serve")) null
+      else {
+        SparkEntry.embedFixtureRegistered
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val bd = java.nio.file.Files.createTempDirectory("graft-scale-hybm25-").toString
+        graft.similarity.Bm25IndexStore.writeBm25Index(
+          docs, bd, "text", "doc_id", nBuckets = 64)
+        val ad = java.nio.file.Files.createTempDirectory("graft-scale-hyann-").toString
+        val vecs = graft.embed.Embedders
+          .embed(docs.select(col("doc_id"), col("text")), "text", "embedding",
+            SparkEntry.EmbedFixtureModelId)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.similarity.IndexStore.writeIvfPqIndex(
+          vecs, ad, nCells = 8, m = 2, kCent = 8)
+        (bd, ad)
+      }
+    val hybridPool = Vector("spark", "join", "window", "scan", "filter", "sort",
+      "merge", "hash", "batch", "table", "value", "query", "stream", "group",
+      "order", "column", "data", "row", "key", "line", "part", "customer",
+      "agg", "fast")
     // compact modes measure only the inner rewrite-and-swap; the
     // per-pass index setup runs inside run() but outside the slope
     var overrideSec: Option[Double] = None
@@ -121,6 +188,30 @@ object ScaleProbe {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         graft.similarity.IndexStore.serveIvfPqTopK(
           emb.filter(col("vec_id") < n), ivfIdxDir, k = 10, nProbe = 3).count()
+      case m if m.startsWith("hybrid_serve_batch:") =>
+        val n = m.stripPrefix("hybrid_serve_batch:").toInt
+        import spark.implicits._
+        val batch = (0 until n).map { i =>
+          val t1 = hybridPool(2 * i % hybridPool.length)
+          val t2 = hybridPool((2 * i + 1) % hybridPool.length)
+          (i.toLong, Seq(t1, t2), s"$t1 $t2")
+        }.toDF("query_id", "terms", "text")
+        graft.similarity.HybridSearch.rrfServedBatch(
+          batch, hybridDirs._1, hybridDirs._2, SparkEntry.EmbedFixtureModelId,
+          k = 20, poolK = 20, nProbe = 3).count()
+      case "hybrid_serve_one" =>
+        graft.similarity.HybridSearch.rrfServed(
+          spark, hybridDirs._1, hybridDirs._2,
+          Seq("spark", "join"), "spark join", SparkEntry.EmbedFixtureModelId,
+          k = 20, poolK = 20, nProbe = 3).count()
+      case m if m.startsWith("bm25zipf:") =>
+        // the hot-term query: t1 sits in ~every document, so its bucket
+        // is the fattest shard — the serve must stream df(t1) ≈ N
+        // posting rows through the pruned scan; t17/t3141 add a warm
+        // and a cold bucket like a real mixed query
+        graft.similarity.Bm25IndexStore.serveBm25TopK(
+          spark, zipfIdxDir, Seq("t1", "t17", "t3141"), k = 20, roundTo = 6)
+          .collect().length.toLong
       case "bm25idx_buckets" =>
         // the hot-token skew signal: per-bucket posting-row distribution
         // of the fnv(token)-routed partition tree, plus the fattest

@@ -1056,7 +1056,7 @@ FROM pieces ORDER BY doc_id, start_cp, token"""
       }
   }
 
-  private lazy val embedFixtureRegistered: Unit =
+  private[graft] lazy val embedFixtureRegistered: Unit =
     graft.embed.EmbedderRegistry.register(EmbedFixtureModelId, FnvDigitModel(EmbedFixtureDim))
 
   /** (img_id, width, height) of the synthetic PNG test cards the

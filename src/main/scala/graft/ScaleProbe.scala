@@ -338,11 +338,18 @@ object ScaleProbe {
         // to <cap> so fit-on-sample + distributed projection BINDS, with
         // the structure signals (topic count, assignment coverage)
         // printed next to the runtime — the "did sampling collapse the
-        // topic structure" check the slope alone can't answer
-        val cap = tc.stripPrefix("topic_cap:").toInt
+        // topic structure" check the slope alone can't answer.
+        // topic_cap:<cap>[:<reduceDims>] — the optional second knob is
+        // the r16 over-cap study's named follow-up: at extreme topic
+        // cardinality (~100 blobs at 100×) the reference's reduceDims=5
+        // stops separating structure, and THIS is the knob that buys it
+        // back
+        val parts = tc.stripPrefix("topic_cap:").split(":")
+        val cap = parts(0).toInt
+        val rd = if (parts.length > 1) parts(1).toInt else 5
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         val out = graft.topic.TopicModeling.run(docs, "text", "doc_id",
-          cfg = graft.topic.TopicModeling.Config(maxDriverChunks = cap))
+          cfg = graft.topic.TopicModeling.Config(maxDriverChunks = cap, reduceDims = rd))
         val n = out.documents.count()
         val assigned = out.documents.filter(col("dominant_topic") >= 0).count()
         println(s"""{"mode":"$tc","docs":$n,"assigned":$assigned,""" +

@@ -252,6 +252,32 @@ class TopicModelingSpec extends SparkSpec {
     assert(!planStr.toLowerCase.contains("posexplode"), s"chunking subtree leaked into final plan:\n$planStr")
   }
 
+  test("raising reduceDims is behavior-preserving at base scale") {
+    // the SCALING.md 100×-cliff recommendation says "raise reduceDims
+    // preemptively when many topics are plausible" — this pins that the
+    // raise is SAFE where structure already resolves: same topic count
+    // and the same document partition (up to label renaming) as the
+    // default reduceDims=5, on the two-vocab fixture
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    def partitionOf(rd: Int): (Int, Map[Int, Set[Long]]) = {
+      val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+        TopicModeling.Config(reduceDims = rd,
+          cluster = Cluster.Config(minClusterSize = 4)))
+      val groups = out.documents.select("doc_id", "dominant_topic").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("dominant_topic"))
+        .groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+      (out.nTopics, groups)
+    }
+    val (n5, g5) = partitionOf(5)
+    for (rd <- Seq(10, 15)) {
+      val (n, g) = partitionOf(rd)
+      assert(n == n5, s"reduceDims=$rd changed the topic count: $n5 -> $n")
+      // same partition of documents into groups, labels free to differ
+      assert(g.values.toSet == g5.values.toSet,
+        s"reduceDims=$rd changed the document partition")
+    }
+  }
+
   test("empty input yields empty output instead of crashing (max-corpus guard)") {
     val docs = Seq.empty[(Long, Int, String)].toDF("doc_id", "corpus", "text")
     val out = TopicModeling.run(docs, "text", "doc_id", Some("corpus"))

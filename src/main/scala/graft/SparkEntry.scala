@@ -433,6 +433,66 @@ object SparkEntry {
       d
     })
 
+  /** The document IVFADC store with the SAME takedown as the deleted
+    * BM25 index (doc_id%9==4): a copy of the base artifacts with the
+    * ids tombstoned — the ANN half of the hybrid-under-takedown
+    * fixture (a takedown hits both serving tiers of the hybrid stack
+    * at once in production). */
+  private val docAnnDeletedIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docAnnDeletedIndexDirFor(s: SparkSession, dir: String): String =
+    docAnnDeletedIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-docann-index-del-").toString
+      copyTree(docAnnIndexDirFor(s, dir), d)
+      graft.similarity.IndexStore.deleteFromIndex(
+        tbl(s, dir, "documents").filter(col("doc_id") % 9 === 4)
+          .select(col("doc_id").as("vec_id")), d)
+      d
+    })
+
+  /** The hybrid QUERY LOG drained as a stream: the q_hybrid_served_batch
+    * batch split across two files → two micro-batches, each served via
+    * ONE rrfServedBatch plan against the static persisted pair and
+    * landed in a batch-id-scoped directory with overwrite semantics
+    * (the idempotent-sink construction every ingest path uses). The
+    * streamed union shares the one-shot batch oracle — per-query
+    * results are batch-split-invariant by the per-call parity
+    * contract. */
+  private val hybridServeStreamRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hybridStreamServeDirFor(s: SparkSession, dir: String): String =
+    hybridServeStreamRoots.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      embedFixtureRegistered
+      val bm25 = bm25IndexDirFor(s, dir)
+      val ann = docAnnIndexDirFor(s, dir)
+      val drop = java.nio.file.Files.createTempDirectory("graft-hyb-qdrop-").toString
+      val slice0 = Seq(
+        (1L, Seq("spark", "join", "window"), "spark join window"))
+        .toDF("query_id", "terms", "text")
+      slice0.coalesce(1).write.mode("overwrite").parquet(s"$drop/slice0")
+      Seq(
+        (2L, Seq("scan", "filter"), "scan filter pushdown"),
+        (3L, Seq("sort", "merge", "hash"), "hash merge sort"))
+        .toDF("query_id", "terms", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$drop/slice1")
+      val out = java.nio.file.Files.createTempDirectory("graft-hyb-qout-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-hyb-qckpt-").toString
+      val q = s.readStream.schema(slice0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$drop/*")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.similarity.HybridSearch
+            .rrfServedBatch(batch, bm25, ann, EmbedFixtureModelId,
+              k = 20, poolK = 20, nProbe = 3)
+            .write.mode("overwrite").parquet(s"$out/batch-$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      out
+    })
+
   /** The document-REPLACE lifecycle — the stores' documented contract
     * ("replacing a document is delete → compact → append") exercised
     * end-to-end on each store and put under the DuckDB gate: after the
@@ -3475,6 +3535,38 @@ ORDER BY doc_id, token""")
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id").asc)
     }),
 
+    // ...the same batch under a TAKEDOWN hitting BOTH serving tiers
+    // (doc_id%9==4 tombstoned out of the BM25 index AND the document
+    // ANN index — production removals hit every index a doc lives in):
+    // lexical df/stats ride net-of-tombstones, semantic candidates
+    // anti-join the ANN tombstones before ranking, and fused results
+    // must equal the two stores rebuilt without the deleted docs —
+    // which is what the oracle computes
+    "q_hybrid_served_batch_delete" -> ((s, dir) => {
+      embedFixtureRegistered
+      import s.implicits._
+      val batch = Seq(
+        (1L, Seq("spark", "join", "window"), "spark join window"),
+        (2L, Seq("scan", "filter"), "scan filter pushdown"),
+        (3L, Seq("sort", "merge", "hash"), "hash merge sort")
+      ).toDF("query_id", "terms", "text")
+      graft.similarity.HybridSearch.rrfServedBatch(
+        batch, bm25DeletedIndexDirFor(s, dir), docAnnDeletedIndexDirFor(s, dir),
+        EmbedFixtureModelId, k = 20, poolK = 20, nProbe = 3)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id").asc)
+    }),
+
+    // ...and the QUERY LOG as a stream: the same batch drained across
+    // two checkpointed micro-batches, each served through ONE
+    // rrfServedBatch plan against the static persisted pair, landing
+    // exactly-once in batch-scoped dirs — the streamed union shares
+    // the one-shot batch oracle (per-query results are
+    // batch-split-invariant by the per-call parity contract)
+    "q_stream_hybrid_serve" -> ((s, dir) =>
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(hybridStreamServeDirFor(s, dir))
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id").asc)),
+
     // quality tier: Gopher/C4-style repetition metrics — pure Column
     // program, one tokenize, zero shuffle (scan-speed curation signal)
     "q_repetition" -> ((s, dir) => {
@@ -4998,8 +5090,17 @@ ORDER BY rrf DESC, doc_id LIMIT 20"""
     * entering the `v` world under the engine's negative synthetic ids
     * (sorted query ids 1,2,3 → −1,−2,−3), and the RRF fusion per query
     * — every query's rows are what serving it alone produces, which is
-    * the engine's spec-pinned batch contract. */
-  private def hybridServedBatchOracleSql(spark: SparkSession, dir: String): String = {
+    * the engine's spec-pinned batch contract.
+    *
+    * `docFilter` (a full `WHERE ...` clause) is the BM25-side takedown
+    * world (rebuilt-without semantics, like [[bm25BatchSql]]'s);
+    * `candFilter` (an `AND ...` fragment on alias `a`) drops the same
+    * ids from the ANN CANDIDATES before ranking — exactly where
+    * serving's tombstone anti-join sits, with the trained artifacts
+    * and cell assignment frozen like the engine's. */
+  private def hybridServedBatchOracleSql(
+      spark: SparkSession, dir: String,
+      docFilter: String = "", candFilter: String = ""): String = {
     val poolK = 20
     val digits = (0 until EmbedFixtureDim)
       .map(d => s"CAST((u // CAST(${BigInt(97).pow(d)} AS HUGEINT)) % 97 AS DOUBLE)")
@@ -5017,7 +5118,7 @@ ORDER BY rrf DESC, doc_id LIMIT 20"""
   $qVecSql"""
     s"""WITH base AS (
   SELECT doc_id, ${toksArrSql()} AS toks
-  FROM documents),
+  FROM documents$docFilter),
 tfs AS (
   SELECT doc_id, dl, term, count(*) AS tf FROM (
     SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
@@ -5053,9 +5154,15 @@ lex AS (
 ${ivfCellCtesSql(docAnnCentroidsFor(spark, dir), vSql, queryFilter = "vec_id < 0")},
 ${residCoreCtes(docAnnResidFor(spark, dir))},
 aterms AS (
+  -- a.vec_id >= 0: candidates are CORPUS vectors only — the query
+  -- vectors live in the v world for routing/LUT purposes but are never
+  -- IN the served index, so another query's negative id must not
+  -- surface as a neighbor (with one query the self-exclusion covered
+  -- this; a batch needs the explicit corpus restriction)
   SELECT q.query_id, cd.vec_id AS neighbor_id, q.m, q.d2
   FROM qsd q
-  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN assign a ON a.cell = q.cell AND a.vec_id >= 0
+    AND a.vec_id <> q.query_id$candFilter
   JOIN codes cd ON cd.vec_id = a.vec_id AND cd.m = q.m AND cd.code = q.k),
 adc AS (
   SELECT query_id, neighbor_id,
@@ -5211,6 +5318,13 @@ ${ivfAdcTailSql(rcbs)}"""
       ("q_daily_pipeline_day2" -> dailyPipelineOracleSql(spark, dir, day2 = true)) +
       ("q_hybrid_served" -> hybridServedOracleSql(spark, dir)) +
       ("q_hybrid_served_batch" -> hybridServedBatchOracleSql(spark, dir)) +
+      // the takedown hits BOTH tiers: rebuilt-without on the BM25 side,
+      // candidate exclusion (frozen artifacts) on the ANN side
+      ("q_hybrid_served_batch_delete" -> hybridServedBatchOracleSql(spark, dir,
+        docFilter = " WHERE doc_id % 9 <> 4", candFilter = " AND a.vec_id % 9 <> 4")) +
+      // the streamed query log is batch-split-invariant, so it shares
+      // the one-shot batch oracle
+      ("q_stream_hybrid_serve" -> hybridServedBatchOracleSql(spark, dir)) +
       ("q_knn_replaced" -> knnReplacedOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       // the batched serve: same machinery, the batch's query filter in

@@ -3556,6 +3556,28 @@ ORDER BY doc_id, token""")
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id").asc)
     }),
 
+    // ...and the REPLACE lifecycle composed with the hybrid stack:
+    // both stores cycled through delete → compact → append with the
+    // %17==3 docs' refreshed text (bm25ReplacedIndexDirFor /
+    // docAnnReplacedIndexDirFor — the same fixtures the per-store
+    // replace queries gate), and the batched hybrid serve over the
+    // pair must equal stores built directly over the replaced corpus:
+    // a stale token, doclen, stat, or code in EITHER tier flips a
+    // rank and fails the hash
+    "q_hybrid_replaced" -> ((s, dir) => {
+      embedFixtureRegistered
+      import s.implicits._
+      val batch = Seq(
+        (1L, Seq("spark", "join", "window"), "spark join window"),
+        (2L, Seq("scan", "filter"), "scan filter pushdown"),
+        (3L, Seq("sort", "merge", "hash"), "hash merge sort")
+      ).toDF("query_id", "terms", "text")
+      graft.similarity.HybridSearch.rrfServedBatch(
+        batch, bm25ReplacedIndexDirFor(s, dir), docAnnReplacedIndexDirFor(s, dir),
+        EmbedFixtureModelId, k = 20, poolK = 20, nProbe = 3)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id").asc)
+    }),
+
     // ...and the QUERY LOG as a stream: the same batch drained across
     // two checkpointed micro-batches, each served through ONE
     // rrfServedBatch plan against the static persisted pair, landing
@@ -5097,10 +5119,15 @@ ORDER BY rrf DESC, doc_id LIMIT 20"""
     * `candFilter` (an `AND ...` fragment on alias `a`) drops the same
     * ids from the ANN CANDIDATES before ranking — exactly where
     * serving's tombstone anti-join sits, with the trained artifacts
-    * and cell assignment frozen like the engine's. */
+    * and cell assignment frozen like the engine's. `corpusTextSql` is
+    * the replace-lifecycle world: both tiers re-derived over the
+    * replaced text (tokens, dl, stats, AND the fixture embedding),
+    * with the trained ANN artifacts still the ORIGINAL corpus's —
+    * replace never retrains. */
   private def hybridServedBatchOracleSql(
       spark: SparkSession, dir: String,
-      docFilter: String = "", candFilter: String = ""): String = {
+      docFilter: String = "", candFilter: String = "",
+      corpusTextSql: String = "text"): String = {
     val poolK = 20
     val digits = (0 until EmbedFixtureDim)
       .map(d => s"CAST((u // CAST(${BigInt(97).pow(d)} AS HUGEINT)) % 97 AS DOUBLE)")
@@ -5113,11 +5140,11 @@ ORDER BY rrf DESC, doc_id LIMIT 20"""
     }.mkString("\n  UNION ALL\n  ")
     val vSql =
       s"""SELECT doc_id AS vec_id, [$digits] AS vec
-  FROM (SELECT doc_id, ${fnvSql("coalesce(text,'')")} AS u FROM documents)
+  FROM (SELECT doc_id, ${fnvSql(s"coalesce($corpusTextSql,'')")} AS u FROM documents)
   UNION ALL
   $qVecSql"""
     s"""WITH base AS (
-  SELECT doc_id, ${toksArrSql()} AS toks
+  SELECT doc_id, ${toksArrSql(corpusTextSql)} AS toks
   FROM documents$docFilter),
 tfs AS (
   SELECT doc_id, dl, term, count(*) AS tf FROM (
@@ -5325,6 +5352,10 @@ ${ivfAdcTailSql(rcbs)}"""
       // the streamed query log is batch-split-invariant, so it shares
       // the one-shot batch oracle
       ("q_stream_hybrid_serve" -> hybridServedBatchOracleSql(spark, dir)) +
+      // the replace world: both tiers re-derived over the refreshed
+      // text, trained ANN artifacts frozen (replace never retrains)
+      ("q_hybrid_replaced" -> hybridServedBatchOracleSql(spark, dir,
+        corpusTextSql = ReplaceTextSql)) +
       ("q_knn_replaced" -> knnReplacedOracleSql(spark, dir)) +
       ("q_knn_ivf_served" -> ivfPqOracleSql(spark, dir)) +
       // the batched serve: same machinery, the batch's query filter in

@@ -121,13 +121,17 @@ class HybridSearchSpec extends SparkSpec {
 
   private def batchQueries = {
     import spark.implicits._
-    // query ids 1/2/3 COLLIDE with corpus doc ids on purpose: the
+    // query ids 1/2/3/4 COLLIDE with corpus doc ids on purpose: the
     // negative-id remap must keep the ANN self-exclusion inert exactly
-    // like rrfServed's fixed −1
+    // like rrfServed's fixed −1. Query 4 is the NO-HIT edge: every
+    // term misses the index (df=0), so its lexical list is empty and
+    // fusion must serve the semantic side alone — per-call and batch
+    // alike
     Seq(
       (1L, Seq("spark", "join", "window"), "aa bcd"),
       (2L, Seq("scan", "filter"), "dddd"),
-      (3L, Seq("sort", "spark"), "abc abc")
+      (3L, Seq("sort", "spark"), "abc abc"),
+      (4L, Seq("zzz_not_a_token", "qqq_nope"), "bb cc")
     ).toDF("query_id", "terms", "text")
   }
 
@@ -141,7 +145,9 @@ class HybridSearchSpec extends SparkSpec {
         r.getDouble(4)))
       .groupBy(_._1)
     val qs = batchQueries.collect()
-    assert(batch.keySet == Set(1L, 2L, 3L))
+    assert(batch.keySet == Set(1L, 2L, 3L, 4L))
+    // the no-hit query serves semantic-only: r_lex null on every row
+    assert(batch(4L).nonEmpty && batch(4L).forall(_._3.isEmpty))
     qs.foreach { q =>
       val qid = q.getLong(0)
       val perCall = HybridSearch.rrfServed(

@@ -40,7 +40,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lister could observe a partially-populated tree. A reader that
   * resolves through a STALE listing of the manifest directory merely
   * reads the previous complete version — stale, never torn, never
-  * silently short. Operate compactions single-writer; the grace window
+  * silently short. Operate compactions single-writer, and do NOT run
+  * appends concurrently with a compaction of the same subtree: an
+  * append that resolves the pre-compaction tree after the compaction's
+  * source read lands rows the rewrite never saw, and they vanish from
+  * the resolved view at publish (the same loss window the legacy
+  * rename swap had — compaction and append are both maintenance-class
+  * jobs and serialize in any production scheduler). READERS are the
+  * ones the manifest protects unconditionally. The grace window
   * (exactly one previous version retained) bounds disk overhead to 2×
   * the tree during the cycle after a compaction.
   *

@@ -124,13 +124,18 @@ object DedupIndexStore {
     // compaction folds it away) and bands derive from the written files
     val id = if (batchId.nonEmpty) batchId else java.util.UUID.randomUUID().toString.take(8)
     // deltas land INSIDE the resolved (possibly versioned) trees, so
-    // they compact away with their base
+    // they compact away with their base. BOTH subtrees are resolved up
+    // front, before either write: resolving them at two different times
+    // let a compaction publishing between the writes split one logical
+    // append across tree versions, with the half in the superseded tree
+    // silently vanishing at the next GC — the single-writer contract
+    // already forbids that interleaving, but the window was avoidable
     val sigTree = graft.util.ArtifactTree.resolve(spark, path, "signatures")
+    val bandTree = graft.util.ArtifactTree.resolve(spark, path, "bands")
     Dedup.minHashSignatures(newDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
       .write.mode("overwrite").parquet(s"$sigTree/append-$id")
     bandRows(spark.read.parquet(s"$sigTree/append-$id"), m.bands)
-      .write.mode("overwrite").parquet(
-        graft.util.ArtifactTree.resolve(spark, path, "bands") + s"/append-$id")
+      .write.mode("overwrite").parquet(s"$bandTree/append-$id")
   }
 
   /** Streaming delta ingest: document deltas arrive as a stream and land
@@ -150,17 +155,19 @@ object DedupIndexStore {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sign-once per batch: bands derive from the just-written delta
-        // signatures (replay rewrites both dirs, preserving idempotence)
+        // signatures (replay rewrites both dirs, preserving idempotence).
+        // Both subtrees resolved up front — one micro-batch's pair of
+        // writes must land in ONE tree version (see appendToDedupIndex)
         val sigTree = graft.util.ArtifactTree
           .resolve(batch.sparkSession, path, "signatures")
+        val bandTree = graft.util.ArtifactTree
+          .resolve(batch.sparkSession, path, "bands")
         Dedup.minHashSignatures(
             batch, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
           .write.mode("overwrite").parquet(s"$sigTree/delta-$batchId")
         bandRows(
             batch.sparkSession.read.parquet(s"$sigTree/delta-$batchId"), m.bands)
-          .write.mode("overwrite").parquet(
-            graft.util.ArtifactTree.resolve(batch.sparkSession, path, "bands") +
-              s"/delta-$batchId")
+          .write.mode("overwrite").parquet(s"$bandTree/delta-$batchId")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -201,9 +201,15 @@ object HybridSearch {
     *
     * Result: `(query_id, doc_id, r_lex, r_sem, rrf)` — for every query,
     * bitwise the rows [[rrfServed]] returns for it (spec-pinned).
-    * Like the batched BM25 serve, `queries` is evaluated more than once
-    * (id collect, both serves): persist it first if it rides an
-    * expensive derivation. */
+    * The caller's `queries` plan is consumed by THREE subtrees (the id
+    * collect, the BM25 serve, the embed), so it is eagerly
+    * `localCheckpoint`ed here — a CORRECTNESS requirement, not a
+    * performance nicety: a nondeterministic source (an unseeded sample,
+    * a bare limit) could otherwise yield query ids at serve time that
+    * were absent from the collected qid map, and those semantic rows
+    * would be silently dropped by the inner join. The checkpoint
+    * evaluates the caller's plan exactly once (|batch| rows — bounded)
+    * and every downstream read hits the materialized blocks. */
   def rrfServedBatch(
       queries: DataFrame,
       bm25Dir: String,
@@ -218,6 +224,9 @@ object HybridSearch {
       roundTo: Int = 6,
       nProbe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
+    // one evaluation of the caller's plan, shared by all three consumers
+    // (see the scaladoc's correctness note)
+    val q = queries.localCheckpoint(true)
     val qid = col(queryIdCol).as("query_id")
 
     // lexical ranks: ONE batched BM25 plan, per-query row_number under
@@ -227,15 +236,15 @@ object HybridSearch {
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val lex = Bm25IndexStore
-      .serveBm25TopKBatch(queries.select(qid, col(termsCol).as("terms")),
+      .serveBm25TopKBatch(q.select(qid, col(termsCol).as("terms")),
         bm25Dir, k = poolK, roundTo = roundTo)
       .select(col("query_id"), col("doc_id"),
         row_number().over(wLex).cast("long").as("r_lex"))
 
     // synthetic negative ANN ids: distinct query ids, sorted, → −(i+1)
-    val qids = queries.select(qid).distinct().orderBy(col("query_id"))
+    val qids = q.select(qid).distinct().orderBy(col("query_id"))
       .collect().map(_.get(0))
-    val idType = queries.schema(queryIdCol).dataType
+    val idType = q.schema(queryIdCol).dataType
     val mapSchema = StructType(Seq(
       StructField("query_id", idType, nullable = true),
       StructField("__qvid", LongType, nullable = false)))
@@ -246,7 +255,7 @@ object HybridSearch {
     // semantic ranks: embed the query column once (distributed), ONE
     // batched ANN serve over the negative-id query table
     val qVecs = graft.embed.Embedders
-      .embed(queries.select(qid, col(textCol).as("__t")), "__t", "embedding", modelId)
+      .embed(q.select(qid, col(textCol).as("__t")), "__t", "embedding", modelId)
       .join(broadcast(qidMap), Seq("query_id"))
       .select(col("__qvid"), col("embedding"))
     val sem = IndexStore

@@ -68,6 +68,76 @@ class ArtifactTreeSpec extends SparkSpec {
     assert(readGen(root) == Set("v2"))
   }
 
+  test("graceVersions=2: a reader survives TWO compactions of its subdir") {
+    // the r17 verdict's count-vs-duration edge: under the default N=1 a
+    // reader slower than one full compaction cycle loses its tree; the
+    // retention knob widens the window without touching default behavior
+    val (root, _) = freshTree()
+    import spark.implicits._
+
+    val preSwapReader = spark.read.parquet(ArtifactTree.resolve(spark, root, "data"))
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v1")), graceVersions = 2)
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v2")), graceVersions = 2)
+    // two full cycles later the pre-swap reader STILL reads intact files
+    assert(preSwapReader.select("gen").distinct().collect()
+      .map(_.getString(0)).toSet == Set("old"),
+      "under graceVersions=2 a reader across two compactions keeps its tree")
+    assert(readGen(root) == Set("v2"))
+
+    // the third cycle finally retires the legacy tree and v1 survives
+    // as the second retained version (newV=3: eligible ceiling is 0)
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v3")), graceVersions = 2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data")),
+      "the legacy tree is GC'd once it falls out of the N=2 window")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v2")))
+    assert(readGen(root) == Set("v3"))
+  }
+
+  test("graceMinAgeMs retains a young superseded version past its count window") {
+    val (root, _) = freshTree()
+    import spark.implicits._
+    // three compactions back to back, each with a 1h minimum age: every
+    // superseded version's marker is seconds old, so NOTHING is GC'd
+    // even though v1 falls out of the default N=1 count window
+    for (g <- Seq("v1", "v2", "v3"))
+      ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+        transform = df => df.withColumn("gen", lit(g)), graceMinAgeMs = 3600000L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data")),
+      "the young legacy tree is retained by age")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v1")),
+      "the young superseded v1 is retained by age")
+    assert(readGen(root) == Set("v3"))
+    // age 0 (the default) restores pure count-based GC on the next cycle
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v4")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v2")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/data__v3")),
+      "the just-superseded version always survives")
+    assert(readGen(root) == Set("v4"))
+  }
+
+  test("foreign files in the manifest directory are ignored, not fatal") {
+    val (root, rootPath) = freshTree()
+    import spark.implicits._
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v1")))
+    // an editor temp, a partial upload, and a non-numeric marker-alike:
+    // none of these may throw NumberFormatException out of resolve
+    for (junk <- Seq("v-tmp", ".v-00000002.swp", "_SUCCESS"))
+      java.nio.file.Files.createFile(rootPath.resolve("data_manifest").resolve(junk))
+    assert(ArtifactTree.resolve(spark, root, "data").endsWith("/data__v1"))
+    assert(readGen(root) == Set("v1"))
+    // and a subsequent compaction still versions correctly past the junk
+    ArtifactTree.compact(spark, root, "data", targetFiles = 2,
+      transform = df => df.withColumn("gen", lit("v2")))
+    assert(ArtifactTree.resolve(spark, root, "data").endsWith("/data__v2"))
+  }
+
   test("legacy crash half-states: a re-run compact heals both rename orders") {
     import spark.implicits._
     // half-state 1: a PRE-MANIFEST run died between its renames — only

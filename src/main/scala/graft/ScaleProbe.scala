@@ -43,6 +43,25 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-pass spill accounting (round 18, for the CC shape study): task
+    // spill totals accumulated from stage-completion events, so a pass
+    // line carries the evidence behind "the window straggler's spill
+    // stays inside one task's disk bandwidth" instead of prose. Events
+    // post asynchronously on the listener bus; the pass loop drains with
+    // a short sleep before reading — a probe, not an accountant.
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) {
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          ()
+        }
+      }
+    })
     // probe mode: the index is a build artifact, not part of the
     // measured work — construct it once before the timed passes
     require(!mode.startsWith("dedupidx_probe") || mode.contains(":"),
@@ -81,25 +100,31 @@ object ScaleProbe {
     // deterministic) where stopword-class tokens appear in nearly
     // every document, prints the bucket distribution, and times a
     // serve whose query contains the HOTTEST term. bm25zipf:<nDocs>.
+    // The shared bounded-Zipf corpus generator (s≈1.1, vocab 100k, 100
+    // tokens/doc, inverse-CDF over a per-position hash draw, fully
+    // deterministic): stopword-class tokens appear in ~every document,
+    // so df(t1) = N exactly and grows with the corpus.
+    def zipfDocs(n: Long): org.apache.spark.sql.DataFrame = {
+      val vocab = 100000
+      val s = 1.1
+      val tailC = 1.0 - math.pow(vocab.toDouble, 1.0 - s) // CDF normalizer
+      val u = (pmod(xxhash64(col("doc_id") * 101 + col("j")), lit(1000000000L))
+        .cast("double") + 0.5) / 1e9
+      val rank = least(greatest(
+          pow(lit(1.0) - u * lit(tailC), lit(1.0 / (1.0 - s))), lit(1.0)),
+        lit(vocab.toDouble)).cast("long")
+      spark.range(n)
+        .select(col("id").as("doc_id"), explode(sequence(lit(0), lit(99))).as("j"))
+        .select(col("doc_id"), concat(lit("t"), rank).as("tok"))
+        .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+    }
     val zipfIdxDir: String =
       if (!mode.startsWith("bm25zipf:")) null
       else {
         val n = mode.stripPrefix("bm25zipf:").toLong
         val d = java.nio.file.Files.createTempDirectory("graft-scale-zipf-").toString
-        val vocab = 100000
-        val s = 1.1
-        val tailC = 1.0 - math.pow(vocab.toDouble, 1.0 - s) // CDF normalizer
-        val u = (pmod(xxhash64(col("doc_id") * 101 + col("j")), lit(1000000000L))
-          .cast("double") + 0.5) / 1e9
-        val rank = least(greatest(
-            pow(lit(1.0) - u * lit(tailC), lit(1.0 / (1.0 - s))), lit(1.0)),
-          lit(vocab.toDouble)).cast("long")
-        val docs = spark.range(n)
-          .select(col("id").as("doc_id"), explode(sequence(lit(0), lit(99))).as("j"))
-          .select(col("doc_id"), concat(lit("t"), rank).as("tok"))
-          .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
         graft.similarity.Bm25IndexStore.writeBm25Index(
-          docs, d, "text", "doc_id", nBuckets = 64)
+          zipfDocs(n), d, "text", "doc_id", nBuckets = 64)
         val post = spark.read.parquet(
           graft.util.ArtifactTree.resolve(spark, d, "postings"))
         val bd = post.groupBy("tok_bucket").agg(count(lit(1)).as("n"))
@@ -130,10 +155,19 @@ object ScaleProbe {
     // per-call rrfServed — the batch-amortization pair for the fused
     // retrieval front end
     val hybridDirs: (String, String) =
-      if (!mode.startsWith("hybrid_serve")) null
+      if (!mode.startsWith("hybrid_serve") && !mode.startsWith("hybrid_zipf:")) null
       else {
         SparkEntry.embedFixtureRegistered
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        // hybrid_zipf:<nDocs>:<batch> serves a WORST-REALISTIC load: the
+        // indexes are built over the Zipf corpus and every query in the
+        // batch carries the hottest term (df = N), so each query drags
+        // the corpus-proportional posting list through the batched plan
+        // — the r17 verdict's named trigger test for the df-threshold
+        // sub-bucket split
+        val docs =
+          if (mode.startsWith("hybrid_zipf:"))
+            zipfDocs(mode.stripPrefix("hybrid_zipf:").split(":")(0).toLong)
+          else spark.read.parquet(s"$dir/documents.parquet")
         val bd = java.nio.file.Files.createTempDirectory("graft-scale-hybm25-").toString
         graft.similarity.Bm25IndexStore.writeBm25Index(
           docs, bd, "text", "doc_id", nBuckets = 64)
@@ -195,6 +229,20 @@ object ScaleProbe {
           val t1 = hybridPool(2 * i % hybridPool.length)
           val t2 = hybridPool((2 * i + 1) % hybridPool.length)
           (i.toLong, Seq(t1, t2), s"$t1 $t2")
+        }.toDF("query_id", "terms", "text")
+        graft.similarity.HybridSearch.rrfServedBatch(
+          batch, hybridDirs._1, hybridDirs._2, SparkEntry.EmbedFixtureModelId,
+          k = 20, poolK = 20, nProbe = 3).count()
+      case m if m.startsWith("hybrid_zipf:") =>
+        // every query: hottest term + a rotating cold-tail term, text
+        // embeds the same two tokens — batch served through ONE
+        // rrfServedBatch plan over the Zipf-built indexes
+        val batch0 = m.stripPrefix("hybrid_zipf:").split(":")
+        val nq = batch0(1).toInt
+        import spark.implicits._
+        val batch = (0 until nq).map { i =>
+          val cold = s"t${3001 + 37 * i}"
+          (i.toLong, Seq("t1", cold), s"t1 $cold")
         }.toDF("query_id", "terms", "text")
         graft.similarity.HybridSearch.rrfServedBatch(
           batch, hybridDirs._1, hybridDirs._2, SparkEntry.EmbedFixtureModelId,
@@ -381,10 +429,13 @@ object ScaleProbe {
     // one untimed warmup, then median-style repeated passes (printed raw)
     val times = (0 to passes).map { p =>
       overrideSec = None
+      spillDisk.set(0L); spillMem.set(0L)
       val t0 = System.nanoTime()
       val n = run()
       val sec = overrideSec.getOrElse((System.nanoTime() - t0) / 1e9)
-      if (p > 0) println(f"""{"pass":$p,"mode":"$mode","rows":$n,"sec":$sec%.3f}""")
+      Thread.sleep(500) // drain the async listener bus before reading spill
+      if (p > 0) println(f"""{"pass":$p,"mode":"$mode","rows":$n,"sec":$sec%.3f,""" +
+        f""""spill_disk_bytes":${spillDisk.get},"spill_mem_bytes":${spillMem.get}}""")
       sec
     }
     val timed = times.drop(1).sorted

@@ -3018,6 +3018,18 @@ ORDER BY doc_id, token""")
           .simHashNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id"))
         .orderBy("doc_id")),
 
+    // the same resolution through minVia = "auto" (round 18): the
+    // per-round shape pick must be INVISIBLE in the result — identical
+    // rows under the identical recursive-CTE oracle. At this scale the
+    // probe gate keeps auto on the window shape with zero extra jobs;
+    // the pick is exercised at scale by ScaleProbe's cc fixtures.
+    "q_dup_clusters_auto" -> ((s, dir) =>
+      graft.dedup.Dedup
+        .duplicateClusters(graft.dedup.Dedup
+          .simHashNearDuplicates(tbl(s, dir, "documents"), "text", "doc_id"),
+          minVia = "auto")
+        .orderBy("doc_id")),
+
     // dedup tier, sub-document: corpus-wide exact span dedup with doc
     // reassembly (the repeated-substring scrub) — spans built elementwise
     // from the token array, TWO exchanges total (span-key window +
@@ -5343,6 +5355,8 @@ ${ivfAdcTailSql(rcbs)}"""
       // day 2 = the day-1 store world with zeroed stage counts: the
       // re-delivered batch must cause NO store change (idempotence)
       ("q_daily_pipeline_day2" -> dailyPipelineOracleSql(spark, dir, day2 = true)) +
+      // the auto-shape CC resolution answers the same SQL as the default
+      ("q_dup_clusters_auto" -> oracleSql("q_dup_clusters")) +
       ("q_hybrid_served" -> hybridServedOracleSql(spark, dir)) +
       ("q_hybrid_served_batch" -> hybridServedBatchOracleSql(spark, dir)) +
       // the takedown hits BOTH tiers: rebuilt-without on the BM25 side,

@@ -667,7 +667,25 @@ object Dedup {
     *     (≳100M edges, RefinedWeb-class boilerplate clusters) would
     *     turn the window task's spill into minutes of single-task
     *     disk I/O; the groupby straggler streams the same rows
-    *     without materializing them.
+    *     without materializing them;
+    *   - `"auto"` (round 18): the shape is picked PER ROUND from the
+    *     deciding statistic itself — the max symmetrized degree of the
+    *     current edge set, one `groupBy(node).count` aggregate over the
+    *     already-checkpointed blocks. Degree above
+    *     [[AutoMinViaDegreeThreshold]] (10M — set 10× under the
+    *     projected ~100M-edge crossover, so the switch errs toward the
+    *     spill-free shape) picks `groupby`, otherwise `window`. The
+    *     probe only RUNS while the edge count (free — it rides the
+    *     convergence signature) exceeds the threshold: max degree is
+    *     bounded by the edge count, so below it the answer is `window`
+    *     with zero extra jobs — at fixture scale `auto` is the window
+    *     shape plus nothing, and the ≤10% auto-overhead bound in
+    *     SCALING.md's round-18 table is measured, not argued. Re-
+    *     deciding per round (not just on round one, which the input
+    *     degree alone would support) matters because contraction GROWS
+    *     root neighborhoods toward component size: a 100M-node chain
+    *     enters with max degree 2 and only develops its mega-root
+    *     mid-run, exactly when the per-round statistic sees it.
     *
     * Convergence detection: each round's edge set is lazily
     * `localCheckpoint`ed and ONE driver action computes its
@@ -680,14 +698,25 @@ object Dedup {
     *
     * Throws if `maxIterations` rounds don't converge — a silent partial
     * contraction would under-merge and leak duplicates downstream. */
+  /** `minVia = "auto"`'s switch point: max symmetrized degree above
+    * which a round runs the groupby shape. 10M — one order of magnitude
+    * under the projected ~100M-edge window-spill crossover
+    * (SCALING.md's r17/r18 CC studies: window measured 1.2–1.4× faster
+    * through the 1M-leaf fixture ceiling, with per-task spill bytes
+    * staying inside one task's disk bandwidth), so the auto pick stays
+    * on the measured-faster shape everywhere measurement reaches and
+    * switches to the spill-free shape well before the projected regime
+    * change. */
+  val AutoMinViaDegreeThreshold: Long = 10000000L
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIterations: Int = 30,
       minVia: String = "window"): DataFrame = {
-    require(minVia == "groupby" || minVia == "window",
-      s"connectedComponents: minVia must be 'groupby' or 'window', got '$minVia'")
+    require(minVia == "groupby" || minVia == "window" || minVia == "auto",
+      s"connectedComponents: minVia must be 'groupby', 'window' or 'auto', got '$minVia'")
     // Only small-star (the end of a round) canonicalizes with distinct —
     // large-star's duplicate emissions are absorbed by small-star's
     // neighborhood min, and the set semantics the xor-signature needs
@@ -701,11 +730,11 @@ object Dedup {
     // no buffering) joined back — a second exchange per star op, but
     // no task ever holds a neighborhood in memory (the mega-component
     // shape; see the object doc and SCALING.md).
-    def largeStar(e: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame, via: String): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val withM =
-        if (minVia == "window") {
+        if (via == "window") {
           val w = Window.partitionBy("u")
           sym.withColumn("m", least(min(col("v")).over(w), col("u")))
         } else {
@@ -717,13 +746,13 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
     }
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, via: String): DataFrame = {
       val dir = e.select(
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       // m ≤ u by direction, so u itself re-roots to m
       val (perEdge, perNode) =
-        if (minVia == "window") {
+        if (via == "window") {
           val w = Window.partitionBy("u")
           val withM = dir.withColumn("m", min(col("v")).over(w))
           (withM, withM.select(col("u"), col("m")))
@@ -747,11 +776,31 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var e = e0.filter(col("u") =!= col("v"))
+    // "auto": pick the min shape per round from the deciding statistic.
+    // The degree probe is gated on the edge count (max symmetrized
+    // degree ≤ edge count, so a set under the threshold can only answer
+    // "window" — no job runs); the count itself is free after round one
+    // because the convergence signature already computes it, and round
+    // one pays one count() over the eagerly-checkpointed blocks.
+    var edgeCount = -1L
+    def resolveVia(): String =
+      if (minVia != "auto") minVia
+      else {
+        if (edgeCount < 0) edgeCount = e.count()
+        if (edgeCount <= AutoMinViaDegreeThreshold) "window"
+        else {
+          val md = e.select(col("u")).union(e.select(col("v").as("u")))
+            .groupBy("u").agg(count(lit(1)).as("d"))
+            .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+          if (md > AutoMinViaDegreeThreshold) "groupby" else "window"
+        }
+      }
     var prevSig = (-1L, -1L)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = smallStar(largeStar(e))
+      val via = resolveVia()
+      val next = smallStar(largeStar(e, via), via)
         .localCheckpoint(false) // lazy: the signature job below materializes it
       val sig = next
         // bit_xor, not sum: ANSI-safe (no overflow) and order-free; the
@@ -761,6 +810,7 @@ object Dedup {
       val s = (sig.getLong(0), if (sig.isNullAt(1)) 0L else sig.getLong(1))
       converged = s == prevSig
       prevSig = s
+      edgeCount = s._1 // refresh the auto gate for free
       e = next
       iter += 1
     }

@@ -107,6 +107,24 @@ object TopicModeling {
         * distributed projection (see the object scaladoc). */
       maxDriverChunks: Int = 100000)
 
+  /** The collapsed-structure advisory stage (round 18). SCALING.md's
+    * 100×-cliff study measured a TWO-knob recovery rule — when hundreds
+    * of topics are plausible, recovery needs `reduceDims ≥ 10` AND a
+    * sample of ≥~150 points per expected topic; neither knob alone
+    * moves the count — but the rule lived only in prose. Now the signal
+    * rides the existing per-row `stage_timings_ms` contract: when the
+    * SAMPLED fit returns suspiciously few clusters for its corpus
+    * (n_topics ≤ 2 while the corpus holds ≥ 10× more chunks than the
+    * sample cap — the measured collapse signature, 2 mega-topics
+    * confidently assigning 99.9% of a 100-topic corpus), this stage
+    * name is appended with elapsed 0. It is a HINT, not a failure: a
+    * genuinely 2-topic corpus that happens to be 10× the cap also
+    * triggers it, and the recommended knobs are then a cheap
+    * confirmation re-run. Never emitted on the exact (≤ cap) path,
+    * where the fit saw every chunk. */
+  val StructureAdvisoryStage: String =
+    "structure_advisory(reduceDims>=10,maxDriverChunks>=150*expected_topics)"
+
   /** `documents`: one row per input doc —
     * `doc_id, corpus, dominant_topic, topic_distribution, representative_words, x, y, n_topics, n_chunks, stage_timings_ms`.
     * `topics`: one row per topic —
@@ -326,6 +344,11 @@ object TopicModeling {
             ChunkAssignModel(basis, clusterDims, centroids, radii)
           }
           val nT = model.centroids.length
+          // collapsed-structure hint (see [[StructureAdvisoryStage]]):
+          // appended at the detection point, so it sits right after the
+          // hdbscan stage whose result it qualifies
+          if (nT <= 2 && nChunksTotal >= 10L * cap)
+            timings += StructureAdvisoryStage -> 0.0
 
           // 5'. broadcast the fit; project + assign EVERY chunk distributed
           //     (elementwise matrix-vector per row — no shuffle), then cut

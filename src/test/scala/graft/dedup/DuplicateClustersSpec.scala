@@ -107,9 +107,27 @@ class DuplicateClustersSpec extends SparkSpec {
     val gb = labels("groupby")
     val win = labels("window")
     assert(gb == win, s"variants disagree: ${gb.toSet.diff(win.toSet).take(5)}")
+    // the auto shape resolves per round (here: sub-threshold edge count
+    // -> the window shape with zero probe jobs) to the same labels
+    val auto = labels("auto")
+    assert(auto == win, s"auto disagrees: ${auto.toSet.diff(win.toSet).take(5)}")
     // and both put the chain+star mega-component under one min root
     val megaNodes = (chainIds ++ (301L until 500L)).toSet
     assert(megaNodes.map(gb).size == 1)
+  }
+
+  test("auto minVia: threshold gates the shape; rejects unknown shapes") {
+    // the per-round probe itself (degree > threshold -> groupby) cannot
+    // be driven end-to-end in a unit test (the threshold sits at 10M
+    // edges by design), so this pins the API surface around it: "auto"
+    // is accepted and label-identical (above), junk is rejected loudly
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, minVia = "adaptive")
+    }
+    assert(ex.getMessage.contains("'window' or 'auto'"))
+    assert(Dedup.AutoMinViaDegreeThreshold == 10000000L)
   }
 
   test("survivorsByQuality keeps the argmax member, ties to smallest id, singletons untouched") {

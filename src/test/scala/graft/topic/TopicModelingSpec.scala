@@ -364,6 +364,42 @@ class TopicModelingSpec extends SparkSpec {
     assert(!planStr.toLowerCase.contains("posexplode"), s"chunking subtree leaked:\n$planStr")
   }
 
+  test("structure advisory: fires on the collapsed over-cap regime only") {
+    // COLLAPSED fixture: 200 near-identical one-chunk docs over a cap of
+    // 16 -> the sampled fit sees 16 points of one blob (n_topics = 1)
+    // while the corpus holds 12.5x the cap -> the SCALING.md collapse
+    // signature, so the advisory stage must ride stage_timings_ms
+    val mono = (0 until 200).map { i =>
+      (i.toLong, 0, s"astronomy telescope galaxy nebula orbit comet stellar cosmic word$i")
+    }.toDF("doc_id", "corpus", "text")
+    val out = TopicModeling.run(mono, "text", "doc_id", Some("corpus"),
+      TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4), maxDriverChunks = 16))
+    assert(out.nTopics <= 2, s"fixture no longer collapses: ${out.nTopics} topics")
+    val stages = out.stageTimings.map(_._1)
+    assert(stages.contains(TopicModeling.StructureAdvisoryStage),
+      s"advisory missing from $stages")
+    // it sits right after the hdbscan stage it qualifies, elapsed 0
+    assert(stages(stages.indexOf("hdbscan") + 1) == TopicModeling.StructureAdvisoryStage)
+    assert(out.stageTimings.collectFirst {
+      case (TopicModeling.StructureAdvisoryStage, e) => e }.contains(0.0))
+    // and the per-row contract carries it (same list replicated)
+    val rowStages = out.documents.select("stage_timings_ms").head()
+      .getAs[scala.collection.Seq[Row]](0).map(_.getString(0))
+    assert(rowStages.contains(TopicModeling.StructureAdvisoryStage))
+
+    // BASE-SCALE over-cap fixture (24 chunks, cap 16 -> ratio 1.5): the
+    // sampled path runs but the corpus is NOT >= 10x the cap -> silent
+    val docs = corpus().toDF("doc_id", "corpus", "text")
+    val base = TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+      TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4), maxDriverChunks = 16))
+    assert(!base.stageTimings.map(_._1).contains(TopicModeling.StructureAdvisoryStage))
+
+    // EXACT path (cap >= corpus): never emitted, whatever the fit says
+    val exact = TopicModeling.run(mono, "text", "doc_id", Some("corpus"),
+      TopicModeling.Config(cluster = Cluster.Config(minClusterSize = 4)))
+    assert(!exact.stageTimings.map(_._1).contains(TopicModeling.StructureAdvisoryStage))
+  }
+
   test("over-cap path is deterministic across runs") {
     val docs = corpus().toDF("doc_id", "corpus", "text")
     val cfg = TopicModeling.Config(

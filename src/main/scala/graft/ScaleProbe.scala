@@ -119,9 +119,9 @@ object ScaleProbe {
         .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
     }
     val zipfIdxDir: String =
-      if (!mode.startsWith("bm25zipf:")) null
+      if (!mode.startsWith("bm25zipf:") && !mode.startsWith("bm25zipf_batch")) null
       else {
-        val n = mode.stripPrefix("bm25zipf:").toLong
+        val n = mode.split(":")(1).toLong
         val d = java.nio.file.Files.createTempDirectory("graft-scale-zipf-").toString
         graft.similarity.Bm25IndexStore.writeBm25Index(
           zipfDocs(n), d, "text", "doc_id", nBuckets = 64)
@@ -155,7 +155,7 @@ object ScaleProbe {
     // per-call rrfServed — the batch-amortization pair for the fused
     // retrieval front end
     val hybridDirs: (String, String) =
-      if (!mode.startsWith("hybrid_serve") && !mode.startsWith("hybrid_zipf:")) null
+      if (!mode.startsWith("hybrid_serve") && !mode.startsWith("hybrid_zipf")) null
       else {
         SparkEntry.embedFixtureRegistered
         // hybrid_zipf:<nDocs>:<batch> serves a WORST-REALISTIC load: the
@@ -165,8 +165,8 @@ object ScaleProbe {
         // — the r17 verdict's named trigger test for the df-threshold
         // sub-bucket split
         val docs =
-          if (mode.startsWith("hybrid_zipf:"))
-            zipfDocs(mode.stripPrefix("hybrid_zipf:").split(":")(0).toLong)
+          if (mode.startsWith("hybrid_zipf"))
+            zipfDocs(mode.split(":")(1).toLong)
           else spark.read.parquet(s"$dir/documents.parquet")
         val bd = java.nio.file.Files.createTempDirectory("graft-scale-hybm25-").toString
         graft.similarity.Bm25IndexStore.writeBm25Index(
@@ -233,6 +233,17 @@ object ScaleProbe {
         graft.similarity.HybridSearch.rrfServedBatch(
           batch, hybridDirs._1, hybridDirs._2, SparkEntry.EmbedFixtureModelId,
           k = 20, poolK = 20, nProbe = 3).count()
+      case m if m.startsWith("hybrid_zipf_pruned:") =>
+        val batch0 = m.stripPrefix("hybrid_zipf_pruned:").split(":")
+        val nq = batch0(1).toInt
+        import spark.implicits._
+        val batch = (0 until nq).map { i =>
+          val cold = s"t${3001 + 37 * i}"
+          (i.toLong, Seq("t1", cold), s"t1 $cold")
+        }.toDF("query_id", "terms", "text")
+        graft.similarity.HybridSearch.rrfServedBatch(
+          batch, hybridDirs._1, hybridDirs._2, SparkEntry.EmbedFixtureModelId,
+          k = 20, poolK = 20, nProbe = 3, bm25PruneDf = batch0(0).toLong / 10).count()
       case m if m.startsWith("hybrid_zipf:") =>
         // every query: hottest term + a rotating cold-tail term, text
         // embeds the same two tokens — batch served through ONE
@@ -252,6 +263,31 @@ object ScaleProbe {
           spark, hybridDirs._1, hybridDirs._2,
           Seq("spark", "join"), "spark join", SparkEntry.EmbedFixtureModelId,
           k = 20, poolK = 20, nProbe = 3).count()
+      case m if m.startsWith("bm25zipf_batch_pruned:") =>
+        // the MaxScore arm: same hot-term batch, pruneDf = 10% of the
+        // corpus — t1 (df = N) prunes, the cold terms stay essential
+        val parts = m.split(":")
+        val nq = parts(2).toInt
+        import spark.implicits._
+        val batch = (0 until nq).map { i =>
+          (i.toLong, Seq("t1", s"t${3001 + 37 * i}"))
+        }.toDF("query_id", "terms")
+        graft.similarity.Bm25IndexStore
+          .serveBm25TopKBatch(batch, zipfIdxDir, k = 20, roundTo = 6,
+            pruneDf = parts(1).toLong / 10)
+          .count()
+      case m if m.startsWith("bm25zipf_batch:") =>
+        // the batched BM25 serve ALONE under the hot-term load — the
+        // attribution arm for hybrid_zipf: every query carries t1
+        // (df = N) plus a rotating cold term
+        val nq = m.split(":")(2).toInt
+        import spark.implicits._
+        val batch = (0 until nq).map { i =>
+          (i.toLong, Seq("t1", s"t${3001 + 37 * i}"))
+        }.toDF("query_id", "terms")
+        graft.similarity.Bm25IndexStore
+          .serveBm25TopKBatch(batch, zipfIdxDir, k = 20, roundTo = 6)
+          .count()
       case m if m.startsWith("bm25zipf:") =>
         // the hot-term query: t1 sits in ~every document, so its bucket
         // is the fattest shard — the serve must stream df(t1) ≈ N

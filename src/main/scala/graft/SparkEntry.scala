@@ -3421,6 +3421,26 @@ ORDER BY doc_id, token""")
         .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
     }),
 
+    // the same batch through the exact MaxScore front end (round 18):
+    // pruneDf = 390 splits this corpus's df~385-402 vocabulary across
+    // the threshold, so some queries route through the pruned
+    // candidate path and the rest through the proof's fallback — and
+    // the RESULT is bitwise the unpruned serve either way, which is
+    // exactly what sharing the unpruned oracle checks
+    "q_bm25_served_batch_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val batch = Seq(
+        (1L, Seq("spark", "join", "window")),
+        (2L, Seq("scan", "filter")),
+        (3L, Seq("sort", "merge", "hash", "batch")),
+        (4L, Seq("vector", "zzz_not_a_token", "vector", "stream"))
+      ).toDF("query_id", "terms")
+      graft.similarity.Bm25IndexStore
+        .serveBm25TopKBatch(batch, bm25IndexDirFor(s, dir), k = 10, roundTo = 6,
+          pruneDf = 390L)
+        .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
+    }),
+
     // ...and the QUERY LOG as a stream: the same batch served across
     // two checkpointed micro-batches against the static index, results
     // landing exactly-once in batch-scoped dirs — the streamed union
@@ -6956,6 +6976,9 @@ GROUP BY label, i ORDER BY label, dim""",
       "CASE WHEN doc_id % 17 = 3 AND doc_id % 3 <> 0 " +
         "THEN coalesce(text, '') || ' refreshed edition' ELSE text END"),
     "q_bm25_served_batch" -> bm25BatchSql(),
+
+    // exactness THROUGH the MaxScore front end: same batch, same oracle
+    "q_bm25_served_batch_pruned" -> bm25BatchSql(),
     // the streamed query log unions to exactly the one-shot batch serve
     "q_stream_bm25_serve" -> bm25BatchSql(),
     "q_bm25_served_batch_delete" -> bm25BatchSql(" WHERE doc_id % 9 <> 4"),

@@ -437,7 +437,39 @@ object Bm25IndexStore {
     * aggregate, the term-set broadcast, the scoring join): a caller
     * whose query table rides an expensive derivation (tokenize, a
     * remote read) should persist it first — the same no-cache-residue
-    * rule documented on `probeDedupIndex`. */
+    * rule documented on `probeDedupIndex`. (With `pruneDf` engaged the
+    * method localCheckpoints the query frame itself — the routing
+    * consumes it from the driver, so one evaluation is a correctness
+    * requirement there, not advice.)
+    *
+    * `pruneDf` — EXACT MaxScore pruning for stopword-class terms
+    * (Turtle & Flood 1995, "Query evaluation: strategies and
+    * optimizations"; round 18). The r18 Zipf measurement (SCALING.md):
+    * a batch whose every query carries a df≈N term costs
+    * |batch|·df(hot) scored rows — 38M rows for 64 queries over 600k
+    * docs, 1.6 s/query, NO batch amortization — and the cost lives in
+    * the scoring join + per-(query,doc) fold, NOT the pruned scan, so
+    * the long-sketched STORAGE sub-bucket split cannot move it. What
+    * does: a term with df close to N carries an idf (and therefore a
+    * score contribution) bounded by `ub(t) = idf(t)·(k1+1)` ≈ 0 — BM25
+    * itself says the stopword barely matters. With `pruneDf` set,
+    * terms with `df(t) > pruneDf` are PRUNED from candidate
+    * generation: candidates are docs matching ≥1 essential (low-df)
+    * term, scored EXACTLY (the pruned terms' partials are looked up
+    * for candidate docs through a doc-keyed semi-join, so every
+    * candidate's fold sees the identical (token, partial) multiset as
+    * the unpruned plan — bitwise-equal scores), and a query's pruned
+    * result is accepted only when the driver can PROVE no pruned-only
+    * doc could enter its top-k: the query has a full k candidates and
+    * `kth_score − Σ_(t pruned) ub(t) > 10^-roundTo` (the margin covers
+    * rounding; every pruned-only doc scores strictly under the ub
+    * sum). Queries failing the proof — and queries with no hot or no
+    * essential terms — fall back to the unpruned plan, so results are
+    * ALWAYS bitwise the unpruned serve's (spec-pinned), and the knob
+    * is purely a cost bound. Default `Long.MaxValue` = disabled, plan
+    * byte-identical to round 17's. Driver traffic stays
+    * query-proportional: the routing adds one (query, term) collect
+    * and one per-query (count, kth) collect, both ≤ |batch| scale. */
   def serveBm25TopKBatch(
       queries: DataFrame,
       path: String,
@@ -446,13 +478,18 @@ object Bm25IndexStore {
       k: Int = 20,
       k1: Double = 1.2,
       b: Double = 0.75,
-      roundTo: Int = -1): DataFrame = {
+      roundTo: Int = -1,
+      pruneDf: Long = Long.MaxValue): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = readMeta(spark, path)
     val tomb = tombstones(spark, path)
 
-    val qterms = queries
+    // with pruning engaged the query plan feeds several subtrees plus
+    // two driver actions — evaluate it exactly once (see the scaladoc)
+    val q = if (pruneDf != Long.MaxValue) queries.localCheckpoint(true) else queries
+
+    val qterms = q
       .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("token"))
       .distinct()
 
@@ -483,11 +520,11 @@ object Bm25IndexStore {
     // df(t) once for the whole batch (terms shared across queries pay
     // it once), idf on the driver for bit-parity with the per-call
     // literals; ≤ |batch vocabulary| rows up, same back down broadcast
-    val idfRows = hits.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val dfRows = hits.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       .collect()
-      .map(r => (r.getAs[String]("token"), idfOf(nDocs, r.getAs[Long]("df"))))
-      .toSeq
-    if (idfRows.isEmpty) return emptyResult
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df")))
+    if (dfRows.isEmpty) return emptyResult
+    val idfRows = dfRows.map { case (t, df) => (t, idfOf(nDocs, df)) }.toSeq
     val idfDf = idfRows.toDF("token", "idf")
 
     // the per-call partial with idf as a joined column instead of a
@@ -495,31 +532,98 @@ object Bm25IndexStore {
     val partial = col("idf") * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
 
-    val scored = hits
+    // the shared tail: sorted-term left-assoc float fold, like the
+    // per-call pivot (terms are distinct per (query, doc), so
+    // sort_array's struct order is exactly term order and the fold is
+    // deterministic), then round-before-cut per-query top-k
+    def scoreAndCut(scored: DataFrame): DataFrame = {
+      val summed = aggregate(
+        sort_array(collect_list(struct(col("token"), col("partial")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("partial"))
+      val perQueryDoc = scored
+        .groupBy("query_id", "doc_id")
+        .agg(summed.as("score0"))
+      val score = if (roundTo >= 0) round(col("score0"), roundTo) else col("score0")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      perQueryDoc
+        .select(col("query_id"), col("doc_id"), score.as("score"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .drop("__rn")
+    }
+    def fullScored: DataFrame = hits
       .join(broadcast(idfDf), Seq("token"))
       .join(broadcast(qterms), Seq("token"))
       .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
 
-    // sorted-term left-assoc float fold, like the per-call pivot: terms
-    // are distinct per (query, doc), so sort_array's struct order is
-    // exactly term order and the fold is deterministic
-    val summed = aggregate(
-      sort_array(collect_list(struct(col("token"), col("partial")))),
-      lit(0.0),
-      (acc, x) => acc + x.getField("partial"))
-    val perQueryDoc = scored
-      .groupBy("query_id", "doc_id")
-      .agg(summed.as("score0"))
-    val score = if (roundTo >= 0) round(col("score0"), roundTo) else col("score0")
+    val hotTokens = dfRows.collect { case (t, df) if df > pruneDf => t }.toSet
+    if (hotTokens.isEmpty) return scoreAndCut(fullScored)
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    perQueryDoc
-      .select(col("query_id"), col("doc_id"), score.as("score"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    // ---- MaxScore routing (see the scaladoc's exactness proof) ----
+    val idfMap = idfRows.toMap
+    // (query, term) pairs to the driver: query-proportional, the same
+    // bounded class as the bucket and df collects above
+    val byQuery = qterms.collect()
+      .map(r => (r.get(0), r.getString(1)))
+      .groupBy(_._1).map { case (qid, rows) => qid -> rows.map(_._2).toSeq }
+    val pruneQs = byQuery.filter { case (_, ts) =>
+      ts.exists(hotTokens) && ts.exists(t => !hotTokens(t)) }
+    if (pruneQs.isEmpty) return scoreAndCut(fullScored)
+    // per-query upper bound on what its pruned terms can add to ANY
+    // doc: tf·(k1+1)/(tf + K) < k1+1 strictly for finite tf and K > 0
+    val ubSum: Map[Any, Double] = pruneQs.map { case (qid, ts) =>
+      qid -> ts.filter(hotTokens).map(t => idfMap.getOrElse(t, 0.0) * (k1 + 1.0)).sum }
+
+    val pruneIdFilter = col("query_id").isin(pruneQs.keysIterator.toSeq: _*)
+    val essQ = qterms.filter(pruneIdFilter && !col("token").isin(hotTokens.toSeq: _*))
+    val hotQ = qterms.filter(pruneIdFilter && col("token").isin(hotTokens.toSeq: _*))
+
+    // candidates: docs matching >= 1 essential term — Σ df(essential)
+    // rows, the whole point of the cut; eager checkpoint because three
+    // subtrees consume it
+    val essScored = hits
+      .join(broadcast(idfDf), Seq("token"))
+      .join(broadcast(essQ), Seq("token"))
+      .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
+      .localCheckpoint(true)
+    val candPairs = essScored.select("query_id", "doc_id").distinct()
+    val candDocs = candPairs.select("doc_id").distinct()
+    // the pruned terms' partials for candidate docs ONLY: the hot
+    // posting list shrinks through a doc-keyed semi-join BEFORE it ever
+    // meets the query table — df(hot)·|queries| rows never materialize
+    val hotScored = hits
+      .filter(col("token").isin(hotTokens.toSeq: _*))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .join(broadcast(idfDf), Seq("token"))
+      .join(broadcast(hotQ), Seq("token"))
+      .join(candPairs, Seq("query_id", "doc_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
+    val phase1 = scoreAndCut(essScored.unionByName(hotScored)).localCheckpoint(true)
+
+    // accept a query's pruned top-k only when no pruned-only doc could
+    // enter it: full k candidates AND the k-th score clears the ub sum
+    // by more than one rounding ulp
+    val margin = if (roundTo >= 0) math.pow(10.0, -roundTo) else 1e-9
+    val passing = phase1.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min(col("score")).as("kth"))
+      .collect()
+      .collect { case r if r.getLong(1) == k &&
+        r.getDouble(2) - ubSum(r.get(0)) > margin => r.get(0) }
+      .toSet
+    val served =
+      if (passing.isEmpty) phase1.limit(0)
+      else phase1.filter(col("query_id").isin(passing.toSeq: _*))
+    // everything else — plain queries, failed proofs, all-hot queries —
+    // takes the unpruned plan, per query bitwise the old path
+    val fbIds = byQuery.keySet -- passing
+    if (fbIds.isEmpty) served
+    else served.unionByName(
+      serveBm25TopKBatch(
+        q.filter(col(queryIdCol).isin(fbIds.toSeq: _*)),
+        path, queryIdCol, termsCol, k, k1, b, roundTo))
   }
 
   /** Fold pending tombstones into postings and doclens physically,

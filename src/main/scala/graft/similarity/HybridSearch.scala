@@ -209,7 +209,11 @@ object HybridSearch {
     * were absent from the collected qid map, and those semantic rows
     * would be silently dropped by the inner join. The checkpoint
     * evaluates the caller's plan exactly once (|batch| rows — bounded)
-    * and every downstream read hits the materialized blocks. */
+    * and every downstream read hits the materialized blocks.
+    * `bm25PruneDf` passes through to the lexical serve's exact MaxScore
+    * pruning ([[Bm25IndexStore.serveBm25TopKBatch]]) — rows identical
+    * either way, cost bounded when the query log carries stopword-class
+    * terms. */
   def rrfServedBatch(
       queries: DataFrame,
       bm25Dir: String,
@@ -222,7 +226,8 @@ object HybridSearch {
       poolK: Int = 20,
       rrfK: Int = 60,
       roundTo: Int = 6,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      bm25PruneDf: Long = Long.MaxValue): DataFrame = {
     val spark = queries.sparkSession
     // one evaluation of the caller's plan, shared by all three consumers
     // (see the scaladoc's correctness note)
@@ -237,7 +242,7 @@ object HybridSearch {
       .orderBy(col("score").desc, col("doc_id").asc)
     val lex = Bm25IndexStore
       .serveBm25TopKBatch(q.select(qid, col(termsCol).as("terms")),
-        bm25Dir, k = poolK, roundTo = roundTo)
+        bm25Dir, k = poolK, roundTo = roundTo, pruneDf = bm25PruneDf)
       .select(col("query_id"), col("doc_id"),
         row_number().over(wLex).cast("long").as("r_lex"))
 

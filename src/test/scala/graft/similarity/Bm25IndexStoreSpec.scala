@@ -96,6 +96,44 @@ class Bm25IndexStoreSpec extends SparkSpec {
     assert(served == perCall)
   }
 
+  test("MaxScore pruning (pruneDf) is bitwise the unpruned serve on every query shape") {
+    import spark.implicits._
+    // synthetic hot-term corpus: 'the' in all 60 docs (df = 60, idf ~
+    // 0.008, ub ~ 0.018), six topic words in 10 docs each (idf ~ 1.76)
+    // -> the margin proof PASSES for hot+essential queries at k=3
+    val syn = (0L until 60L).map { i =>
+      (i, s"the w${i % 6} filler$i the tail")
+    }.toDF("doc_id", "text")
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-bm25-prune-").toString
+      Bm25IndexStore.writeBm25Index(syn, d, "text", "doc_id", nBuckets = 16)
+      d
+    }
+    val batch = Seq(
+      (1L, Seq("the", "w1")),       // hot + essential: pruned path, proof passes
+      (2L, Seq("the")),             // all-hot: fallback to the unpruned plan
+      (3L, Seq("w2", "w3")),        // no hot term: plain path
+      (4L, Seq("the", "zzz_nope")), // essential matches nothing: n<k, fallback
+      (5L, Seq("the", "w4", "w5"))  // two essentials: pruned path
+    ).toDF("query_id", "terms")
+    def rows(pruneDf: Long) = Bm25IndexStore
+      .serveBm25TopKBatch(batch, dir, k = 3, roundTo = 6, pruneDf = pruneDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val unpruned = rows(Long.MaxValue)
+    val pruned = rows(30L) // df('the') = 60 > 30; topic words df = 10 stay essential
+    assert(pruned == unpruned, s"pruned diverged:\n$pruned\nvs\n$unpruned")
+    // sanity: every query answers (q4's hot term still matches docs even
+    // though its essential term is unknown — served via the fallback)
+    assert(unpruned.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // and the per-call serve agrees on the pruned-path query (transitive
+    // anchor to the per-call contract)
+    val perCall = Bm25IndexStore.serveBm25TopK(spark, dir, Seq("the", "w1"), k = 3, roundTo = 6)
+      .collect().map(r => (1L, r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(pruned.filter(_._1 == 1L) == perCall)
+  }
+
   test("batched serve honors tombstones exactly like the per-call path") {
     import spark.implicits._
     val dir = newIndex(docs)

@@ -164,6 +164,21 @@ class HybridSearchSpec extends SparkSpec {
     }
   }
 
+  test("served batch with bm25PruneDf engaged is bitwise the default serve") {
+    val (bm25Dir, annDir) = servedFixture()
+    def rows(pruneDf: Long) = HybridSearch.rrfServedBatch(
+        batchQueries, bm25Dir, annDir, BatchModelId,
+        k = 8, poolK = 5, nProbe = 2, bm25PruneDf = pruneDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // pruneDf = 1: EVERY matching term is stopword-class, so the lexical
+    // serve routes every query through the MaxScore front end (all-hot
+    // queries take the proof's fallback) — the fused rows must not move
+    assert(rows(1L) == rows(Long.MaxValue))
+  }
+
   test("served batch plan reads each index a constant number of times") {
     import spark.implicits._
     val (bm25Dir, annDir) = servedFixture()

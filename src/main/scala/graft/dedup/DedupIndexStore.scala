@@ -209,13 +209,20 @@ object DedupIndexStore {
     * and atomicity posture in [[graft.util.ArtifactTree]]; a crash
     * after the rewrites but before the tombstone clear just leaves
     * already-dropped ids excluded twice — idempotent. */
-  def compactDedupIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+  def compactDedupIndex(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int = 8,
+      graceVersions: Int = 1,
+      graceMinAgeMs: Long = 0L): Unit = {
     val drop: DataFrame => DataFrame = tombstones(spark, path) match {
       case None => identity
       case Some(t) => df => df.join(t.select(col("id")), Seq("id"), "left_anti")
     }
-    graft.util.ArtifactTree.compact(spark, path, "signatures", targetFiles, drop)
-    graft.util.ArtifactTree.compact(spark, path, "bands", targetFiles, drop)
+    graft.util.ArtifactTree.compact(spark, path, "signatures", targetFiles, drop,
+      graceVersions = graceVersions, graceMinAgeMs = graceMinAgeMs)
+    graft.util.ArtifactTree.compact(spark, path, "bands", targetFiles, drop,
+      graceVersions = graceVersions, graceMinAgeMs = graceMinAgeMs)
     graft.util.ArtifactTree.remove(spark, path, "tombstones")
   }
 

@@ -639,7 +639,12 @@ object Bm25IndexStore {
     * there), and the re-run's `distinct()` heals physically. Only the
     * ops counters ([[describeBm25Index]]'s `n_postings`/bucket sizes)
     * read inflated in that window. */
-  def compactBm25Index(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+  def compactBm25Index(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int = 8,
+      graceVersions: Int = 1,
+      graceMinAgeMs: Long = 0L): Unit = {
     val drop: DataFrame => DataFrame = tombstones(spark, path) match {
       case None => identity
       case Some(t) => df => df.join(t, Seq("doc_id"), "left_anti")
@@ -652,12 +657,14 @@ object Bm25IndexStore {
     val foldPostings: DataFrame => DataFrame = src =>
       drop(deltas.fold(src)(d => src.unionByName(d)).distinct())
     graft.util.ArtifactTree.compact(spark, path, "postings", targetFiles, foldPostings,
-      partitionCols = Seq("tok_bucket"))
+      partitionCols = Seq("tok_bucket"),
+      graceVersions = graceVersions, graceMinAgeMs = graceMinAgeMs)
     if (deltas.nonEmpty) graft.util.ArtifactTree.remove(spark, path, "postings_deltas")
     // doclens deltas nest INSIDE the doclens tree, so the swap folds
     // them atomically; distinct for the same crash-recovery class
     graft.util.ArtifactTree.compact(spark, path, "doclens", targetFiles,
-      df => drop(df.distinct()))
+      df => drop(df.distinct()),
+      graceVersions = graceVersions, graceMinAgeMs = graceMinAgeMs)
     graft.util.ArtifactTree.remove(spark, path, "tombstones")
     graft.util.ArtifactTree.remove(spark, path, "stats_net")
     refreshStats(spark, path)

@@ -166,8 +166,15 @@ object IndexStore {
     * (spec-pinned: served results unchanged, delta dirs gone);
     * crash-recovery and atomicity posture in
     * [[graft.util.ArtifactTree]]. */
-  def compactPqIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
-    graft.util.ArtifactTree.compact(spark, path, "codes", targetFiles, dropTombstoned(spark, path))
+  def compactPqIndex(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int = 8,
+      graceVersions: Int = 1,
+      graceMinAgeMs: Long = 0L): Unit = {
+    graft.util.ArtifactTree.compact(spark, path, "codes", targetFiles,
+      dropTombstoned(spark, path),
+      graceVersions = graceVersions, graceMinAgeMs = graceMinAgeMs)
     graft.util.ArtifactTree.remove(spark, path, "tombstones")
   }
 
@@ -177,9 +184,15 @@ object IndexStore {
     * rows so each cell lands in at most `targetFiles` files. Folds in
     * tombstoned deletes physically and clears the tombstones, like
     * [[compactPqIndex]]. */
-  def compactIvfIndex(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+  def compactIvfIndex(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int = 8,
+      graceVersions: Int = 1,
+      graceMinAgeMs: Long = 0L): Unit = {
     graft.util.ArtifactTree.compact(spark, path, "ivf_codes", targetFiles,
-      dropTombstoned(spark, path), partitionCols = Seq("cell"))
+      dropTombstoned(spark, path), partitionCols = Seq("cell"),
+      graceVersions = graceVersions, graceMinAgeMs = graceMinAgeMs)
     graft.util.ArtifactTree.remove(spark, path, "tombstones")
   }
 

@@ -105,10 +105,12 @@ object Bench {
     val baseline: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
-        val qStart = txt.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty
+        // tolerate both compact and pretty JSON ("queries": { with spaces)
+        val qKey = """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt)
+        if (qKey.isEmpty) Map.empty
         else {
-          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+          val start = qKey.get.end
+          val body = txt.substring(start, txt.indexOf('}', start))
           """"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r
             .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap

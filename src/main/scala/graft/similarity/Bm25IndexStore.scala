@@ -564,13 +564,23 @@ object Bm25IndexStore {
 
     // ---- MaxScore routing (see the scaladoc's exactness proof) ----
     val idfMap = idfRows.toMap
+    val dfMap = dfRows.toMap
     // (query, term) pairs to the driver: query-proportional, the same
     // bounded class as the bucket and df collects above
     val byQuery = qterms.collect()
       .map(r => (r.get(0), r.getString(1)))
       .groupBy(_._1).map { case (qid, rows) => qid -> rows.map(_._2).toSeq }
+    // a query routes through the pruned path only when the proof CAN
+    // succeed: it needs a hot term to prune, an essential term to
+    // generate candidates, and candidates can reach k at all —
+    // Σ df(essential) bounds the candidate count, so below k the n==k
+    // check is doomed and the phase-1 plan would be paid for nothing
+    // (the all-hot batch then skips routing entirely: one driver map,
+    // zero extra plans over the unpruned serve)
     val pruneQs = byQuery.filter { case (_, ts) =>
-      ts.exists(hotTokens) && ts.exists(t => !hotTokens(t)) }
+      ts.exists(hotTokens) && ts.exists(t => !hotTokens(t)) &&
+        ts.filterNot(hotTokens).map(t => dfMap.getOrElse(t, 0L)).sum >= k
+    }
     if (pruneQs.isEmpty) return scoreAndCut(fullScored)
     // per-query upper bound on what its pruned terms can add to ANY
     // doc: tf·(k1+1)/(tf + K) < k1+1 strictly for finite tf and K > 0

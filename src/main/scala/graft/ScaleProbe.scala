@@ -119,7 +119,7 @@ object ScaleProbe {
         .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
     }
     val zipfIdxDir: String =
-      if (!mode.startsWith("bm25zipf:") && !mode.startsWith("bm25zipf_batch")) null
+      if (!mode.startsWith("bm25zipf")) null
       else {
         val n = mode.split(":")(1).toLong
         val d = java.nio.file.Files.createTempDirectory("graft-scale-zipf-").toString
@@ -288,6 +288,12 @@ object ScaleProbe {
         graft.similarity.Bm25IndexStore
           .serveBm25TopKBatch(batch, zipfIdxDir, k = 20, roundTo = 6)
           .count()
+      case m if m.startsWith("bm25zipf_one_pruned:") =>
+        // the per-call MaxScore arm under the hot-term query
+        graft.similarity.Bm25IndexStore.serveBm25TopK(
+          spark, zipfIdxDir, Seq("t1", "t17", "t3141"), k = 20, roundTo = 6,
+          pruneDf = m.stripPrefix("bm25zipf_one_pruned:").toLong / 10)
+          .collect().length.toLong
       case m if m.startsWith("bm25zipf:") =>
         // the hot-term query: t1 sits in ~every document, so its bucket
         // is the fattest shard — the serve must stream df(t1) ≈ N

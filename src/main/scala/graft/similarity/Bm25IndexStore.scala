@@ -332,7 +332,11 @@ object Bm25IndexStore {
     * same score/tie/round contract as [[Bm25.search]]; reads ≤ |terms|
     * posting buckets (static partition pruning) + the one-row stats
     * artifact (or doclens net of tombstones while takedowns are
-    * pending). */
+    * pending).    * `pruneDf` (round 18): the per-call arm of the batched serve's
+   * exact MaxScore pruning — identical contract and proof (see
+   * [[serveBm25TopKBatch]]); results bitwise the unpruned serve's,
+   * default disabled.
+   */
   def serveBm25TopK(
       spark: SparkSession,
       path: String,
@@ -340,7 +344,8 @@ object Bm25IndexStore {
       k: Int = 20,
       k1: Double = 1.2,
       b: Double = 0.75,
-      roundTo: Int = -1): DataFrame = {
+      roundTo: Int = -1,
+      pruneDf: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
     val m = readMeta(spark, path)
@@ -375,9 +380,6 @@ object Bm25IndexStore {
     // add in partition order and break bit-parity
     val tfCols = terms.indices.map(i =>
       max(when(col("token") === terms(i), col("tf"))).as(s"__tf_$i"))
-    val perDoc = hits.groupBy("doc_id")
-      .agg(first(col("dl")).as("dl"), tfCols: _*)
-
     def partial(i: Int): Column = {
       val idf = idfOf(nDocs, dfs.getOrElse(terms(i), 0L))
       val tf = col(s"__tf_$i")
@@ -389,10 +391,34 @@ object Bm25IndexStore {
     val sortedIdx = terms.indices.sortBy(terms)
     val summed = sortedIdx.map(partial).foldLeft(lit(0.0))(_ + _)
     val score = if (roundTo >= 0) round(summed, roundTo) else summed
-
-    perDoc.select(col("doc_id"), score.as("score"))
+    def cut(h: DataFrame): DataFrame = h
+      .groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"), tfCols: _*)
+      .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+
+    // exact MaxScore pruning, the per-call arm of the batched serve's
+    // contract (same proof, same fallback — see serveBm25TopKBatch's
+    // scaladoc): candidates = docs matching >= 1 essential (low-df)
+    // term; the hot terms' tfs ride the SAME pivot restricted to those
+    // docs, so candidate scores are bitwise the unpruned plan's, and
+    // the result is accepted only when no pruned-only doc can enter it
+    val hot = terms.filter(t => dfs.getOrElse(t, 0L) > pruneDf)
+    val ess = terms.filterNot(t => dfs.getOrElse(t, 0L) > pruneDf)
+    if (hot.isEmpty || ess.isEmpty ||
+        ess.map(t => dfs.getOrElse(t, 0L)).sum < k)
+      return cut(hits)
+
+    val candDocs = hits.filter(col("token").isin(ess: _*))
+      .select("doc_id").distinct()
+    val topk = cut(hits.join(candDocs, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
+    val rows = topk.select(col("score")).collect()
+    val margin = if (roundTo >= 0) math.pow(10.0, -roundTo) else 1e-9
+    val ubSum = hot.map(t => idfOf(nDocs, dfs(t)) * (k1 + 1.0)).sum
+    if (rows.length == k && rows.map(_.getDouble(0)).min - ubSum > margin) topk
+    else cut(hits) // proof failed: the unpruned plan, bit for bit
   }
 
   /** Serve a BATCH of BM25 queries from the persisted index in ONE

@@ -137,10 +137,12 @@ object HybridSearch {
       poolK: Int = 20,
       rrfK: Int = 60,
       roundTo: Int = 6,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      bm25PruneDf: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val lexServed =
-      Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK, roundTo = roundTo)
+      Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK, roundTo = roundTo,
+        pruneDf = bm25PruneDf)
     // the fused schema's doc-id type comes from the index artifact,
     // like everything else served — a hardcoded LongType would break
     // createDataFrame on an index built over a non-Long id column

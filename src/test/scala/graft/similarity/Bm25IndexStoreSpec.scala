@@ -132,6 +132,15 @@ class Bm25IndexStoreSpec extends SparkSpec {
       .collect().map(r => (1L, r.getLong(0), r.getDouble(1)))
       .sortBy(t => (t._1, -t._3, t._2)).toSeq
     assert(pruned.filter(_._1 == 1L) == perCall)
+
+    // the per-call MaxScore arm: pruned == unpruned on the pass shape,
+    // the all-hot shape (immediate fallback), and the doomed-candidates
+    // shape (sum df(ess) < k -> fallback before any phase-1 plan)
+    def one(terms: Seq[String], pruneDf: Long) =
+      Bm25IndexStore.serveBm25TopK(spark, dir, terms, k = 3, roundTo = 6, pruneDf = pruneDf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (terms <- Seq(Seq("the", "w1"), Seq("the"), Seq("the", "zzz_nope")))
+      assert(one(terms, 30L) == one(terms, Long.MaxValue), s"per-call diverged on $terms")
   }
 
   test("batched serve honors tombstones exactly like the per-call path") {

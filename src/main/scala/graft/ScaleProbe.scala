@@ -176,8 +176,13 @@ object ScaleProbe {
           .embed(docs.select(col("doc_id"), col("text")), "text", "embedding",
             SparkEntry.EmbedFixtureModelId)
           .select(col("doc_id").as("vec_id"), col("embedding"))
+        // cells ∝ corpus (the repo's own IVF rule): the fixture's 8 cells
+        // are right for the sf dirs' thousands of vectors but at 600k the
+        // 8-cell index makes every probe scan 3/8 of the corpus — the
+        // batch-512 hot-load run OOM'd on exactly that before this scaled
+        val nCells = math.max(8L, vecs.count() / 5000L).toInt
         graft.similarity.IndexStore.writeIvfPqIndex(
-          vecs, ad, nCells = 8, m = 2, kCent = 8)
+          vecs, ad, nCells = nCells, m = 2, kCent = 8)
         (bd, ad)
       }
     val hybridPool = Vector("spark", "join", "window", "scan", "filter", "sort",

@@ -111,7 +111,7 @@ object Bench {
         else {
           val start = qKey.get.end
           val body = txt.substring(start, txt.indexOf('}', start))
-          """"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r
+          """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r
             .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }

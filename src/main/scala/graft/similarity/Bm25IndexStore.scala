@@ -328,15 +328,38 @@ object Bm25IndexStore {
   private def idfOf(nDocs: Long, df: Long): Double =
     math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
 
+  /** `pruneDf` sentinel (round 19): derive the MaxScore threshold from
+    * the index's own persisted stats — `max(1, nDocs/10)`, the
+    * measured-good value from the r18 Zipf study (SCALING.md). The r18
+    * knob was opt-in, which left the measured 22× hot-term serving
+    * cliff armed for any caller who hadn't read SCALING.md; the
+    * admission proof + unpruned fallback already guarantee bitwise-
+    * identical results, so the default can engage pruning with zero
+    * result risk — it is purely a cost bound. Explicit positive values
+    * override; `Long.MaxValue` disables pruning outright (the round-17
+    * plan, byte for byte). */
+  val PruneDfAuto: Long = -1L
+
+  /** `max(1, …)` keeps the resolved threshold positive on tiny corpora
+    * (nDocs < 10 would derive 0, classifying a df=0 unmatched term as
+    * hot — ADVICE r18). */
+  private[similarity] def resolvePruneDf(pruneDf: Long, nDocs: Long): Long = {
+    require(pruneDf == PruneDfAuto || pruneDf > 0L,
+      s"pruneDf must be positive, PruneDfAuto (-1) or Long.MaxValue — got $pruneDf")
+    if (pruneDf == PruneDfAuto) math.max(1L, nDocs / 10L) else pruneDf
+  }
+
   /** Serve one BM25 query from the persisted index. Same parameters and
     * same score/tie/round contract as [[Bm25.search]]; reads ≤ |terms|
     * posting buckets (static partition pruning) + the one-row stats
     * artifact (or doclens net of tombstones while takedowns are
-    * pending).    * `pruneDf` (round 18): the per-call arm of the batched serve's
-   * exact MaxScore pruning — identical contract and proof (see
-   * [[serveBm25TopKBatch]]); results bitwise the unpruned serve's,
-   * default disabled.
-   */
+    * pending).
+    *
+    * `pruneDf` (round 18): the per-call arm of the batched serve's
+    * exact MaxScore pruning — identical contract and proof (see
+    * [[serveBm25TopKBatch]]); results bitwise the unpruned serve's.
+    * Defaults to [[PruneDfAuto]] (round 19): the threshold derives from
+    * the index's own stats, `Long.MaxValue` disables. */
   def serveBm25TopK(
       spark: SparkSession,
       path: String,
@@ -345,7 +368,7 @@ object Bm25IndexStore {
       k1: Double = 1.2,
       b: Double = 0.75,
       roundTo: Int = -1,
-      pruneDf: Long = Long.MaxValue): DataFrame = {
+      pruneDf: Long = PruneDfAuto): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, "query terms must be distinct")
     val m = readMeta(spark, path)
@@ -362,6 +385,7 @@ object Bm25IndexStore {
     val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
     val (nDocs, avgdl) = corpusConstants(spark, path, tomb)
+    val effPrune = resolvePruneDf(pruneDf, nDocs)
 
     // df(t): ≤ |terms| rows to the driver — the same bounded barrier
     // class as the in-session operator's one-row constants aggregate.
@@ -404,8 +428,8 @@ object Bm25IndexStore {
     // term; the hot terms' tfs ride the SAME pivot restricted to those
     // docs, so candidate scores are bitwise the unpruned plan's, and
     // the result is accepted only when no pruned-only doc can enter it
-    val hot = terms.filter(t => dfs.getOrElse(t, 0L) > pruneDf)
-    val ess = terms.filterNot(t => dfs.getOrElse(t, 0L) > pruneDf)
+    val hot = terms.filter(t => dfs.getOrElse(t, 0L) > effPrune)
+    val ess = terms.filterNot(t => dfs.getOrElse(t, 0L) > effPrune)
     if (hot.isEmpty || ess.isEmpty ||
         ess.map(t => dfs.getOrElse(t, 0L)).sum < k)
       return cut(hits)
@@ -416,7 +440,7 @@ object Bm25IndexStore {
       .localCheckpoint(true)
     val rows = topk.select(col("score")).collect()
     val margin = if (roundTo >= 0) math.pow(10.0, -roundTo) else 1e-9
-    val ubSum = hot.map(t => idfOf(nDocs, dfs(t)) * (k1 + 1.0)).sum
+    val ubSum = hot.map(t => idfOf(nDocs, dfs.getOrElse(t, 0L)) * (k1 + 1.0)).sum
     if (rows.length == k && rows.map(_.getDouble(0)).min - ubSum > margin) topk
     else cut(hits) // proof failed: the unpruned plan, bit for bit
   }
@@ -492,10 +516,15 @@ object Bm25IndexStore {
     * sum). Queries failing the proof — and queries with no hot or no
     * essential terms — fall back to the unpruned plan, so results are
     * ALWAYS bitwise the unpruned serve's (spec-pinned), and the knob
-    * is purely a cost bound. Default `Long.MaxValue` = disabled, plan
-    * byte-identical to round 17's. Driver traffic stays
-    * query-proportional: the routing adds one (query, term) collect
-    * and one per-query (count, kth) collect, both ≤ |batch| scale. */
+    * is purely a cost bound. Defaults to [[PruneDfAuto]] (round 19):
+    * the threshold derives from the index's own persisted stats as
+    * `max(1, nDocs/10)` — the measured-good value from the r18 Zipf
+    * study — so a stopword-bearing production query log is protected
+    * with zero caller configuration. Explicit positive values
+    * override; `Long.MaxValue` disables (the round-17 plan, byte for
+    * byte). Driver traffic stays query-proportional: the routing adds
+    * one (query, term) collect and one per-query (count, kth) collect,
+    * both ≤ |batch| scale. */
   def serveBm25TopKBatch(
       queries: DataFrame,
       path: String,
@@ -505,7 +534,7 @@ object Bm25IndexStore {
       k1: Double = 1.2,
       b: Double = 0.75,
       roundTo: Int = -1,
-      pruneDf: Long = Long.MaxValue): DataFrame = {
+      pruneDf: Long = PruneDfAuto): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val m = readMeta(spark, path)
@@ -542,6 +571,7 @@ object Bm25IndexStore {
     val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
 
     val (nDocs, avgdl) = corpusConstants(spark, path, tomb)
+    val effPrune = resolvePruneDf(pruneDf, nDocs)
 
     // df(t) once for the whole batch (terms shared across queries pay
     // it once), idf on the driver for bit-parity with the per-call
@@ -585,7 +615,7 @@ object Bm25IndexStore {
       .join(broadcast(qterms), Seq("token"))
       .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
 
-    val hotTokens = dfRows.collect { case (t, df) if df > pruneDf => t }.toSet
+    val hotTokens = dfRows.collect { case (t, df) if df > effPrune => t }.toSet
     if (hotTokens.isEmpty) return scoreAndCut(fullScored)
 
     // ---- MaxScore routing (see the scaladoc's exactness proof) ----
@@ -659,7 +689,12 @@ object Bm25IndexStore {
     else served.unionByName(
       serveBm25TopKBatch(
         q.filter(col(queryIdCol).isin(fbIds.toSeq: _*)),
-        path, queryIdCol, termsCol, k, k1, b, roundTo))
+        path, queryIdCol, termsCol, k, k1, b, roundTo,
+        // the unpruned plan, EXPLICITLY disabled: with pruning defaulted
+        // on (PruneDfAuto, round 19), inheriting the default here would
+        // re-route the failed-proof queries through the same doomed
+        // routing forever instead of terminating in one recursion
+        pruneDf = Long.MaxValue))
   }
 
   /** Fold pending tombstones into postings and doclens physically,

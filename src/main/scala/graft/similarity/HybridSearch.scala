@@ -138,7 +138,7 @@ object HybridSearch {
       rrfK: Int = 60,
       roundTo: Int = 6,
       nProbe: Int = 3,
-      bm25PruneDf: Long = Long.MaxValue): DataFrame = {
+      bm25PruneDf: Long = Bm25IndexStore.PruneDfAuto): DataFrame = {
     import spark.implicits._
     val lexServed =
       Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK, roundTo = roundTo,
@@ -215,7 +215,9 @@ object HybridSearch {
     * `bm25PruneDf` passes through to the lexical serve's exact MaxScore
     * pruning ([[Bm25IndexStore.serveBm25TopKBatch]]) — rows identical
     * either way, cost bounded when the query log carries stopword-class
-    * terms. */
+    * terms. Defaults to the store's stats-derived auto threshold
+    * ([[Bm25IndexStore.PruneDfAuto]], round 19); `Long.MaxValue`
+    * disables. */
   def rrfServedBatch(
       queries: DataFrame,
       bm25Dir: String,
@@ -229,7 +231,7 @@ object HybridSearch {
       rrfK: Int = 60,
       roundTo: Int = 6,
       nProbe: Int = 3,
-      bm25PruneDf: Long = Long.MaxValue): DataFrame = {
+      bm25PruneDf: Long = Bm25IndexStore.PruneDfAuto): DataFrame = {
     val spark = queries.sparkSession
     // one evaluation of the caller's plan, shared by all three consumers
     // (see the scaladoc's correctness note)

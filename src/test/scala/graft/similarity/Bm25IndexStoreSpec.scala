@@ -141,6 +141,55 @@ class Bm25IndexStoreSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     for (terms <- Seq(Seq("the", "w1"), Seq("the"), Seq("the", "zzz_nope")))
       assert(one(terms, 30L) == one(terms, Long.MaxValue), s"per-call diverged on $terms")
+
+    // round 19: the AUTO default (pruneDf omitted) derives max(1,
+    // nDocs/10) = 6 from this index's stats, so every term here (df
+    // 10-60) classifies hot and each query takes the all-hot fallback —
+    // bitwise the disabled serve with zero caller configuration
+    assert(rows(Bm25IndexStore.PruneDfAuto) == unpruned)
+  }
+
+  test("PruneDfAuto default: stats-derived threshold, pruned-path routing, bitwise parity") {
+    import spark.implicits._
+    // the derivation itself, spec-pinned (the serve is bitwise-invariant
+    // by contract, so parity alone cannot show which threshold engaged)
+    assert(Bm25IndexStore.resolvePruneDf(Bm25IndexStore.PruneDfAuto, 120L) == 12L)
+    assert(Bm25IndexStore.resolvePruneDf(Bm25IndexStore.PruneDfAuto, 5L) == 1L) // never 0 on tiny corpora
+    assert(Bm25IndexStore.resolvePruneDf(7L, 120L) == 7L)
+    assert(Bm25IndexStore.resolvePruneDf(Long.MaxValue, 120L) == Long.MaxValue)
+    intercept[IllegalArgumentException](Bm25IndexStore.resolvePruneDf(0L, 120L))
+    intercept[IllegalArgumentException](Bm25IndexStore.resolvePruneDf(-2L, 120L))
+
+    // 120 docs: 'the' df=120 > 12 (hot under auto), topic words df=10
+    // (essential) — the ZERO-CONFIG batched serve routes the MaxScore
+    // candidate path (the explicit-threshold test above pins routing
+    // mechanics; this pins that auto lands on the same split) and stays
+    // bitwise the disabled serve
+    val syn = (0L until 120L).map(i => (i, s"the w${i % 12} filler$i the tail")).toDF("doc_id", "text")
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-bm25-auto-").toString
+      Bm25IndexStore.writeBm25Index(syn, d, "text", "doc_id", nBuckets = 16)
+      d
+    }
+    val batch = Seq(
+      (1L, Seq("the", "w1")),
+      (2L, Seq("the")),
+      (3L, Seq("w2", "w3")),
+      (4L, Seq("the", "w4", "w5"))
+    ).toDF("query_id", "terms")
+    def rows(pruneDf: Long) = Bm25IndexStore
+      .serveBm25TopKBatch(batch, dir, k = 3, roundTo = 6, pruneDf = pruneDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val auto = rows(Bm25IndexStore.PruneDfAuto)
+    val off = rows(Long.MaxValue)
+    val explicit = rows(12L) // what auto should resolve to here
+    assert(auto == off, s"auto default diverged:\n$auto\nvs\n$off")
+    assert(explicit == off)
+    // per-call agrees under its auto default too
+    val pc = Bm25IndexStore.serveBm25TopK(spark, dir, Seq("the", "w1"), k = 3, roundTo = 6)
+      .collect().map(r => (1L, r.getLong(0), r.getDouble(1))).toSeq
+    assert(auto.filter(_._1 == 1L) == pc)
   }
 
   test("batched serve honors tombstones exactly like the per-call path") {

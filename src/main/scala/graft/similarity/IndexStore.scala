@@ -208,13 +208,44 @@ object IndexStore {
     * probes nProbe cells, and the cell-keyed broadcast join lets
     * dynamic partition pruning drop every unprobed cell directory from
     * the scan: at 100 TB the query reads nProbe/nCells of the index,
-    * not all of it. */
+    * not all of it.
+    *
+    * `nCells` defaults to [[CellsAuto]] (round 19): the cell count
+    * derives from the training corpus size as
+    * `max(8, ceil(n / TargetCellRows))` — the repo's own documented
+    * `cells ∝ corpus` rule (SCALING.md: the r18 batch-512 hybrid probe
+    * OOM'd against an 8-cell 600k-vector index until its fixture
+    * followed exactly this rule, and the production failure mode of an
+    * under-celling is executor OOM at serve time, not latency). An
+    * explicit cell count still wins, but one whose expected
+    * rows-per-cell exceeds [[MaxRowsPerCellWarn]] gets a loud stderr
+    * warning at build time — the moment the mistake is cheap to fix. */
+  /** `nCells` sentinel: derive the cell count from the training corpus
+    * size (see [[writeIvfPqIndex]]). */
+  val CellsAuto: Int = -1
+  /** The constant-cell-size target behind [[CellsAuto]]: ~5k vectors
+    * per inverted list keeps a probed cell's materialization bounded at
+    * any corpus size (the documented SCALING.md rule the r18 OOM
+    * validated the hard way). */
+  val TargetCellRows: Long = 5000L
+  /** Expected-rows-per-cell bound above which an EXPLICIT cell count
+    * draws a build-time warning. 50k = 10× the auto target: room for
+    * deliberate coarse indexes, loud for the 75k-rows/cell shape that
+    * OOM'd the r18 probe. */
+  val MaxRowsPerCellWarn: Long = 50000L
+
+  /** The [[CellsAuto]] derivation, exposed for the spec: ceil-division
+    * so the last partial cell never silently fattens the others, floored
+    * at the historical default of 8. */
+  private[similarity] def derivedCells(n: Long): Int =
+    math.max(8L, (n + TargetCellRows - 1L) / TargetCellRows).toInt
+
   def writeIvfPqIndex(
       corpus: DataFrame,
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nCells: Int = 8,
+      nCells: Int = CellsAuto,
       m: Int = 8,
       kCent: Int = 16,
       seed: Long = 42L,
@@ -223,9 +254,26 @@ object IndexStore {
       residCodebooks: Array[Array[Array[Float]]] = null): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(nCells == CellsAuto || nCells > 0,
+      s"writeIvfPqIndex: nCells must be positive or CellsAuto (-1) — got $nCells")
     val cents =
       if (coarseCentroids != null) coarseCentroids
-      else Similarity.trainedCentroids(corpus, idCol, vecCol, nCells, seed, sampleSize)
+      else {
+        // the training path counts the corpus once (one aggregate over an
+        // input the trainer samples anyway) to derive/validate the cell
+        // count; callers handing in trained centroids fixed their cell
+        // geometry when they trained — no count, plan unchanged
+        val n = corpus.count()
+        val cells = if (nCells == CellsAuto) derivedCells(n) else nCells
+        if (n / math.max(cells, 1) > MaxRowsPerCellWarn)
+          System.err.println(
+            s"[IndexStore] writeIvfPqIndex: ~${n / math.max(cells, 1)} rows/cell at " +
+              s"nCells=$cells over $n vectors exceeds $MaxRowsPerCellWarn — an " +
+              "under-celled index makes every probe materialize nProbe/nCells of " +
+              "the corpus (the r18 batch-512 probe OOM'd on exactly this); pass " +
+              "CellsAuto or grow nCells toward n/" + TargetCellRows)
+        Similarity.trainedCentroids(corpus, idCol, vecCol, cells, seed, sampleSize)
+      }
     val cbs =
       if (residCodebooks != null) residCodebooks
       else IvfPq.trainedResidualCodebooks(corpus, cents, idCol, vecCol, m, kCent, seed, sampleSize)

@@ -22,6 +22,36 @@ class IndexStoreSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("CellsAuto derives the cell count from the corpus (cells ∝ corpus, floor 8)") {
+    // the derivation, spec-pinned: ceil(n / TargetCellRows) floored at
+    // the historical default of 8 — the documented SCALING.md rule the
+    // r18 batch-512 probe OOM validated (8 cells over 600k vectors)
+    assert(IndexStore.derivedCells(0L) == 8)
+    assert(IndexStore.derivedCells(2000L) == 8)     // sf0.01 embeddings: unchanged geometry
+    assert(IndexStore.derivedCells(40000L) == 8)    // the floor's edge
+    assert(IndexStore.derivedCells(40001L) == 9)    // ceil, not floor
+    assert(IndexStore.derivedCells(100000L) == 20)
+    assert(IndexStore.derivedCells(600000L) == 120) // the r18 probe corpus
+    intercept[IllegalArgumentException] {
+      IndexStore.writeIvfPqIndex(corpus(10, 8, 1L),
+        java.nio.file.Files.createTempDirectory("graft-ivf-auto-bad-").toString, nCells = 0)
+    }
+
+    // end-to-end: the zero-config build lands derivedCells(n) coarse
+    // centroids and serves identically to the same-geometry explicit build
+    val df = corpus(300, 16, seed = 23L)
+    val auto = java.nio.file.Files.createTempDirectory("graft-ivf-auto-").toString
+    IndexStore.writeIvfPqIndex(df, auto, m = 4, kCent = 8, seed = 7L, sampleSize = 300)
+    val explicit = java.nio.file.Files.createTempDirectory("graft-ivf-expl-").toString
+    IndexStore.writeIvfPqIndex(df, explicit, nCells = 8, m = 4, kCent = 8, seed = 7L,
+      sampleSize = 300)
+    assert(spark.read.parquet(s"$auto/coarse").count() == IndexStore.derivedCells(300L))
+    val q = df.filter($"vec_id" < 3)
+    def serve(d: String) = IndexStore.serveIvfPqTopK(q, d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serve(auto) == serve(explicit) && serve(auto).nonEmpty)
+  }
+
   test("served top-k equals the in-session ADC+rerank pipeline exactly") {
     val df = corpus(300, 16, seed = 11L)
     val queries = df.filter($"vec_id" < 4)

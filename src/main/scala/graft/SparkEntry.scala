@@ -740,6 +740,29 @@ object SparkEntry {
       d
     })
 
+  /** The takedown index compacted TWICE under `graceVersions = 2`
+    * (round 19): retention is count-based, so the SECOND cycle is what
+    * separates the knob from the default — under graceVersions=1 the
+    * superseded legacy tree ("version 0") is GC'd on cycle two, under 2
+    * it survives both (ArtifactTree.compact's gcCeiling arithmetic).
+    * Probes must be bit-identical to the single default compaction
+    * (shares q_dedup_index_compacted's oracle): retention changes what
+    * superseded trees remain on disk, never what the resolved current
+    * version serves. */
+  private val dedupGraceIndexRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupGraceIndexDirFor(s: SparkSession, dir: String): String =
+    dedupGraceIndexRoots.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dedup-index-grace-").toString
+      copyTree(dedupDeletedIndexDirFor(s, dir), d)
+      graft.dedup.DedupIndexStore.compactDedupIndex(s, d, graceVersions = 2)
+      graft.dedup.DedupIndexStore.compactDedupIndex(s, d, graceVersions = 2)
+      // the knob's disk-side observable, asserted at build so the oracle
+      // query can't silently degrade into a rerun of the default fixture
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(d, "signatures")),
+        "graceVersions=2 failed to retain the version-0 signatures tree across two cycles")
+      d
+    })
+
   /** The dedup index with a takedown applied: one-shot build over the
     * %3≠0 corpus, then doc_id%5==1 tombstoned out — the delete is
     * logical (tombstones artifact), so probes must exclude those ids
@@ -2337,6 +2360,19 @@ ORDER BY doc_id, token""")
         .probeDedupIndex(
           tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
           dedupCompactedIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("id_new", "id_indexed")),
+
+    // ...and compacted twice under graceVersions=2 (round 19): the
+    // count-based retention keeps BOTH superseded trees on disk (the
+    // builder asserts it) while the resolved current version must serve
+    // pairs bit-identical to the single default compaction — retention
+    // is an ops knob, invisible in results, under the DuckDB gate
+    "q_dedup_index_compact_grace" -> ((s, dir) =>
+      graft.dedup.DedupIndexStore
+        .probeDedupIndex(
+          tbl(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+          dedupGraceIndexDirFor(s, dir), "text", "doc_id", threshold = 0.125)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("id_new", "id_indexed")),
 
@@ -5799,6 +5835,9 @@ FROM c ORDER BY doc_id""",
     "q_dedup_index_append" -> dedupIndexProbeSql,
     "q_dedup_index_delete" -> dedupIndexProbeSqlWith(" AND i.doc_id % 5 <> 1"),
     "q_dedup_index_compacted" -> dedupIndexProbeSqlWith(
+      " AND i.doc_id % 5 <> 1", bszFilter = " AND doc_id % 5 <> 1"),
+    // grace-retention compaction serves the same resolved tree
+    "q_dedup_index_compact_grace" -> dedupIndexProbeSqlWith(
       " AND i.doc_id % 5 <> 1", bszFilter = " AND doc_id % 5 <> 1"),
     // the diff-gated probe: only the delivery's fresh (%5==2) docs
     // probe; the snapshot-diff gate itself is oracle-pinned in

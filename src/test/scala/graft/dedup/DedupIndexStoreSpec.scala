@@ -190,6 +190,38 @@ class DedupIndexStoreSpec extends SparkSpec {
     assert(probeSet(probes, path) == full)
   }
 
+  test("compaction under graceVersions=2 serves identically while superseded trees survive") {
+    val indexed = docs.filter($"doc_id" % 3 =!= 0)
+    val probes = docs.filter($"doc_id" % 3 === 0)
+    def deletedCopy(): String = {
+      val p = tmp("graft-dedupidx-grace-")
+      buildCfg(indexed, p)
+      DedupIndexStore.deleteFromDedupIndex(
+        indexed.filter($"doc_id" % 5 === 1).select("doc_id"), p)
+      p
+    }
+    // default retention, two cycles: the version-0 plain trees are GC'd
+    // on cycle two (gcCeiling reaches 0)
+    val dflt = deletedCopy()
+    DedupIndexStore.compactDedupIndex(spark, dflt)
+    DedupIndexStore.compactDedupIndex(spark, dflt)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dflt, "signatures")),
+      "default retention should GC the version-0 tree on the second cycle")
+    // graceVersions=2, two cycles: BOTH superseded versions retained —
+    // the version-0 plain tree and __v1 — while probes stay bit-identical
+    val grace = deletedCopy()
+    DedupIndexStore.compactDedupIndex(spark, grace, graceVersions = 2)
+    DedupIndexStore.compactDedupIndex(spark, grace, graceVersions = 2)
+    for (sub <- Seq("signatures", "bands")) {
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(grace, sub)),
+        s"graceVersions=2 lost the version-0 $sub tree")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(grace, s"${sub}__v1")),
+        s"graceVersions=2 lost the superseded $sub __v1 tree")
+    }
+    assert(probeSet(probes, grace) == probeSet(probes, dflt),
+      "retention changed the served probe result")
+  }
+
   test("deletes do not resurrect an over-cap bucket until compaction reclaims it") {
     // the cap bounds probe COST: physical rows in a bucket are what the
     // probe must enumerate, so tombstoned members keep counting until a

@@ -105,7 +105,17 @@ object TopicModeling {
         * collected to the driver. Corpora at or below it take the exact
         * collect-reduce-cluster path; above it, fit-on-sample +
         * distributed projection (see the object scaladoc). */
-      maxDriverChunks: Int = 100000)
+      maxDriverChunks: Int = 100000,
+      /** Opt-in (round 19): when the collapsed-structure advisory fires
+        * ([[StructureAdvisoryStage]] — the sampled fit returned ≤ 2
+        * topics for a corpus ≥ 10× the sample cap), re-run the sampled
+        * fit ONCE with the advisory's own recommended knobs
+        * (`reduceDims ≥ 10`, a 10×-cap sample bounded by the corpus) and
+        * use that fit. Bounded to one retry; both attempts' timings land
+        * in `stage_timings_ms` (the retry under `*_retry` stage names).
+        * Off by default: the retry re-collects a 10× sample to the
+        * driver, a cost the caller must opt into. */
+      autoRecoverStructure: Boolean = false)
 
   /** The collapsed-structure advisory stage (round 18). SCALING.md's
     * 100×-cliff study measured a TWO-knob recovery rule — when hundreds
@@ -292,63 +302,86 @@ object TopicModeling {
           //     the corpus. xxhash64 order is content-independent (uniform
           //     over chunks) and (doc_id, chunk_idx) breaks ties totally.
           val cap = cfg.maxDriverChunks
-          val sampled = timed("embedding") {
-            sampleFrame(embedded, cap)
-              .as[(Long, Int, Seq[Float])]
-              .collect()
-              .sortBy(t => (t._1, t._2))
-          }
-          val sampleMatrix = sampled.map(_._3.toArray)
-
-          // 4'. fit on the sample: PCA basis (first two components double as
-          //     the 2-D coordinates, same slicing argument as the exact path),
-          //     then cluster the reduced sample and freeze each cluster as
-          //     (centroid, max-member radius) in the reduced space.
-          val kFit = math.max(2, cfg.reduceDims)
-          val (basis, reducedSample) = timed("reduce_clustering") {
-            val b = Reduce.fit(sampleMatrix, kFit, cfg.seed)
-            (b, sampleMatrix.map(b.project))
-          }
-          val model = timed("hdbscan") {
-            val clusterDims = math.min(math.max(cfg.reduceDims, 1), basis.k)
-            val clusterInput =
-              if (clusterDims == basis.k) reducedSample else reducedSample.map(_.take(clusterDims))
-            val result = Cluster.cluster(clusterInput, cfg.cluster)
-            val sums = Array.fill(result.nTopics)(new Array[Double](clusterDims))
-            val cnts = new Array[Int](result.nTopics)
-            var i = 0
-            while (i < clusterInput.length) {
-              val l = result.labels(i)
-              if (l >= 0) {
-                val s = sums(l); val p = clusterInput(i)
-                var j = 0
-                while (j < clusterDims) { s(j) += p(j); j += 1 }
-                cnts(l) += 1
-              }
-              i += 1
+          // 4'. ONE fit attempt: sample-collect, PCA basis fit (first two
+          //     components double as the 2-D coordinates, same slicing
+          //     argument as the exact path), cluster the reduced sample,
+          //     freeze each cluster as (centroid, max-member radius) in
+          //     the reduced space. Parameterized (round 19) so the opt-in
+          //     structure recovery below can re-run it ONCE with the
+          //     advisory's recommended knobs; `suffix` keeps the retry's
+          //     stage timings separate from the first attempt's.
+          def fitAttempt(capN: Int, dimsN: Int, suffix: String)
+              : (Array[(Long, Int, Seq[Float])], Array[Array[Float]], ChunkAssignModel) = {
+            val sampledN = timed("embedding" + suffix) {
+              sampleFrame(embedded, capN)
+                .as[(Long, Int, Seq[Float])]
+                .collect()
+                .sortBy(t => (t._1, t._2))
             }
-            val centroids = sums.zip(cnts).map { case (s, c) => s.map(_ / math.max(c, 1)) }
-            val radii = new Array[Double](result.nTopics)
-            i = 0
-            while (i < clusterInput.length) {
-              val l = result.labels(i)
-              if (l >= 0) {
-                val ctr = centroids(l); val p = clusterInput(i)
-                var s = 0.0; var j = 0
-                while (j < clusterDims) { val d = p(j) - ctr(j); s += d * d; j += 1 }
-                val dist = math.sqrt(s)
-                if (dist > radii(l)) radii(l) = dist
-              }
-              i += 1
+            val sampleMatrix = sampledN.map(_._3.toArray)
+            val kFit = math.max(2, dimsN)
+            val (basis, reducedSampleN) = timed("reduce_clustering" + suffix) {
+              val b = Reduce.fit(sampleMatrix, kFit, cfg.seed)
+              (b, sampleMatrix.map(b.project))
             }
-            ChunkAssignModel(basis, clusterDims, centroids, radii)
+            val modelN = timed("hdbscan" + suffix) {
+              val clusterDims = math.min(math.max(dimsN, 1), basis.k)
+              val clusterInput =
+                if (clusterDims == basis.k) reducedSampleN
+                else reducedSampleN.map(_.take(clusterDims))
+              val result = Cluster.cluster(clusterInput, cfg.cluster)
+              val sums = Array.fill(result.nTopics)(new Array[Double](clusterDims))
+              val cnts = new Array[Int](result.nTopics)
+              var i = 0
+              while (i < clusterInput.length) {
+                val l = result.labels(i)
+                if (l >= 0) {
+                  val s = sums(l); val p = clusterInput(i)
+                  var j = 0
+                  while (j < clusterDims) { s(j) += p(j); j += 1 }
+                  cnts(l) += 1
+                }
+                i += 1
+              }
+              val centroids = sums.zip(cnts).map { case (s, c) => s.map(_ / math.max(c, 1)) }
+              val radii = new Array[Double](result.nTopics)
+              i = 0
+              while (i < clusterInput.length) {
+                val l = result.labels(i)
+                if (l >= 0) {
+                  val ctr = centroids(l); val p = clusterInput(i)
+                  var s = 0.0; var j = 0
+                  while (j < clusterDims) { val d = p(j) - ctr(j); s += d * d; j += 1 }
+                  val dist = math.sqrt(s)
+                  if (dist > radii(l)) radii(l) = dist
+                }
+                i += 1
+              }
+              ChunkAssignModel(basis, clusterDims, centroids, radii)
+            }
+            (sampledN, reducedSampleN, modelN)
           }
-          val nT = model.centroids.length
+          var fit = fitAttempt(cap, cfg.reduceDims, "")
           // collapsed-structure hint (see [[StructureAdvisoryStage]]):
           // appended at the detection point, so it sits right after the
           // hdbscan stage whose result it qualifies
-          if (nT <= 2 && nChunksTotal >= 10L * cap)
+          if (fit._3.centroids.length <= 2 && nChunksTotal >= 10L * cap) {
             timings += StructureAdvisoryStage -> 0.0
+            // opt-in recovery (round 19): turn the advisory's own two
+            // knobs — the measured SCALING.md rule: reduceDims ≥ 10 AND a
+            // larger sample (10× the cap, the advisory's detection ratio,
+            // capped at the corpus) — and refit ONCE. Both attempts'
+            // timings ride stage_timings_ms (`*_retry` stages); a corpus
+            // that is genuinely 2 topics just confirms itself at the
+            // bigger sample, which is exactly the advisory's documented
+            // "cheap confirmation re-run".
+            if (cfg.autoRecoverStructure)
+              fit = fitAttempt(
+                math.min(nChunksTotal, 10L * cap).toInt,
+                math.max(cfg.reduceDims, 10), "_retry")
+          }
+          val (sampled, reducedSample, model) = fit
+          val nT = model.centroids.length
 
           // 5'. broadcast the fit; project + assign EVERY chunk distributed
           //     (elementwise matrix-vector per row — no shuffle), then cut

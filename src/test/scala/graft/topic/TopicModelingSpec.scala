@@ -400,6 +400,58 @@ class TopicModelingSpec extends SparkSpec {
     assert(!exact.stageTimings.map(_._1).contains(TopicModeling.StructureAdvisoryStage))
   }
 
+  test("autoRecoverStructure: one bounded retry recovers structure on the collapsed regime only") {
+    // 10 disjoint-vocabulary groups × 60 one-chunk docs over a cap of 16:
+    // the first fit sees ~1.6 sample points per group and collapses (the
+    // advisory's exact trigger), while the corpus genuinely holds 10
+    // topics — the recoverable half of the advisory's ambiguity
+    val vocab = Seq(
+      "astronomy telescope galaxy nebula orbit stellar",
+      "recipe flour oven butter sugar pastry",
+      "football stadium referee goalkeeper tournament league",
+      "violin orchestra concerto symphony maestro sonata",
+      "glacier tundra permafrost fjord arctic moraine",
+      "senate ballot legislature parliament statute veto",
+      "enzyme protein ribosome mitochondria chromosome peptide",
+      "turbine piston crankshaft carburetor axle gearbox",
+      "sonnet metaphor stanza allegory prosody couplet",
+      "ledger audit dividend liability equity invoice")
+    val docs = (0 until 600).map { i =>
+      val g = i % 10
+      (i.toLong, 0, s"${vocab(g)} anchor${g}x anchor${g}y word$i")
+    }.toDF("doc_id", "corpus", "text")
+    val cfgBase = TopicModeling.Config(
+      cluster = Cluster.Config(minClusterSize = 4), maxDriverChunks = 16)
+
+    // without recovery: collapsed fit + advisory, no *_retry stages
+    val collapsed = TopicModeling.run(docs, "text", "doc_id", Some("corpus"), cfgBase)
+    assert(collapsed.nTopics <= 2, s"fixture no longer collapses: ${collapsed.nTopics}")
+    assert(collapsed.stageTimings.map(_._1).contains(TopicModeling.StructureAdvisoryStage))
+    assert(!collapsed.stageTimings.map(_._1).exists(_.endsWith("_retry")))
+
+    // with recovery: the retry refits at a 10×-cap sample with
+    // reduceDims >= 10 and must recover the group structure
+    val recovered = TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+      cfgBase.copy(autoRecoverStructure = true))
+    assert(recovered.nTopics >= 5,
+      s"recovery found only ${recovered.nTopics} topics for a 10-group corpus")
+    val stages = recovered.stageTimings.map(_._1)
+    assert(stages.contains(TopicModeling.StructureAdvisoryStage))
+    for (st <- Seq("embedding_retry", "reduce_clustering_retry", "hdbscan_retry"))
+      assert(stages.contains(st), s"$st missing from $stages")
+    // the retry sits AFTER the advisory it answers, exactly once
+    assert(stages.indexOf("embedding_retry") >
+      stages.indexOf(TopicModeling.StructureAdvisoryStage))
+    assert(stages.count(_ == "hdbscan_retry") == 1)
+
+    // over-cap but NOT collapsed-regime (600 chunks / cap 100 = 6x < 10x):
+    // opt-in recovery must stay silent — no advisory, no retry
+    val calm = TopicModeling.run(docs, "text", "doc_id", Some("corpus"),
+      cfgBase.copy(maxDriverChunks = 100, autoRecoverStructure = true))
+    assert(!calm.stageTimings.map(_._1).contains(TopicModeling.StructureAdvisoryStage))
+    assert(!calm.stageTimings.map(_._1).exists(_.endsWith("_retry")))
+  }
+
   test("over-cap path is deterministic across runs") {
     val docs = corpus().toDF("doc_id", "corpus", "text")
     val cfg = TopicModeling.Config(

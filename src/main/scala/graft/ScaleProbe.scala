@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe <dir> <nCells> [passes]
   *        runMain graft.ScaleProbe <dir> minhash_fused|minhash_join [passes]
+  *        runMain graft.ScaleProbe <dir> ccstar:<via>:<n>|ccstar_check:<n> [passes]
+  *          (ccstar with via=auto prints the per-round shape trace;
+  *           ccstar_check runs auto AND window on the same fixture in one
+  *           JVM and requires bitwise label identity — n ≥ ~20M puts the
+  *           hub past AutoMinViaDegreeThreshold, the r19 flip run)
   *
   * A third mode measures the persisted dedup index
   * ([[graft.dedup.DedupIndexStore]]): `dedupidx_build` times the BUILD
@@ -35,6 +40,24 @@ import org.apache.spark.sql.functions._
   * budget is "at most linear: it rewrites every surviving row once",
   * and this mode is what turns that claim into a slope. */
 object ScaleProbe {
+  /** The ccstar fixture: node 0 adjacent to every node in [1, n/2) —
+    * max symmetrized degree n/2 − 1, so n ≥ ~20M puts the hub past
+    * [[graft.dedup.Dedup.AutoMinViaDegreeThreshold]] — plus disjoint
+    * 2-node components on [n/2, n). */
+  private def starPairs(spark: SparkSession, n: Long) = {
+    val half = n / 2
+    val hub = spark.range(1, half)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val smalls = spark.range(half / 2)
+      .select((col("id") * 2 + half).as("id_a"),
+        (col("id") * 2 + half + 1).as("id_b"))
+      .filter(col("id_b") < n)
+    hub.union(smalls)
+  }
+
+  private def viaTraceJson(): String =
+    graft.dedup.Dedup.lastAutoViaTrace.map("\"" + _ + "\"").mkString(",")
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val mode = args(1)
@@ -172,17 +195,24 @@ object ScaleProbe {
         graft.similarity.Bm25IndexStore.writeBm25Index(
           docs, bd, "text", "doc_id", nBuckets = 64)
         val ad = java.nio.file.Files.createTempDirectory("graft-scale-hyann-").toString
+        // eager checkpoint: the cell-count derivation below COUNTS this
+        // frame and writeIvfPqIndex re-reads it several times (centroid
+        // sample, codebook sample, encode) — without the checkpoint the
+        // 600k-doc embed pipeline runs twice-plus just to build the
+        // fixture (ADVICE r18)
         val vecs = graft.embed.Embedders
           .embed(docs.select(col("doc_id"), col("text")), "text", "embedding",
             SparkEntry.EmbedFixtureModelId)
           .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
         // cells ∝ corpus (the repo's own IVF rule): the fixture's 8 cells
         // are right for the sf dirs' thousands of vectors but at 600k the
         // 8-cell index makes every probe scan 3/8 of the corpus — the
-        // batch-512 hot-load run OOM'd on exactly that before this scaled
-        val nCells = math.max(8L, vecs.count() / 5000L).toInt
+        // batch-512 hot-load run OOM'd on exactly that before this scaled.
+        // Round 19: the rule is the builder's DEFAULT (CellsAuto), so the
+        // fixture exercises the same derivation production callers get
         graft.similarity.IndexStore.writeIvfPqIndex(
-          vecs, ad, nCells = nCells, m = 2, kCent = 8)
+          vecs, ad, m = 2, kCent = 8)
         (bd, ad)
       }
     val hybridPool = Vector("spark", "join", "window", "scan", "filter", "sort",
@@ -388,7 +418,10 @@ object ScaleProbe {
             (col("id") * 2 + half + 1).as("id_b"))
           .filter(col("id_b") < n)
         val pairs = chain.union(extra).union(smalls)
-        graft.dedup.Dedup.connectedComponents(pairs, minVia = via).count()
+        val ccRows = graft.dedup.Dedup.connectedComponents(pairs, minVia = via).count()
+        if (via == "auto")
+          println(s"""{"mode":"$cc","auto_via_trace":[${viaTraceJson()}]}""")
+        ccRows
       case cc if cc.startsWith("ccstar:") =>
         // the maximum-skew shape: node 0 adjacent to EVERY node in
         // [1, n/2) from round one — the window shape's single fattest
@@ -396,14 +429,30 @@ object ScaleProbe {
         val parts = cc.stripPrefix("ccstar:").split(":")
         val via = parts(0)
         val n = parts(1).toLong
-        val half = n / 2
-        val hub = spark.range(1, half)
-          .select(lit(0L).as("id_a"), col("id").as("id_b"))
-        val smalls = spark.range(half / 2)
-          .select((col("id") * 2 + half).as("id_a"),
-            (col("id") * 2 + half + 1).as("id_b"))
-          .filter(col("id_b") < n)
-        graft.dedup.Dedup.connectedComponents(hub.union(smalls), minVia = via).count()
+        val rows = graft.dedup.Dedup
+          .connectedComponents(starPairs(spark, n), minVia = via).count()
+        if (via == "auto")
+          println(s"""{"mode":"$cc","auto_via_trace":[${viaTraceJson()}]}""")
+        rows
+      case cc if cc.startsWith("ccstar_check:") =>
+        // label identity auto-vs-window ON THE SAME fixture in ONE JVM —
+        // the r19 flip validation: past 10M max degree the auto probe
+        // must actually pick groupby (the trace records each round's
+        // decision) and its labels must be bitwise the window shape's
+        val n = cc.stripPrefix("ccstar_check:").toLong
+        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            org.apache.spark.sql.functions.expr("bit_xor(xxhash64(id, label))")).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        val sa = sig(graft.dedup.Dedup.connectedComponents(starPairs(spark, n), minVia = "auto"))
+        val trace = viaTraceJson()
+        val sw = sig(graft.dedup.Dedup.connectedComponents(starPairs(spark, n), minVia = "window"))
+        println(s"""{"mode":"$cc","auto_sig":[${sa._1},${sa._2}],""" +
+          s""""window_sig":[${sw._1},${sw._2}],"auto_via_trace":[$trace],""" +
+          s""""labels_equal":${sa == sw}}""")
+        require(sa == sw, s"auto labels diverged from window: $sa vs $sw")
+        sa._1
       case "snapshot_diff" =>
         // change detection between two deliveries derived from the
         // dir's corpus (the q_snapshot_diff split rules) — hash-only

@@ -672,9 +672,10 @@ object Dedup {
     *     deciding statistic itself — the max symmetrized degree of the
     *     current edge set, one `groupBy(node).count` aggregate over the
     *     already-checkpointed blocks. Degree above
-    *     [[AutoMinViaDegreeThreshold]] (10M — set 10× under the
-    *     projected ~100M-edge crossover, so the switch errs toward the
-    *     spill-free shape) picks `groupby`, otherwise `window`. The
+    *     [[AutoMinViaDegreeThreshold]] (50M since round 19 — re-set
+    *     from the flip measurement, which found window faster AND more
+    *     heap-robust through 30M degree; see the val's scaladoc) picks
+    *     `groupby`, otherwise `window`. The
     *     probe only RUNS while the edge count (free — it rides the
     *     convergence signature) exceeds the threshold: max degree is
     *     bounded by the edge count, so below it the answer is `window`
@@ -699,15 +700,33 @@ object Dedup {
     * Throws if `maxIterations` rounds don't converge — a silent partial
     * contraction would under-merge and leak duplicates downstream. */
   /** `minVia = "auto"`'s switch point: max symmetrized degree above
-    * which a round runs the groupby shape. 10M — one order of magnitude
-    * under the projected ~100M-edge window-spill crossover
-    * (SCALING.md's r17/r18 CC studies: window measured 1.2–1.4× faster
-    * through the 1M-leaf fixture ceiling, with per-task spill bytes
-    * staying inside one task's disk bandwidth), so the auto pick stays
-    * on the measured-faster shape everywhere measurement reaches and
-    * switches to the spill-free shape well before the projected regime
-    * change. */
-  val AutoMinViaDegreeThreshold: Long = 10000000L
+    * which a round runs the groupby shape. RE-SET from 10M to 50M by the
+    * r19 flip run (SCALING.md): the r18 value sat 10× under a PROJECTED
+    * ~100M-edge window-spill crossover, and when the flip finally fired
+    * for real (12M-degree mega-star, 18M edges) the measurement
+    * contradicted the projection — window 48.5 s vs groupby 66.5 s
+    * (1.37×, window's one-task spill a bounded 0.86 GB), with the
+    * auto→groupby pick costing 90.2 s once the per-round degree probe is
+    * included; at 30M degree the window shape was the only one to
+    * COMPLETE in the probe heap (the "spill-free" groupby OOM'd — its
+    * extra exchange and join-back hold more transient memory than
+    * WindowExec's spillable buffer ever did). So the switch now sits
+    * ABOVE the measured range: window everywhere measurement reaches
+    * (where it is faster and more heap-robust), groupby retained as
+    * insurance for the true cluster regime (a ≳100M-row neighborhood in
+    * ONE window task = single-task disk-sort straggler minutes, on
+    * executors whose local disks are slower than this box's). Labels
+    * are bitwise-identical across shapes at every scale tried
+    * (ccstar_check, spec + probe). */
+  val AutoMinViaDegreeThreshold: Long = 50000000L
+
+  /** Per-round `minVia` decisions of the most recent `minVia = "auto"`
+    * [[connectedComponents]] run on this JVM — the measurement hook that
+    * lets ScaleProbe's cc modes RECORD which shape the auto probe picked
+    * each contraction round (SCALING.md r19: the flip to `groupby` is
+    * observed in a real >10M-degree run, not projected). Cleared at the
+    * start of each auto run; not part of the operator contract. */
+  @volatile private[graft] var lastAutoViaTrace: List[String] = Nil
 
   def connectedComponents(
       pairs: DataFrame,
@@ -795,11 +814,13 @@ object Dedup {
           if (md > AutoMinViaDegreeThreshold) "groupby" else "window"
         }
       }
+    if (minVia == "auto") lastAutoViaTrace = Nil
     var prevSig = (-1L, -1L)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val via = resolveVia()
+      if (minVia == "auto") lastAutoViaTrace = lastAutoViaTrace :+ via
       val next = smallStar(largeStar(e, via), via)
         .localCheckpoint(false) // lazy: the signature job below materializes it
       val sig = next

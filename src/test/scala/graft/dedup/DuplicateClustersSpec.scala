@@ -118,16 +118,20 @@ class DuplicateClustersSpec extends SparkSpec {
 
   test("auto minVia: threshold gates the shape; rejects unknown shapes") {
     // the per-round probe itself (degree > threshold -> groupby) cannot
-    // be driven end-to-end in a unit test (the threshold sits at 10M
-    // edges by design), so this pins the API surface around it: "auto"
-    // is accepted and label-identical (above), junk is rejected loudly
+    // be driven end-to-end in a unit test (the threshold sits at 50M
+    // edges by design — it DID fire for real in the r19 ScaleProbe
+    // ccstar_check run at 12M degree under the old 10M value, labels
+    // bitwise window's; the measurement then re-set the threshold, see
+    // AutoMinViaDegreeThreshold's scaladoc), so this pins the API
+    // surface around it: "auto" is accepted and label-identical
+    // (above), junk is rejected loudly
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {
       Dedup.connectedComponents(pairs, minVia = "adaptive")
     }
     assert(ex.getMessage.contains("'window' or 'auto'"))
-    assert(Dedup.AutoMinViaDegreeThreshold == 10000000L)
+    assert(Dedup.AutoMinViaDegreeThreshold == 50000000L)
   }
 
   test("survivorsByQuality keeps the argmax member, ties to smallest id, singletons untouched") {

@@ -56,7 +56,7 @@ object ScaleProbe {
   }
 
   private def viaTraceJson(): String =
-    graft.dedup.Dedup.lastAutoViaTrace.map("\"" + _ + "\"").mkString(",")
+    graft.dedup.Dedup.lastAutoViaTrace.get.map("\"" + _ + "\"").mkString(",")
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -721,12 +721,15 @@ object Dedup {
   val AutoMinViaDegreeThreshold: Long = 50000000L
 
   /** Per-round `minVia` decisions of the most recent `minVia = "auto"`
-    * [[connectedComponents]] run on this JVM — the measurement hook that
-    * lets ScaleProbe's cc modes RECORD which shape the auto probe picked
-    * each contraction round (SCALING.md r19: the flip to `groupby` is
-    * observed in a real >10M-degree run, not projected). Cleared at the
+    * [[connectedComponents]] run on the CALLING THREAD — the measurement
+    * hook that lets ScaleProbe's cc modes RECORD which shape the auto
+    * probe picked each contraction round (SCALING.md r19: the flip to
+    * `groupby` is observed in a real >10M-degree run, not projected).
+    * Thread-local (ADVICE r19: a JVM-global var let two concurrent auto
+    * runs clear and interleave each other's traces); cleared at the
     * start of each auto run; not part of the operator contract. */
-  @volatile private[graft] var lastAutoViaTrace: List[String] = Nil
+  private[graft] val lastAutoViaTrace: ThreadLocal[List[String]] =
+    ThreadLocal.withInitial(() => Nil)
 
   def connectedComponents(
       pairs: DataFrame,
@@ -814,13 +817,13 @@ object Dedup {
           if (md > AutoMinViaDegreeThreshold) "groupby" else "window"
         }
       }
-    if (minVia == "auto") lastAutoViaTrace = Nil
+    if (minVia == "auto") lastAutoViaTrace.set(Nil)
     var prevSig = (-1L, -1L)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val via = resolveVia()
-      if (minVia == "auto") lastAutoViaTrace = lastAutoViaTrace :+ via
+      if (minVia == "auto") lastAutoViaTrace.set(lastAutoViaTrace.get :+ via)
       val next = smallStar(largeStar(e, via), via)
         .localCheckpoint(false) // lazy: the signature job below materializes it
       val sig = next

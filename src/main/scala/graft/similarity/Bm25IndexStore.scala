@@ -489,12 +489,16 @@ object Bm25IndexStore {
     * remote read) should persist it first — the same no-cache-residue
     * rule documented on `probeDedupIndex`. (When the MaxScore routing
     * actually ENGAGES — some query holds both a hot and an essential
-    * term — the method localCheckpoints the query frame at that point:
-    * the routing consumes it from the driver and the fallback re-serves
-    * a filtered view, so one evaluation is a correctness requirement
-    * there, not advice. Batches with nothing to prune never pay the
-    * checkpoint job — the default path stays byte-identical to the
-    * pre-pruning serve.)
+    * term — the method localCheckpoints the query frame at that point
+    * and REBUILDS the term set, the pruned postings view, and the df/idf
+    * stats from the checkpointed frame (round 20, ADVICE r19): the
+    * routing consumes the frame from the driver and the proof admits a
+    * pruned result, so the engaged path must be ONE evaluation end to
+    * end — artifacts from a different evaluation of a nondeterministic
+    * caller plan could drop an essential term's partials yet still pass
+    * the proof. Batches with nothing to prune never pay the checkpoint
+    * job or the rebuild — the default path stays byte-identical to the
+    * pre-pruning serve, spec-pinned via [[ServeProbe]].)
     *
     * `pruneDf` — EXACT MaxScore pruning for stopword-class terms
     * (Turtle & Flood 1995, "Query evaluation: strategies and
@@ -624,29 +628,69 @@ object Bm25IndexStore {
       .join(broadcast(qterms), Seq("token"))
       .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
 
-    val hotTokens = dfRows.collect { case (t, df) if df > effPrune => t }.toSet
-    if (hotTokens.isEmpty) return scoreAndCut(fullScored)
+    val hotTokens0 = dfRows.collect { case (t, df) if df > effPrune => t }.toSet
+    if (hotTokens0.isEmpty) return scoreAndCut(fullScored)
     // vocabulary-level skip (round 19): if every batch term PRESENT in
     // the index is hot, no query can hold an essential term with df ≥ 1,
     // so the per-query filter below would reject the whole batch —
     // return the unpruned plan without paying the routing's checkpoint
     // job or its (query, term) collect. This is the shape of the oracle
     // fixtures' common-word batches under the auto default.
-    if (hotTokens.size == dfRows.length) return scoreAndCut(fullScored)
+    if (hotTokens0.size == dfRows.length) return scoreAndCut(fullScored)
 
     // ---- MaxScore routing (see the scaladoc's exactness proof) ----
-    // ONE evaluation of the caller's plan from here on: the driver map
-    // below, the essQ/hotQ broadcasts and the fallback re-serve must
-    // all see the SAME rows (a nondeterministic caller plan would
-    // otherwise route one row set and serve another)
+    // ONE evaluation of the caller's plan from here on. The guards above
+    // routed on a FIRST evaluation of `queries`; a nondeterministic
+    // caller frame could present different rows to the checkpoint below,
+    // and a token visible only to the second evaluation would be missing
+    // from the first evaluation's term-set-filtered postings — its
+    // essential partials silently absent from phase 1, yet the proof
+    // could still pass (ADVICE r19). So every artifact the proof and the
+    // serve consume from here on — bucket literals, term set, hits,
+    // df/idf, the hot/essential split — is REBUILT from the checkpointed
+    // frame: the engaged path is one evaluation end to end, and the
+    // first-evaluation artifacts above were only the routing trigger.
+    ServeProbe.routingCheckpoints.incrementAndGet()
     val q = queries.localCheckpoint(true)
     val qtermsC = q
       .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("token"))
       .distinct()
-    val idfMap = idfRows.toMap
-    val dfMap = dfRows.toMap
+    val bucketsC = qtermsC
+      .select(bucketCol(col("token"), m.nBuckets).as("b")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    if (bucketsC.isEmpty) return emptyResult
+    val termSetC = qtermsC.select("token").distinct()
+    val hitC0 = readPostings(spark, path)
+      .filter(col("tok_bucket").isin(bucketsC: _*))
+      .join(broadcast(termSetC), Seq("token"), "left_semi")
+    val hitsC = tomb.fold(hitC0)(t => hitC0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val dfRowsC = hitsC.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df")))
+    if (dfRowsC.isEmpty) return emptyResult
+    val idfRowsC = dfRowsC.map { case (t, df) => (t, idfOf(nDocs, df)) }.toSeq
+    val idfDfC = idfRowsC.toDF("token", "idf")
+    val idfMap = idfRowsC.toMap
+    val dfMap = dfRowsC.toMap
+    val hotTokens = dfRowsC.collect { case (t, df) if df > effPrune => t }.toSet
+    // the unpruned tail over the checkpointed frame's own artifacts —
+    // also the failed-proof fallback's scoring plan (round 20: the
+    // fallback reuses the batch's already-collected df/idf and the
+    // rebuilt hits instead of recursing into a full second serve; df(t)
+    // depends only on the token and the tombstone set, never on which
+    // other queries share the batch, so the restricted join is bitwise
+    // the recursion it replaces)
+    def fullScoredC(qt: DataFrame): DataFrame = hitsC
+      .join(broadcast(idfDfC), Seq("token"))
+      .join(broadcast(qt), Seq("token"))
+      .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
+    // re-check the vocabulary guards on THIS evaluation (they were
+    // decided on the trigger evaluation above)
+    if (hotTokens.isEmpty || hotTokens.size == dfRowsC.length)
+      return scoreAndCut(fullScoredC(qtermsC))
     // (query, term) pairs to the driver: query-proportional, the same
     // bounded class as the bucket and df collects above
+    ServeProbe.queryTermCollects.incrementAndGet()
     val byQuery = qtermsC.collect()
       .map(r => (r.get(0), r.getString(1)))
       .groupBy(_._1).map { case (qid, rows) => qid -> rows.map(_._2).toSeq }
@@ -661,7 +705,7 @@ object Bm25IndexStore {
       ts.exists(hotTokens) && ts.exists(t => !hotTokens(t)) &&
         ts.filterNot(hotTokens).map(t => dfMap.getOrElse(t, 0L)).sum >= k
     }
-    if (pruneQs.isEmpty) return scoreAndCut(fullScored)
+    if (pruneQs.isEmpty) return scoreAndCut(fullScoredC(qtermsC))
     // per-query upper bound on what its pruned terms can add to ANY
     // doc: tf·(k1+1)/(tf + K) < k1+1 strictly for finite tf and K > 0
     val ubSum: Map[Any, Double] = pruneQs.map { case (qid, ts) =>
@@ -674,8 +718,8 @@ object Bm25IndexStore {
     // candidates: docs matching >= 1 essential term — Σ df(essential)
     // rows, the whole point of the cut; eager checkpoint because three
     // subtrees consume it
-    val essScored = hits
-      .join(broadcast(idfDf), Seq("token"))
+    val essScored = hitsC
+      .join(broadcast(idfDfC), Seq("token"))
       .join(broadcast(essQ), Seq("token"))
       .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
       .localCheckpoint(true)
@@ -684,10 +728,10 @@ object Bm25IndexStore {
     // the pruned terms' partials for candidate docs ONLY: the hot
     // posting list shrinks through a doc-keyed semi-join BEFORE it ever
     // meets the query table — df(hot)·|queries| rows never materialize
-    val hotScored = hits
+    val hotScored = hitsC
       .filter(col("token").isin(hotTokens.toSeq: _*))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .join(broadcast(idfDf), Seq("token"))
+      .join(broadcast(idfDfC), Seq("token"))
       .join(broadcast(hotQ), Seq("token"))
       .join(candPairs, Seq("query_id", "doc_id"), "left_semi")
       .select(col("query_id"), col("doc_id"), col("token"), partial.as("partial"))
@@ -707,18 +751,36 @@ object Bm25IndexStore {
       if (passing.isEmpty) phase1.limit(0)
       else phase1.filter(col("query_id").isin(passing.toSeq: _*))
     // everything else — plain queries, failed proofs, all-hot queries —
-    // takes the unpruned plan, per query bitwise the old path
+    // takes the unpruned plan over the SAME rebuilt artifacts: no
+    // recursion, no second postings df aggregation, no second driver
+    // collect (round 20 — the r19 recursion paid a complete second
+    // serve, ~2× the unpruned plan, for a failed proof). Per query the
+    // restricted join is bitwise the full re-serve it replaces: df/idf
+    // are per-token constants and the per-query fold and window never
+    // see other queries' rows.
     val fbIds = byQuery.keySet -- passing
     if (fbIds.isEmpty) served
-    else served.unionByName(
-      serveBm25TopKBatch(
-        q.filter(col(queryIdCol).isin(fbIds.toSeq: _*)),
-        path, queryIdCol, termsCol, k, k1, b, roundTo,
-        // the unpruned plan, EXPLICITLY disabled: with pruning defaulted
-        // on (PruneDfAuto, round 19), inheriting the default here would
-        // re-route the failed-proof queries through the same doomed
-        // routing forever instead of terminating in one recursion
-        pruneDf = Long.MaxValue))
+    else {
+      ServeProbe.fallbackUnions.incrementAndGet()
+      served.unionByName(scoreAndCut(
+        fullScoredC(qtermsC.filter(col("query_id").isin(fbIds.toSeq: _*)))))
+    }
+  }
+
+  /** Test instrumentation for the serve plan-shape contract (round 20,
+    * spec-pinned): per-JVM counters at the batched serve's expensive
+    * routing sites, so a spec can assert the no-hot / all-hot guards
+    * keep the checkpoint job and the (query, term) collect off the
+    * common path, that an engaged batch checkpoints the query frame
+    * exactly once, and that a failed proof unions the reuse tail rather
+    * than recursing. Monotonic counters (specs diff snapshots); not part
+    * of the serving contract. */
+  private[graft] object ServeProbe {
+    val routingCheckpoints = new java.util.concurrent.atomic.AtomicLong(0L)
+    val queryTermCollects = new java.util.concurrent.atomic.AtomicLong(0L)
+    val fallbackUnions = new java.util.concurrent.atomic.AtomicLong(0L)
+    def snapshot(): (Long, Long, Long) =
+      (routingCheckpoints.get(), queryTermCollects.get(), fallbackUnions.get())
   }
 
   /** Fold pending tombstones into postings and doclens physically,

@@ -217,9 +217,13 @@ object IndexStore {
     * OOM'd against an 8-cell 600k-vector index until its fixture
     * followed exactly this rule, and the production failure mode of an
     * under-celling is executor OOM at serve time, not latency). An
-    * explicit cell count still wins, but one whose expected
-    * rows-per-cell exceeds [[MaxRowsPerCellWarn]] gets a loud stderr
-    * warning at build time — the moment the mistake is cheap to fix. */
+    * explicit cell count still wins, but one whose rows-per-cell exceeds
+    * [[MaxRowsPerCellWarn]] gets a loud stderr warning at build time —
+    * the moment the mistake is cheap to fix. The warning is validated
+    * against the WRITTEN index (a parquet-metadata count), so explicit
+    * and pre-trained callers pay no extra evaluation of their input
+    * plan; only [[CellsAuto]] counts the corpus, because it derives the
+    * cell count from it. */
   /** `nCells` sentinel: derive the cell count from the training corpus
     * size (see [[writeIvfPqIndex]]). */
   val CellsAuto: Int = -1
@@ -259,19 +263,17 @@ object IndexStore {
     val cents =
       if (coarseCentroids != null) coarseCentroids
       else {
-        // the training path counts the corpus once (one aggregate over an
-        // input the trainer samples anyway) to derive/validate the cell
-        // count; callers handing in trained centroids fixed their cell
-        // geometry when they trained — no count, plan unchanged
-        val n = corpus.count()
-        val cells = if (nCells == CellsAuto) derivedCells(n) else nCells
-        if (n / math.max(cells, 1) > MaxRowsPerCellWarn)
-          System.err.println(
-            s"[IndexStore] writeIvfPqIndex: ~${n / math.max(cells, 1)} rows/cell at " +
-              s"nCells=$cells over $n vectors exceeds $MaxRowsPerCellWarn — an " +
-              "under-celled index makes every probe materialize nProbe/nCells of " +
-              "the corpus (the r18 batch-512 probe OOM'd on exactly this); pass " +
-              "CellsAuto or grow nCells toward n/" + TargetCellRows)
+        // CellsAuto needs the corpus size to derive the cell count — one
+        // count over the caller's plan, unavoidable there. An EXPLICIT
+        // cell count pays NO extra action (ADVICE r19: an unpersisted
+        // expensive upstream plan — an embed pipeline, a remote read —
+        // used to get a full extra evaluation just to emit the
+        // rows-per-cell warning); its validation moved to the post-encode
+        // check below, which counts the WRITTEN artifact from parquet
+        // metadata instead of re-evaluating the input. Either way a
+        // corpus riding an expensive derivation should be persisted
+        // first — the trainer samples it and the encoder scans it.
+        val cells = if (nCells == CellsAuto) derivedCells(corpus.count()) else nCells
         Similarity.trainedCentroids(corpus, idCol, vecCol, cells, seed, sampleSize)
       }
     val cbs =
@@ -286,6 +288,21 @@ object IndexStore {
     IvfPq.encodeIvfLists(corpus, cents, cbs, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(
         graft.util.ArtifactTree.resolve(spark, path, "ivf_codes"))
+    // rows-per-cell validation against the WRITTEN artifact — a parquet
+    // row-group-metadata count, never a re-evaluation of the caller's
+    // corpus plan (CellsAuto stays under TargetCellRows by construction;
+    // this catches the explicit/pre-trained under-celling, the r18
+    // batch-512 OOM shape, at the moment the mistake is cheap to fix)
+    val written = spark.read.parquet(
+      graft.util.ArtifactTree.resolve(spark, path, "ivf_codes")).count()
+    val perCell = written / math.max(cents.length, 1)
+    if (perCell > MaxRowsPerCellWarn)
+      System.err.println(
+        s"[IndexStore] writeIvfPqIndex: ~$perCell rows/cell at " +
+          s"nCells=${cents.length} over $written vectors exceeds $MaxRowsPerCellWarn — an " +
+          "under-celled index makes every probe materialize nProbe/nCells of " +
+          "the corpus (the r18 batch-512 probe OOM'd on exactly this); pass " +
+          "CellsAuto or grow nCells toward n/" + TargetCellRows)
   }
 
   /** Load the two tiny IVF artifacts back (bounded driver actions). */

@@ -375,9 +375,12 @@ object TopicModeling {
             // that is genuinely 2 topics just confirms itself at the
             // bigger sample, which is exactly the advisory's documented
             // "cheap confirmation re-run".
+            // Int.MaxValue clamp: 10L * cap overflows Int past ~214M
+            // driver chunks (ADVICE r19 — theoretical at that collect
+            // size, but a negative sample cap must not be expressible)
             if (cfg.autoRecoverStructure)
               fit = fitAttempt(
-                math.min(nChunksTotal, 10L * cap).toInt,
+                math.min(math.min(nChunksTotal, 10L * cap), Int.MaxValue.toLong).toInt,
                 math.max(cfg.reduceDims, 10), "_retry")
           }
           val (sampled, reducedSample, model) = fit

@@ -586,4 +586,57 @@ class PlanShapeSpec extends SparkSpec {
       scans.head.partitionFilters, Nil).length == 1),
       "partition pruning must select exactly the lang='en' directory")
   }
+
+  test("BM25 batched serve: routing guards keep the checkpoint job and the " +
+      "(query,term) collect off the common path; engaged path checkpoints once; " +
+      "failed proofs union the reuse tail, never recurse") {
+    import spark.implicits._
+    import graft.similarity.Bm25IndexStore
+    // the prune spec's synthetic hot-term corpus: 'the' df=60 (hot at
+    // pruneDf=30), six topic words df=10 (essential)
+    val syn = (0L until 60L).map(i => (i, s"the w${i % 6} filler$i the tail"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-shape-").toString
+    Bm25IndexStore.writeBm25Index(syn, idx, "text", "doc_id", nBuckets = 16)
+
+    // counter deltas across one full serve (plan built AND executed):
+    // (query-frame localCheckpoints, (query,term) collects, fallback unions)
+    def deltas(batch: DataFrame): (Long, Long, Long) = {
+      val before = Bm25IndexStore.ServeProbe.snapshot()
+      Bm25IndexStore.serveBm25TopKBatch(batch, idx, k = 3, roundTo = 6, pruneDf = 30L)
+        .collect()
+      val after = Bm25IndexStore.ServeProbe.snapshot()
+      (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+    }
+
+    // (a) no hot term anywhere in the batch: the default path — NO
+    // checkpoint job, NO (query,term) collect (the b02f993 contract)
+    val noHot = Seq((1L, Seq("w1", "w2")), (2L, Seq("w3"))).toDF("query_id", "terms")
+    assert(deltas(noHot) == ((0L, 0L, 0L)),
+      "a no-hot-term batch must not touch the routing machinery")
+
+    // (b) every index-present term hot: the vocabulary-level skip fires
+    // BEFORE the checkpoint — same zero-cost shape
+    val allHot = Seq((1L, Seq("the")), (2L, Seq("the"))).toDF("query_id", "terms")
+    assert(deltas(allHot) == ((0L, 0L, 0L)),
+      "an all-hot batch must short-circuit to the unpruned plan")
+
+    // (c) hot + essential, proofs pass: the query frame localCheckpoints
+    // EXACTLY once and the (query,term) collect runs exactly once
+    val engaged = Seq((1L, Seq("the", "w1")), (5L, Seq("the", "w4", "w5")))
+      .toDF("query_id", "terms")
+    assert(deltas(engaged) == ((1L, 1L, 0L)),
+      "engaged batch: one checkpoint, one collect, no fallback")
+
+    // (d) mixed batch with per-query fallbacks (all-hot query, doomed
+    // essential): the fallback is ONE union of the precomputed unpruned
+    // tail — still exactly one query-frame checkpoint (no recursion,
+    // round 20: the r19 recursion paid a complete second serve)
+    val mixed = Seq(
+      (1L, Seq("the", "w1")),
+      (2L, Seq("the")),
+      (4L, Seq("the", "zzz_nope"))).toDF("query_id", "terms")
+    assert(deltas(mixed) == ((1L, 1L, 1L)),
+      "failed-proof fallback must reuse the batch's collected stats, not recurse")
+  }
 }

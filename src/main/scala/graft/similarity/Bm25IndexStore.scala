@@ -640,33 +640,47 @@ object Bm25IndexStore {
 
     // ---- MaxScore routing (see the scaladoc's exactness proof) ----
     // ONE evaluation of the caller's plan from here on. The guards above
-    // routed on a FIRST evaluation of `queries`; a nondeterministic
+    // routed on a FIRST evaluation of `queries`; a NONDETERMINISTIC
     // caller frame could present different rows to the checkpoint below,
     // and a token visible only to the second evaluation would be missing
     // from the first evaluation's term-set-filtered postings — its
     // essential partials silently absent from phase 1, yet the proof
-    // could still pass (ADVICE r19). So every artifact the proof and the
-    // serve consume from here on — bucket literals, term set, hits,
-    // df/idf, the hot/essential split — is REBUILT from the checkpointed
-    // frame: the engaged path is one evaluation end to end, and the
-    // first-evaluation artifacts above were only the routing trigger.
+    // could still pass (ADVICE r19). A DETERMINISTIC plan re-evaluates
+    // to the same row SET (Catalyst's own `Expression.deterministic`
+    // legality rule — the artifacts below are all set-valued: distinct
+    // buckets, distinct tokens, distinct-doc df counts), so its trigger
+    // artifacts ARE this evaluation's and the engaged path reuses them,
+    // paying no second postings aggregation — the Zipf hot-batch cost
+    // stays the r19 number. Only a plan carrying a nondeterministic
+    // expression (rand() sampling, a nondeterministic UDF) — or,
+    // conservatively, a subquery expression — REBUILDS bucket literals,
+    // term set, hits, and df/idf from the checkpointed frame, making the
+    // engaged path one evaluation end to end for exactly the frames
+    // where the first evaluation is untrustworthy.
+    val callerDeterministic = planIsDeterministic(queries)
     ServeProbe.routingCheckpoints.incrementAndGet()
     val q = queries.localCheckpoint(true)
     val qtermsC = q
       .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("token"))
       .distinct()
-    val bucketsC = qtermsC
-      .select(bucketCol(col("token"), m.nBuckets).as("b")).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    if (bucketsC.isEmpty) return emptyResult
-    val termSetC = qtermsC.select("token").distinct()
-    val hitC0 = readPostings(spark, path)
-      .filter(col("tok_bucket").isin(bucketsC: _*))
-      .join(broadcast(termSetC), Seq("token"), "left_semi")
-    val hitsC = tomb.fold(hitC0)(t => hitC0.join(broadcast(t), Seq("doc_id"), "left_anti"))
-    val dfRowsC = hitsC.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
-      .collect()
-      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df")))
+    val (hitsC, dfRowsC) =
+      if (callerDeterministic) (hits, dfRows)
+      else {
+        ServeProbe.rebuilds.incrementAndGet()
+        val bucketsC = qtermsC
+          .select(bucketCol(col("token"), m.nBuckets).as("b")).distinct()
+          .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+        if (bucketsC.isEmpty) return emptyResult
+        val termSetC = qtermsC.select("token").distinct()
+        val hitC0 = readPostings(spark, path)
+          .filter(col("tok_bucket").isin(bucketsC: _*))
+          .join(broadcast(termSetC), Seq("token"), "left_semi")
+        val h = tomb.fold(hitC0)(t => hitC0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        val d = h.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+          .collect()
+          .map(r => (r.getAs[String]("token"), r.getAs[Long]("df")))
+        (h, d)
+      }
     if (dfRowsC.isEmpty) return emptyResult
     val idfRowsC = dfRowsC.map { case (t, df) => (t, idfOf(nDocs, df)) }.toSeq
     val idfDfC = idfRowsC.toDF("token", "idf")
@@ -779,9 +793,26 @@ object Bm25IndexStore {
     val routingCheckpoints = new java.util.concurrent.atomic.AtomicLong(0L)
     val queryTermCollects = new java.util.concurrent.atomic.AtomicLong(0L)
     val fallbackUnions = new java.util.concurrent.atomic.AtomicLong(0L)
-    def snapshot(): (Long, Long, Long) =
-      (routingCheckpoints.get(), queryTermCollects.get(), fallbackUnions.get())
+    val rebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+    def snapshot(): (Long, Long, Long, Long) =
+      (routingCheckpoints.get(), queryTermCollects.get(), fallbackUnions.get(),
+        rebuilds.get())
   }
+
+  /** True when every expression in the frame's analyzed plan is
+    * deterministic (Catalyst's own legality flag): re-evaluation yields
+    * the same row SET, so the batched serve's trigger-evaluation
+    * artifacts are valid for the checkpointed frame and the engaged
+    * MaxScore path can reuse them. Subquery expressions are treated as
+    * nondeterministic conservatively (their nested plan is not walked
+    * by the expression traversal). */
+  private[graft] def planIsDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.find { node =>
+      node.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+        case e => !e.deterministic
+      })
+    }.isEmpty
 
   /** Fold pending tombstones into postings and doclens physically,
     * refresh stats, clear the tombstones — serving returns to the

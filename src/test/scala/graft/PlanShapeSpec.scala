@@ -600,33 +600,37 @@ class PlanShapeSpec extends SparkSpec {
     Bm25IndexStore.writeBm25Index(syn, idx, "text", "doc_id", nBuckets = 16)
 
     // counter deltas across one full serve (plan built AND executed):
-    // (query-frame localCheckpoints, (query,term) collects, fallback unions)
-    def deltas(batch: DataFrame): (Long, Long, Long) = {
+    // (query-frame localCheckpoints, (query,term) collects, fallback
+    // unions, one-evaluation rebuilds)
+    def deltas(batch: DataFrame): (Long, Long, Long, Long) = {
       val before = Bm25IndexStore.ServeProbe.snapshot()
       Bm25IndexStore.serveBm25TopKBatch(batch, idx, k = 3, roundTo = 6, pruneDf = 30L)
         .collect()
       val after = Bm25IndexStore.ServeProbe.snapshot()
-      (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+      (after._1 - before._1, after._2 - before._2,
+        after._3 - before._3, after._4 - before._4)
     }
 
     // (a) no hot term anywhere in the batch: the default path — NO
     // checkpoint job, NO (query,term) collect (the b02f993 contract)
     val noHot = Seq((1L, Seq("w1", "w2")), (2L, Seq("w3"))).toDF("query_id", "terms")
-    assert(deltas(noHot) == ((0L, 0L, 0L)),
+    assert(deltas(noHot) == ((0L, 0L, 0L, 0L)),
       "a no-hot-term batch must not touch the routing machinery")
 
     // (b) every index-present term hot: the vocabulary-level skip fires
     // BEFORE the checkpoint — same zero-cost shape
     val allHot = Seq((1L, Seq("the")), (2L, Seq("the"))).toDF("query_id", "terms")
-    assert(deltas(allHot) == ((0L, 0L, 0L)),
+    assert(deltas(allHot) == ((0L, 0L, 0L, 0L)),
       "an all-hot batch must short-circuit to the unpruned plan")
 
     // (c) hot + essential, proofs pass: the query frame localCheckpoints
-    // EXACTLY once and the (query,term) collect runs exactly once
+    // EXACTLY once, the (query,term) collect runs exactly once, and a
+    // DETERMINISTIC batch reuses the trigger evaluation's artifacts
+    // (no rebuild — no second postings df aggregation)
     val engaged = Seq((1L, Seq("the", "w1")), (5L, Seq("the", "w4", "w5")))
       .toDF("query_id", "terms")
-    assert(deltas(engaged) == ((1L, 1L, 0L)),
-      "engaged batch: one checkpoint, one collect, no fallback")
+    assert(deltas(engaged) == ((1L, 1L, 0L, 0L)),
+      "engaged batch: one checkpoint, one collect, no fallback, no rebuild")
 
     // (d) mixed batch with per-query fallbacks (all-hot query, doomed
     // essential): the fallback is ONE union of the precomputed unpruned
@@ -636,7 +640,31 @@ class PlanShapeSpec extends SparkSpec {
       (1L, Seq("the", "w1")),
       (2L, Seq("the")),
       (4L, Seq("the", "zzz_nope"))).toDF("query_id", "terms")
-    assert(deltas(mixed) == ((1L, 1L, 1L)),
+    assert(deltas(mixed) == ((1L, 1L, 1L, 0L)),
       "failed-proof fallback must reuse the batch's collected stats, not recurse")
+
+    // (e) a NONDETERMINISTIC caller plan (rand() in the frame): the
+    // engaged path rebuilds every artifact from the checkpointed frame
+    // (ADVICE r19 — one evaluation end to end). The rand() guard here is
+    // always-true, so the row set is stable and the result must STILL be
+    // bitwise the unpruned serve of the same rows.
+    import org.apache.spark.sql.functions.{array, lit, rand, when}
+    def ndBatch = engaged.select($"query_id",
+      when(rand(7) >= -1.0, $"terms").otherwise(array(lit("w2"))).as("terms"))
+    assert(!Bm25IndexStore.planIsDeterministic(ndBatch),
+      "the rand()-guarded frame must classify nondeterministic")
+    assert(Bm25IndexStore.planIsDeterministic(engaged))
+    assert(deltas(ndBatch) == ((1L, 1L, 0L, 1L)),
+      "a nondeterministic engaged batch must rebuild from the checkpoint")
+    val ndRows = Bm25IndexStore
+      .serveBm25TopKBatch(ndBatch, idx, k = 3, roundTo = 6, pruneDf = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val offRows = Bm25IndexStore
+      .serveBm25TopKBatch(engaged, idx, k = 3, roundTo = 6, pruneDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(ndRows == offRows,
+      "the rebuilt engaged path must stay bitwise the unpruned serve")
   }
 }

@@ -654,6 +654,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!Bm25IndexStore.planIsDeterministic(ndBatch),
       "the rand()-guarded frame must classify nondeterministic")
     assert(Bm25IndexStore.planIsDeterministic(engaged))
+    // the documented conservative branch: a subquery expression (whose
+    // nested plan the expression walk cannot see into) classifies
+    // nondeterministic, routing such frames to the safe rebuild
+    engaged.createOrReplaceTempView("psp_engaged")
+    syn.createOrReplaceTempView("psp_syn")
+    val withSubquery = spark.sql(
+      "select * from psp_engaged where query_id <= (select max(doc_id) from psp_syn)")
+    assert(!Bm25IndexStore.planIsDeterministic(withSubquery),
+      "a subquery expression must classify nondeterministic (conservative)")
     assert(deltas(ndBatch) == ((1L, 1L, 0L, 1L)),
       "a nondeterministic engaged batch must rebuild from the checkpoint")
     val ndRows = Bm25IndexStore

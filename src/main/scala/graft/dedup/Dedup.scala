@@ -731,6 +731,72 @@ object Dedup {
   private[graft] val lastAutoViaTrace: ThreadLocal[List[String]] =
     ThreadLocal.withInitial(() => Nil)
 
+  /** Edge-count ceiling for the DRIVER union-find fast path (round 21,
+    * guide §1.2 "the distributed algorithm" + §3.1's broadcast-class
+    * size reasoning): a delta-class pair set — the common shape for
+    * near-dup pairs over a probe delta, and the entire bench regime —
+    * pays ~(rounds+1) multi-exchange star-contraction plans plus a
+    * signature barrier per round, all to contract a few thousand edges.
+    * Under this ceiling the deduped edge set is collected ONCE from the
+    * already-checkpointed blocks (2M edges ≈ tens of MB — the same
+    * driver budget class as a broadcast join side) and labeled by exact
+    * union-find with the identical min-member-label contract, so labels
+    * are bitwise the contraction's (spec-pinned parity). Above the
+    * ceiling — any real corpus-scale pair set, e.g. ScaleProbe's 18-24M
+    * edge fixtures — the distributed star contraction runs untouched.
+    * Ops override: `-Dgraft.cc.driverMaxEdges=N` (0 disables). */
+  val DriverCcMaxEdgesDefault: Long = 2000000L
+  private def driverCcMaxEdges: Long = {
+    val v = System.getProperty("graft.cc.driverMaxEdges")
+    if (v == null) DriverCcMaxEdgesDefault else v.toLong
+  }
+
+  /** Exact driver-side union-find over the collected edge rows, labels =
+    * min member id per component (the star-contraction fixpoint's exact
+    * contract). Returns None when any id is null (the distributed path
+    * owns null semantics). Self-pairs surface their node as a singleton,
+    * like the contraction. */
+  private def driverUnionFind(
+      rows: Array[org.apache.spark.sql.Row],
+      lt: (Any, Any) => Boolean): Option[(Array[Any], Array[Any])] = {
+    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any](rows.length * 2)
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](rows.length * 2)
+    def of(a: Any): Int = {
+      var got = idx.get(a)
+      if (got == null) {
+        got = Integer.valueOf(ids.length)
+        idx.put(a, got); ids += a; parent += got.intValue()
+      }
+      got.intValue()
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val (ra, rb) = (find(of(r.get(0))), find(of(r.get(1))))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
+    }
+    val n = ids.length
+    val minLab = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (minLab(r) == null || lt(ids(i), minLab(r))) minLab(r) = ids(i)
+      i += 1
+    }
+    val labels = new Array[Any](n)
+    i = 0
+    while (i < n) { labels(i) = minLab(find(i)); i += 1 }
+    Some((ids.toArray, labels))
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "id_a",
@@ -797,6 +863,50 @@ object Dedup {
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // Delta-class fast path (round 21, see DriverCcMaxEdgesDefault): count
+    // the checkpointed edge set (one bounded job over materialized
+    // blocks); under the ceiling, collect it once and label by exact
+    // union-find — identical labels, ~(rounds+1) multi-exchange plans
+    // and their per-round signature barriers replaced by one collect.
+    // Only id types whose driver ordering provably matches Spark's
+    // `min`/`least` take the path; anything else (and any null id) runs
+    // the distributed contraction unchanged.
+    val spark = pairs.sparkSession
+    val uDt = e0.schema("u").dataType
+    val driverLt: Option[(Any, Any) => Boolean] =
+      if (uDt != e0.schema("v").dataType) None
+      else uDt match {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType =>
+          Some((a, b) => a.asInstanceOf[Number].longValue() < b.asInstanceOf[Number].longValue())
+        case org.apache.spark.sql.types.StringType =>
+          Some((a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0)
+        case _ => None
+      }
+    var countedEdges = -1L
+    val maxDriverEdges = driverCcMaxEdges
+    if (driverLt.nonEmpty && maxDriverEdges > 0L) {
+      countedEdges = e0.count()
+      if (countedEdges <= maxDriverEdges) {
+        driverUnionFind(e0.collect(), driverLt.get) match {
+          case Some((ids, labels)) =>
+            if (minVia == "auto") lastAutoViaTrace.set(List("driver"))
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", uDt, nullable = true),
+              org.apache.spark.sql.types.StructField("label", uDt, nullable = true)))
+            val out: java.util.List[org.apache.spark.sql.Row] =
+              java.util.Arrays.asList(
+                ids.indices.map(i =>
+                  org.apache.spark.sql.Row(ids(i), labels(i))): _*)
+            return spark.createDataFrame(out, schema)
+          case None => () // null id somewhere: distributed path owns nulls
+        }
+      }
+    }
+
     var e = e0.filter(col("u") =!= col("v"))
     // "auto": pick the min shape per round from the deciding statistic.
     // The degree probe is gated on the edge count (max symmetrized
@@ -804,7 +914,7 @@ object Dedup {
     // "window" — no job runs); the count itself is free after round one
     // because the convergence signature already computes it, and round
     // one pays one count() over the eagerly-checkpointed blocks.
-    var edgeCount = -1L
+    var edgeCount = countedEdges // the fast-path gate's count, when it ran
     def resolveVia(): String =
       if (minVia != "auto") minVia
       else {

@@ -274,15 +274,22 @@ object DedupIndexStore {
     val spark = probeDocs.sparkSession
     val m = readMeta(spark, path)
     // The delta signature subtree feeds THREE broadcast subplans (probed
-    // buckets, candidate join-back, estimator join), so the delta is
-    // re-signed once per broadcast job. Measured as noise at bench scale
-    // (the artifact scans and job barriers dominate), and caching it here
-    // would leak a CacheManager entry past the call — the library-wide
-    // no-residue rule PlanShapeSpec pins. Callers with an expensive
-    // upstream delta plan should persist/checkpoint it THEMSELVES before
-    // probing (they own that lifecycle).
+    // buckets, candidate join-back, estimator join). Sign it ONCE
+    // (round 21): the r20 posture re-signed the delta per broadcast —
+    // measured at sf0.1 as three SEQUENTIAL single-task ~0.7–1.0 s
+    // signing stages (the delta arrives as one input split, so tokenize
+    // + 128 minhashes ran serially, three times — guide §1/§2: don't
+    // compute what you throw away, and spread the work). The delta is
+    // first spread across the cluster (one bounded delta-class exchange;
+    // never fewer partitions than the source plan), signed once, and
+    // eagerly localCheckpoint'ed so every broadcast reads the
+    // materialized blocks. No CacheManager entry — the library-wide
+    // no-residue rule PlanShapeSpec pins still holds (checkpoint blocks
+    // are freed with the RDD by the ContextCleaner, not registered in
+    // the CacheManager).
     val probeSigs = Dedup.minHashSignatures(
-      probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
+        probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
+      .localCheckpoint(true)
     val probeBands = bandRows(probeSigs, m.bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
 

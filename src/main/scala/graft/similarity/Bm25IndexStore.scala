@@ -135,8 +135,17 @@ object Bm25IndexStore {
       .agg(count(lit(1)).as("tf"))
     // writes into a COMPACTED tree resolve through the manifest — the
     // live tree may be a versioned sibling (ArtifactTree.resolve)
+    // Round 21 (guide §6 small files): repartition by tok_bucket before
+    // the partitioned write, so each bucket directory is ONE file
+    // instead of one file per upstream shuffle partition that touched
+    // the bucket (measured: the serve's pruned postings scan spawned one
+    // task per tiny file — 2× the tasks and 2× the footer/open overhead
+    // on every serve, twice per serve). At production scale the knob is
+    // `postingsFilesPerBucket` on a partitioned-subfile salt; here one
+    // ~posting-list-sized file per bucket IS the 128MB–1GB guidance.
     if (postingsDelta.isEmpty)
-      postings.write.partitionBy("tok_bucket").mode(postingsMode)
+      postings.repartition(nBuckets, col("tok_bucket"))
+        .write.partitionBy("tok_bucket").mode(postingsMode)
         .parquet(graft.util.ArtifactTree.resolve(spark, path, "postings"))
     else
       postings.write.mode("overwrite").parquet(s"$path/postings_deltas/$postingsDelta")
@@ -489,16 +498,18 @@ object Bm25IndexStore {
     * remote read) should persist it first — the same no-cache-residue
     * rule documented on `probeDedupIndex`. (When the MaxScore routing
     * actually ENGAGES — some query holds both a hot and an essential
-    * term — the method localCheckpoints the query frame at that point
-    * and REBUILDS the term set, the pruned postings view, and the df/idf
-    * stats from the checkpointed frame (round 20, ADVICE r19): the
-    * routing consumes the frame from the driver and the proof admits a
-    * pruned result, so the engaged path must be ONE evaluation end to
-    * end — artifacts from a different evaluation of a nondeterministic
-    * caller plan could drop an essential term's partials yet still pass
-    * the proof. Batches with nothing to prune never pay the checkpoint
-    * job or the rebuild — the default path stays byte-identical to the
-    * pre-pruning serve, spec-pinned via [[ServeProbe]].)
+    * term — a frame [[planIsDeterministic]] cannot prove row-set-stable
+    * is localCheckpointed and the term set, the pruned postings view,
+    * and the df/idf stats are REBUILT from the checkpointed frame
+    * (rounds 20–21, ADVICE r19/r20): the routing consumes the frame
+    * from the driver and the proof admits a pruned result, so the
+    * engaged path must be ONE evaluation end to end — artifacts from a
+    * different evaluation of an unstable caller plan could drop an
+    * essential term's partials yet still pass the proof. Row-set-stable
+    * frames reuse the trigger evaluation's artifacts with NO checkpoint
+    * job (round 21, VERDICT r20 #3), and batches with nothing to prune
+    * never pay routing at all — the default path stays byte-identical
+    * to the pre-pruning serve, spec-pinned via [[ServeProbe]].)
     *
     * `pruneDf` — EXACT MaxScore pruning for stopword-class terms
     * (Turtle & Flood 1995, "Query evaluation: strategies and
@@ -639,30 +650,42 @@ object Bm25IndexStore {
     if (hotTokens0.size == dfRows.length) return scoreAndCut(fullScored)
 
     // ---- MaxScore routing (see the scaladoc's exactness proof) ----
-    // ONE evaluation of the caller's plan from here on. The guards above
-    // routed on a FIRST evaluation of `queries`; a NONDETERMINISTIC
-    // caller frame could present different rows to the checkpoint below,
-    // and a token visible only to the second evaluation would be missing
-    // from the first evaluation's term-set-filtered postings — its
-    // essential partials silently absent from phase 1, yet the proof
-    // could still pass (ADVICE r19). A DETERMINISTIC plan re-evaluates
-    // to the same row SET (Catalyst's own `Expression.deterministic`
-    // legality rule — the artifacts below are all set-valued: distinct
-    // buckets, distinct tokens, distinct-doc df counts), so its trigger
-    // artifacts ARE this evaluation's and the engaged path reuses them,
-    // paying no second postings aggregation — the Zipf hot-batch cost
-    // stays the r19 number. Only a plan carrying a nondeterministic
-    // expression (rand() sampling, a nondeterministic UDF) — or,
-    // conservatively, a subquery expression — REBUILDS bucket literals,
-    // term set, hits, and df/idf from the checkpointed frame, making the
-    // engaged path one evaluation end to end for exactly the frames
-    // where the first evaluation is untrustworthy.
+    // The guards above routed on a FIRST evaluation of `queries`; a
+    // NONDETERMINISTIC caller frame could present different rows to a
+    // later evaluation, and a token visible only to the second
+    // evaluation would be missing from the first evaluation's
+    // term-set-filtered postings — its essential partials silently
+    // absent from phase 1, yet the proof could still pass (ADVICE r19).
+    // A frame the hardened gate proves row-set-stable (expression
+    // determinism PLUS no Deduplicate-on-subset / Sample / Limit /
+    // order-dependent aggregate — ADVICE r20) reuses the trigger
+    // evaluation's artifacts directly, paying neither a checkpoint job
+    // nor a second postings aggregation (round 21, VERDICT r20 #3) —
+    // the artifacts are all set-valued: distinct buckets, distinct
+    // tokens, distinct-doc df counts. Any other frame localCheckpoints
+    // the caller's plan and REBUILDS bucket literals, term set, hits,
+    // and df/idf from the checkpointed frame, making the engaged path
+    // one evaluation end to end for exactly the frames where the first
+    // evaluation is untrustworthy.
+    // Round 21 (VERDICT r20 #3): a DETERMINISTIC frame re-evaluates to
+    // the same row set (planIsDeterministic, hardened per ADVICE r20),
+    // so the engaged path routes WITHOUT the eager localCheckpoint —
+    // the trigger evaluation's artifacts are already this evaluation's,
+    // and the routing's remaining consumers (the (query,term) collect,
+    // essQ/hotQ, the fallback filter) re-read the caller's plan under
+    // the same re-evaluation contract the common path documents. Only a
+    // frame the gate cannot prove row-set-stable pays the checkpoint
+    // job, and then rebuilds every artifact from the checkpointed frame
+    // (one evaluation end to end — ADVICE r19).
     val callerDeterministic = planIsDeterministic(queries)
-    ServeProbe.routingCheckpoints.incrementAndGet()
-    val q = queries.localCheckpoint(true)
-    val qtermsC = q
-      .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("token"))
-      .distinct()
+    val qtermsC =
+      if (callerDeterministic) qterms
+      else {
+        ServeProbe.routingCheckpoints.incrementAndGet()
+        queries.localCheckpoint(true)
+          .select(col(queryIdCol).as("query_id"), explode(col(termsCol)).as("token"))
+          .distinct()
+      }
     val (hitsC, dfRowsC) =
       if (callerDeterministic) (hits, dfRows)
       else {
@@ -799,20 +822,64 @@ object Bm25IndexStore {
         rebuilds.get())
   }
 
-  /** True when every expression in the frame's analyzed plan is
-    * deterministic (Catalyst's own legality flag): re-evaluation yields
-    * the same row SET, so the batched serve's trigger-evaluation
-    * artifacts are valid for the checkpointed frame and the engaged
-    * MaxScore path can reuse them. Subquery expressions are treated as
-    * nondeterministic conservatively (their nested plan is not walked
-    * by the expression traversal). */
-  private[graft] def planIsDeterministic(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.find { node =>
+  /** Best-effort row-set-stability gate for the engaged MaxScore path:
+    * true only when the frame's analyzed plan carries (a) no
+    * nondeterministic expression (Catalyst's own legality flag, with
+    * subquery expressions conservatively nondeterministic — their
+    * nested plan is not walked by the expression traversal), (b) no
+    * row-set-unstable NODE (round 21, ADVICE r20: `Deduplicate` on a
+    * key subset picks an arbitrary row per key; `Sample`, `Limit`,
+    * `Offset` and `Tail` take an arbitrary subset — a Limit is
+    * order-stable only under a total-order child Sort, so all are
+    * classified unstable outright), and (c) no order-dependent
+    * aggregate (`first`/`last`/`any_value`, `collect_*`, and FLOAT
+    * `sum`/`avg`, whose values depend on partition evaluation order).
+    * A frame passing the gate re-evaluates to the same row set under
+    * every re-evaluation class the gate models; frames failing it are
+    * routed to the one-evaluation rebuild. The gate is deliberately
+    * conservative — false "nondeterministic" costs one bounded rebuild,
+    * false "deterministic" would be the ADVICE-r19 silent-wrong-result
+    * class. */
+  private[graft] def planIsDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val plan = df.queryExecution.analyzed
+    val rowSetUnstable = plan.exists {
+      case d: logical.Deduplicate =>
+        // distinct() (keys = every output column) is set-stable; a key
+        // SUBSET dedup picks an arbitrary survivor per key
+        val keyIds = d.keys.map(_.exprId).toSet
+        !d.child.output.forall(a => keyIds.contains(a.exprId))
+      case _: logical.DeduplicateWithinWatermark => true
+      case _: logical.Sample => true
+      case _: logical.GlobalLimit | _: logical.LocalLimit => true
+      case _: logical.Offset => true
+      case _: logical.Tail => true
+      case _ => false
+    }
+    def orderDependent(fn: AggregateFunction): Boolean = fn match {
+      case _: First | _: Last | _: AnyValue => true
+      case _: Collect[_] => true
+      case s: Sum => s.child.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      }
+      case a: Average => a.child.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      }
+      case _ => false
+    }
+    !rowSetUnstable && plan.find { node =>
       node.expressions.exists(_.exists {
         case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+        case ae: AggregateExpression if orderDependent(ae.aggregateFunction) => true
         case e => !e.deterministic
       })
     }.isEmpty
+  }
 
   /** Fold pending tombstones into postings and doclens physically,
     * refresh stats, clear the tombstones — serving returns to the

@@ -623,24 +623,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(deltas(allHot) == ((0L, 0L, 0L, 0L)),
       "an all-hot batch must short-circuit to the unpruned plan")
 
-    // (c) hot + essential, proofs pass: the query frame localCheckpoints
-    // EXACTLY once, the (query,term) collect runs exactly once, and a
-    // DETERMINISTIC batch reuses the trigger evaluation's artifacts
-    // (no rebuild — no second postings df aggregation)
+    // (c) hot + essential, proofs pass: a DETERMINISTIC batch reuses the
+    // trigger evaluation's artifacts with NO checkpoint job (round 21,
+    // VERDICT r20 #3) and no rebuild — the (query,term) collect is the
+    // routing's only extra action
     val engaged = Seq((1L, Seq("the", "w1")), (5L, Seq("the", "w4", "w5")))
       .toDF("query_id", "terms")
-    assert(deltas(engaged) == ((1L, 1L, 0L, 0L)),
-      "engaged batch: one checkpoint, one collect, no fallback, no rebuild")
+    assert(deltas(engaged) == ((0L, 1L, 0L, 0L)),
+      "engaged deterministic batch: zero checkpoints, one collect, no fallback, no rebuild")
 
     // (d) mixed batch with per-query fallbacks (all-hot query, doomed
     // essential): the fallback is ONE union of the precomputed unpruned
-    // tail — still exactly one query-frame checkpoint (no recursion,
-    // round 20: the r19 recursion paid a complete second serve)
+    // tail — still no checkpoint for the deterministic frame (no
+    // recursion, round 20: the r19 recursion paid a complete second serve)
     val mixed = Seq(
       (1L, Seq("the", "w1")),
       (2L, Seq("the")),
       (4L, Seq("the", "zzz_nope"))).toDF("query_id", "terms")
-    assert(deltas(mixed) == ((1L, 1L, 1L, 0L)),
+    assert(deltas(mixed) == ((0L, 1L, 1L, 0L)),
       "failed-proof fallback must reuse the batch's collected stats, not recurse")
 
     // (e) a NONDETERMINISTIC caller plan (rand() in the frame): the

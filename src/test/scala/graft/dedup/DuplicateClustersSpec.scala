@@ -4,6 +4,14 @@ import graft.SparkSpec
 
 class DuplicateClustersSpec extends SparkSpec {
 
+  /** Run `body` with the round-21 driver union-find fast path disabled,
+    * so the distributed star-contraction contracts stay exercised. */
+  private def distributedOnly[T](body: => T): T = {
+    System.setProperty("graft.cc.driverMaxEdges", "0")
+    try body
+    finally System.clearProperty("graft.cc.driverMaxEdges")
+  }
+
   private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
     import spark.implicits._
     Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"))
@@ -65,7 +73,7 @@ class DuplicateClustersSpec extends SparkSpec {
     val rnd = new scala.util.Random(7L)
     val ids = rnd.shuffle((0L until 400L).toVector)
     val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq
-    val c = clustersOf2(pairs, maxIterations = 12)
+    val c = distributedOnly(clustersOf2(pairs, maxIterations = 12))
     assert(c.size == 400 && c.values.toSet == Set(0L), "one component rooted at min id")
   }
 
@@ -80,9 +88,9 @@ class DuplicateClustersSpec extends SparkSpec {
   test("non-convergence throws instead of returning a partial clustering") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
-      Dedup.duplicateClusters(
+      distributedOnly(Dedup.duplicateClusters(
         Seq((7L, 8L), (8L, 9L), (9L, 10L)).toDF("id_a", "id_b"),
-        maxIterations = 1)
+        maxIterations = 1))
     }
   }
 
@@ -104,16 +112,24 @@ class DuplicateClustersSpec extends SparkSpec {
     def labels(via: String): Map[Long, Long] =
       Dedup.connectedComponents(pairs, minVia = via)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val gb = labels("groupby")
-    val win = labels("window")
+    val (gb, win, auto) = distributedOnly {
+      (labels("groupby"), labels("window"), labels("auto"))
+    }
     assert(gb == win, s"variants disagree: ${gb.toSet.diff(win.toSet).take(5)}")
     // the auto shape resolves per round (here: sub-threshold edge count
     // -> the window shape with zero probe jobs) to the same labels
-    val auto = labels("auto")
     assert(auto == win, s"auto disagrees: ${auto.toSet.diff(win.toSet).take(5)}")
     // and both put the chain+star mega-component under one min root
     val megaNodes = (chainIds ++ (301L until 500L)).toSet
     assert(megaNodes.map(gb).size == 1)
+    // round 21: the delta-class DRIVER fast path (default-on under the
+    // edge ceiling) must label this same multi-regime graph bitwise like
+    // the distributed contraction, and an auto run through it records
+    // the "driver" trace
+    val drv = labels("auto")
+    assert(drv == win, s"driver path disagrees: ${drv.toSet.diff(win.toSet).take(5)}")
+    assert(Dedup.lastAutoViaTrace.get == List("driver"),
+      s"expected the driver trace, got ${Dedup.lastAutoViaTrace.get}")
   }
 
   test("auto minVia: threshold gates the shape; rejects unknown shapes") {

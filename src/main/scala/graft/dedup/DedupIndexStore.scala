@@ -85,8 +85,14 @@ object DedupIndexStore {
   }
 
   /** The persisted signature config. Bounded driver action (one row). */
+  // fixed store-format meta schema: skips the footer-inference job per
+  // probe (round 21; see IndexStore's note)
+  private val MetaSchema = new org.apache.spark.sql.types.StructType()
+    .add("num_hashes", "int").add("shingle_size", "int")
+    .add("bands", "int").add("seed", "long")
+
   def readMeta(spark: SparkSession, path: String): DedupIndexMeta = {
-    val rows = spark.read.parquet(s"$path/meta").collect()
+    val rows = spark.read.schema(MetaSchema).parquet(s"$path/meta").collect()
     require(rows.length == 1, s"DedupIndexStore: expected one meta row at $path, got ${rows.length}")
     val r = rows(0)
     DedupIndexMeta(

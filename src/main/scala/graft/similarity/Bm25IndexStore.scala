@@ -205,8 +205,15 @@ object Bm25IndexStore {
           .repartition(1).write.mode("overwrite").parquet(s"$path/stats_net")
     }
 
+  // fixed store-format schemas: supplying them skips the per-read
+  // footer-inference job (round 21; see IndexStore's note)
+  private val MetaSchema = new org.apache.spark.sql.types.StructType()
+    .add("model", "string").add("n_buckets", "int")
+  private val StatsSchema = new org.apache.spark.sql.types.StructType()
+    .add("n_docs", "long").add("n_tokens", "long")
+
   def readMeta(spark: SparkSession, path: String): Bm25IndexMeta = {
-    val rows = spark.read.parquet(s"$path/meta").collect()
+    val rows = spark.read.schema(MetaSchema).parquet(s"$path/meta").collect()
     require(rows.length == 1, s"Bm25IndexStore: expected one meta row at $path, got ${rows.length}")
     Bm25IndexMeta(rows(0).getAs[String]("model"), rows(0).getAs[Int]("n_buckets"))
   }
@@ -313,7 +320,7 @@ object Bm25IndexStore {
       spark: SparkSession, path: String, tomb: Option[DataFrame]): (Long, Double) = {
     val statsRow = tomb match {
       case None =>
-        spark.read.parquet(s"$path/stats").head()
+        spark.read.schema(StatsSchema).parquet(s"$path/stats").head()
       case Some(t) =>
         val nTomb = t.distinct().count()
         graft.util.ArtifactTree.readOptional(spark, path, "stats_net")

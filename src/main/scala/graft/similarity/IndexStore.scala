@@ -55,12 +55,32 @@ object IndexStore {
         graft.util.ArtifactTree.resolve(spark, path, "codes"))
   }
 
+
+  // Fixed store-format artifact schemas (round 21, guide §1/§7.3): a
+  // schemaless parquet read runs a footer-inference JOB per call; these
+  // artifacts' schemas are format constants of the store (written by
+  // this object), so serving supplies them and skips that job. Id-typed
+  // artifacts (codes, tombstones) keep inference — their id column type
+  // is the caller's.
+  private val CodebookSchema = new org.apache.spark.sql.types.StructType()
+    .add("m", "int").add("k", "int")
+    .add("centroid", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false))
+  private val CoarseSchema = new org.apache.spark.sql.types.StructType()
+    .add("cell", "int")
+    .add("centroid", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false))
+  private val RotationSchema = new org.apache.spark.sql.types.StructType()
+    .add("i", "int")
+    .add("row", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false))
+
   /** Load the codebooks artifact back into the `[m][k][dsub]` layout the
     * encode/LUT expressions take. A bounded driver action by
     * construction (m×k rows). */
   def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$path/codebooks")
+    val rows = spark.read.schema(CodebookSchema).parquet(s"$path/codebooks")
       .select(col("m"), col("k"), col("centroid"))
       .as[(Int, Int, Seq[Float])]
       .collect()
@@ -309,9 +329,9 @@ object IndexStore {
   def readIvfArtifacts(
       spark: SparkSession, path: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/coarse")
+    val cents = spark.read.schema(CoarseSchema).parquet(s"$path/coarse")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
-    val rows = spark.read.parquet(s"$path/resid_codebooks")
+    val rows = spark.read.schema(CodebookSchema).parquet(s"$path/resid_codebooks")
       .as[(Int, Int, Seq[Float])].collect()
     val out = Array.ofDim[Array[Float]](rows.map(_._1).max + 1, rows.map(_._2).max + 1)
     rows.foreach { case (mi, ki, c) => out(mi)(ki) = c.toArray }
@@ -346,7 +366,7 @@ object IndexStore {
   /** Load the rotation artifact back (dim rows — bounded). */
   def readRotation(spark: SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/rotation")
+    spark.read.schema(RotationSchema).parquet(s"$path/rotation")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
   }
 

@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
 object AB {
   def main(args: Array[String]): Unit = {
     val prop = sys.env.getOrElse("AB_PROP", "graft.probe.signOnce")
+    // AB_CONF set => arms flip a SESSION CONF instead of a system
+    // property (diagnostic sizing only — e.g. how much of a family's
+    // cost is AQE barriers; never a shipping change by itself)
+    val confKey = sys.env.get("AB_CONF")
     val armVals = Array(
       sys.env.getOrElse("AB_VAL0", "0"), sys.env.getOrElse("AB_VAL1", "1"))
     val names = sys.env.getOrElse("AB_QUERIES", "q_dedup_index_probe")
@@ -27,14 +31,20 @@ object AB {
       val fn = SparkEntry.queries(name)
       // warm both arms (codegen differs per arm)
       for (arm <- armVals) {
-        System.setProperty(prop, arm)
+        confKey match {
+          case Some(k) => spark.conf.set(k, arm)
+          case None => System.setProperty(prop, arm)
+        }
         fn(spark, dir).count()
         spark.catalog.clearCache()
       }
       val times = Array.fill(2)(scala.collection.mutable.ArrayBuffer.empty[Double])
       for (p <- 0 until (2 * passes)) {
         val arm = p % 2
-        System.setProperty(prop, armVals(arm))
+        confKey match {
+          case Some(k) => spark.conf.set(k, armVals(arm))
+          case None => System.setProperty(prop, armVals(arm))
+        }
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         times(arm) += (System.nanoTime() - t0) / 1e9

@@ -15,8 +15,23 @@ import graft.text.{Bpe, Concordance, TextAnalysis, TextFunctions, Tokenize, Toke
   */
 object SparkEntry {
 
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Table-schema memo (round 21, guide §1/§6): a schemaless parquet
+    * read runs a footer-inference JOB per call (~30 ms + a driver gap),
+    * and the 176 queries re-infer the same handful of table schemas on
+    * every invocation. A catalog/metastore holds exactly this metadata
+    * once; the memo models it per JVM — first read of a path infers,
+    * later reads supply the schema explicitly. DATA is re-read from
+    * parquet on every query invocation as before; only schema METADATA
+    * is reused (the same once-per-JVM posture as the store-format
+    * schemas in the index stores). Keyed on the full path, so multiple
+    * sf dirs in one JVM never cross. */
+  private val tblSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val schema = tblSchemas.computeIfAbsent(p, q => spark.read.parquet(q).schema)
+    spark.read.schema(schema).parquet(p)
+  }
 
   /** Event-time column normalized to TIMESTAMP, robust to the physical
     * parquet encoding of `events.ts` across testdata generations:

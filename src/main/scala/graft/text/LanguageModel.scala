@@ -144,11 +144,15 @@ object LanguageModel {
 
     // (w1, w2, n_ab) with the left margin n_a = c(w1 ·) as a partitioned
     // window over the checkpointed counts
+    // LAZY checkpoint (round 21): the counts frame is consumed only by
+    // the scoring plan, so materialization rides the scoring action
+    // instead of paying its own sequential driver barrier — same blocks,
+    // one fewer job. (vocab stays eager: `total` collects it next line.)
     val bigrams = fit
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("w1"), col("token").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
 
     // the second (and last) corpus scan: the scoring stream
@@ -218,18 +222,22 @@ object LanguageModel {
       .localCheckpoint(true)
     val total = vocab.agg(coalesce(sum("n_w"), lit(0L))).head().getLong(0)
 
+    // LAZY checkpoints (round 21): both count frames are consumed only
+    // by the scoring plan — materialization rides the scoring action
+    // (two fewer sequential driver barriers; vocab stays eager for the
+    // `total` collect above)
     val bigrams = fit
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("w1"), col("token").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy("w1")))
 
     val trigrams = fit
       .filter(col("prev2").isNotNull)
       .groupBy(col("prev2").as("u"), col("prev").as("v"), col("token").as("w"))
       .agg(count(lit(1)).as("n_abc"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .withColumn("n_uv", sum(col("n_abc")).over(Window.partitionBy("u", "v")))
 
     val lambda1 = 1.0 - lambda3 - lambda2

@@ -281,21 +281,21 @@ object DedupIndexStore {
     val m = readMeta(spark, path)
     // The delta signature subtree feeds THREE broadcast subplans (probed
     // buckets, candidate join-back, estimator join). Sign it ONCE
-    // (round 21): the r20 posture re-signed the delta per broadcast —
-    // measured at sf0.1 as three SEQUENTIAL single-task ~0.7–1.0 s
-    // signing stages (the delta arrives as one input split, so tokenize
-    // + 128 minhashes ran serially, three times — guide §1/§2: don't
-    // compute what you throw away, and spread the work). The delta is
-    // first spread across the cluster (one bounded delta-class exchange;
-    // never fewer partitions than the source plan), signed once, and
-    // eagerly localCheckpoint'ed so every broadcast reads the
-    // materialized blocks. No CacheManager entry — the library-wide
+    // (round 21, guide §1.2 — don't recompute what you already have):
+    // the r20 posture re-signed the delta per broadcast. The LAZY
+    // localCheckpoint makes the first consumer (a broadcast build) run
+    // the signing and materialize the blocks; the other two read them —
+    // one evaluation, no extra sequential driver barrier. (Measured
+    // variants, interleaved same-JVM A/B at sf0.1: lazy ≤ eager ≤
+    // re-sign; an explicit pre-spread `repartition` REGRESSED — the
+    // 32-partition checkpoint pushed 32-task overhead into every
+    // downstream probe stage.) No CacheManager entry — the library-wide
     // no-residue rule PlanShapeSpec pins still holds (checkpoint blocks
     // are freed with the RDD by the ContextCleaner, not registered in
     // the CacheManager).
     val probeSigs = Dedup.minHashSignatures(
         probeDocs, textCol, idCol, m.numHashes, m.shingleSize, m.seed)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val probeBands = bandRows(probeSigs, m.bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
 

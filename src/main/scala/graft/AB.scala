@@ -51,8 +51,18 @@ object AB {
         spark.catalog.clearCache()
       }
       def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      // Paired summary (round 22, VERDICT r21 #8): arms alternate within
+      // one JVM, so pass i of arm 0 and pass i of arm 1 ran back-to-back
+      // in the same drift band — their DIFFERENCE cancels the band. Mean
+      // paired delta ± ~95% CI (2·sd/√n) is the ship/revert statistic
+      // for <100 ms effects the per-arm medians can't resolve.
+      val d = times(0).zip(times(1)).map { case (t0, t1) => t1 - t0 }
+      val mean = d.sum / d.length
+      val sd = math.sqrt(d.map(x => (x - mean) * (x - mean)).sum / math.max(1, d.length - 1))
+      val ci = 2.0 * sd / math.sqrt(d.length.toDouble)
       println(f"AB $name  $prop=${armVals(0)}: ${med(times(0).toSeq)}%.3f s  " +
         f"$prop=${armVals(1)}: ${med(times(1).toSeq)}%.3f s  " +
+        f"paired(arm1-arm0): $mean%+.3f ± $ci%.3f s (n=${d.length})  " +
         f"(all0=${times(0).map(t => f"$t%.2f").mkString(",")} " +
         f"all1=${times(1).map(t => f"$t%.2f").mkString(",")})")
     }

@@ -748,7 +748,18 @@ object Dedup {
   val DriverCcMaxEdgesDefault: Long = 2000000L
   private def driverCcMaxEdges: Long = {
     val v = System.getProperty("graft.cc.driverMaxEdges")
-    if (v == null) DriverCcMaxEdgesDefault else v.toLong
+    if (v == null) DriverCcMaxEdgesDefault
+    else
+      try v.trim.toLong
+      catch {
+        // fail as a config error at the call site, not a bare
+        // NumberFormatException from inside connectedComponents
+        // (ADVICE r21)
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"-Dgraft.cc.driverMaxEdges must be a long edge count " +
+              s"(0 disables the driver fast path); got '$v'")
+      }
   }
 
   /** Exact driver-side union-find over the collected edge rows, labels =
@@ -883,27 +894,55 @@ object Dedup {
             org.apache.spark.sql.types.ByteType =>
           Some((a, b) => a.asInstanceOf[Number].longValue() < b.asInstanceOf[Number].longValue())
         case org.apache.spark.sql.types.StringType =>
-          Some((a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0)
+          // UTF8String's binary (UTF-8 byte = code-point) order is what
+          // Spark's min/least/> use on strings; java String.compareTo
+          // orders by UTF-16 code UNIT, which diverges for ids mixing
+          // supplementary-plane characters (U+10000+, surrogate-encoded
+          // below U+E000) with U+E000–U+FFFF — the driver path would pick
+          // a different min-member label than the distributed contraction
+          // (ADVICE r21 medium; parity spec covers non-BMP ids)
+          Some { (a, b) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String])) < 0
+          }
         case _ => None
       }
     var countedEdges = -1L
     val maxDriverEdges = driverCcMaxEdges
     if (driverLt.nonEmpty && maxDriverEdges > 0L) {
-      countedEdges = e0.count()
-      if (countedEdges <= maxDriverEdges) {
-        driverUnionFind(e0.collect(), driverLt.get) match {
-          case Some((ids, labels)) =>
-            if (minVia == "auto") lastAutoViaTrace.set(List("driver"))
-            val schema = org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", uDt, nullable = true),
-              org.apache.spark.sql.types.StructField("label", uDt, nullable = true)))
-            val out: java.util.List[org.apache.spark.sql.Row] =
-              java.util.Arrays.asList(
-                ids.indices.map(i =>
-                  org.apache.spark.sql.Row(ids(i), labels(i))): _*)
-            return spark.createDataFrame(out, schema)
-          case None => () // null id somewhere: distributed path owns nulls
+      // Gate + collect (round 22, ADVICE r21 low): explicit-shape runs
+      // gate with take(ceiling+1) over the checkpointed blocks — under
+      // the ceiling the returned rows ARE the collect (one incremental
+      // action instead of count-then-collect), and an over-ceiling set
+      // stops the fetch at ceiling+1 rows instead of paying a full count
+      // whose result nothing downstream consumes. Auto keeps the
+      // count-then-collect shape: its round-1 shape probe reuses the
+      // exact edge count, which an early-stopped take can't provide.
+      val gated: Option[Array[org.apache.spark.sql.Row]] =
+        if (minVia != "auto" && maxDriverEdges < Int.MaxValue.toLong) {
+          val rows = e0.take(maxDriverEdges.toInt + 1)
+          if (rows.length <= maxDriverEdges) {
+            countedEdges = rows.length // exact: the take exhausted the set
+            Some(rows)
+          } else None
+        } else {
+          countedEdges = e0.count()
+          if (countedEdges <= maxDriverEdges) Some(e0.collect()) else None
         }
+      gated.flatMap(driverUnionFind(_, driverLt.get)) match {
+        case Some((ids, labels)) =>
+          if (minVia == "auto") lastAutoViaTrace.set(List("driver"))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", uDt, nullable = true),
+            org.apache.spark.sql.types.StructField("label", uDt, nullable = true)))
+          val out: java.util.List[org.apache.spark.sql.Row] =
+            java.util.Arrays.asList(
+              ids.indices.map(i =>
+                org.apache.spark.sql.Row(ids(i), labels(i))): _*)
+          return spark.createDataFrame(out, schema)
+        case None => () // over ceiling, or a null id: distributed path
       }
     }
 

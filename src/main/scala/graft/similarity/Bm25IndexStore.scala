@@ -398,7 +398,20 @@ object Bm25IndexStore {
     // between partition pruning and the scan is the DPP lesson from the
     // ANN store; here pruning is static, but the anti-join keeps the
     // tombstone scan out of the postings read path either way)
-    val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val hitsScan = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    if (ServeProbe.capturePlans.get)
+      ServeProbe.lastPrunedPostingsPlan = hitsScan.queryExecution.executedPlan.toString
+    // ONE postings scan per serve (round 22, VERDICT r21 #3 — the probe
+    // family's lazy sign-once pattern): the df collect below is the
+    // plan's first action and materializes the pruned scan into
+    // checkpoint blocks; the scoring plan (and the MaxScore candidate/
+    // fallback plans, which used to be a SECOND and THIRD pruned scan)
+    // reads the blocks. Size posture: the blocks hold exactly the
+    // pruned posting rows the scoring join had to materialize through
+    // its exchange anyway — ≤ Σ_t df(t) rows, disk-backed if they
+    // outgrow storage memory, freed with the RDD by the ContextCleaner
+    // (no CacheManager residue — the library-wide no-residue rule).
+    val hits = hitsScan.localCheckpoint(false)
 
     val (nDocs, avgdl) = corpusConstants(spark, path, tomb)
     val effPrune = resolvePruneDf(pruneDf, nDocs)
@@ -476,9 +489,11 @@ object Bm25IndexStore {
     *     distinct-buckets aggregate is the only query-side driver
     *     action besides df below) — and the batch's term set
     *     broadcast-semi-joins into it,
-    *   - postings are scanned a CONSTANT number of times (two: the df
-    *     aggregate and the scoring join — the same two passes the
-    *     per-call plan makes for ONE query), independent of |queries|,
+    *   - postings are scanned ONCE per batch, independent of |queries|
+    *     (round 22, VERDICT r21 #3): the df aggregate materializes the
+    *     pruned scan into lazy-checkpoint blocks and the scoring join
+    *     reads the blocks — down from the historical two scans (df +
+    *     scoring), and from up to five on the engaged MaxScore path,
     *   - `df(t)` comes back as ≤ |batch vocabulary| rows and each
     *     term's idf is computed on the DRIVER with the per-call path's
     *     exact `math.log` ([[idfOf]]), then broadcast back as a column
@@ -599,7 +614,21 @@ object Bm25IndexStore {
     val hit0 = readPostings(spark, path)
       .filter(col("tok_bucket").isin(buckets: _*))
       .join(broadcast(termSet), Seq("token"), "left_semi")
-    val hits = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val hitsScan = tomb.fold(hit0)(t => hit0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    if (ServeProbe.capturePlans.get)
+      ServeProbe.lastPrunedPostingsPlan = hitsScan.queryExecution.executedPlan.toString
+    // ONE postings scan per batch (round 22, VERDICT r21 #3): the df
+    // aggregate below is the batch's first action and materializes the
+    // pruned scan into lazy-checkpoint blocks; the scoring join — and on
+    // the engaged path the candidate, hot-lookup and fallback plans,
+    // each previously its own postings scan — read the blocks. Memory
+    // posture for unpruned hot batches: the blocks hold the pruned
+    // posting rows the scoring join had to materialize anyway (≤ Σ_t
+    // df(t) rows — for a df≈N stopword that is corpus-df-sized, the
+    // same bound as before), MEMORY_AND_DISK so oversize spills rather
+    // than OOMs, freed with the RDD by the ContextCleaner (no
+    // CacheManager residue).
+    val hits = hitsScan.localCheckpoint(false)
 
     val (nDocs, avgdl) = corpusConstants(spark, path, tomb)
     val effPrune = resolvePruneDf(pruneDf, nDocs)
@@ -705,7 +734,10 @@ object Bm25IndexStore {
         val hitC0 = readPostings(spark, path)
           .filter(col("tok_bucket").isin(bucketsC: _*))
           .join(broadcast(termSetC), Seq("token"), "left_semi")
+        // same one-scan discipline as the common path: the rebuilt df
+        // aggregate materializes, every later consumer reads blocks
         val h = tomb.fold(hitC0)(t => hitC0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+          .localCheckpoint(false)
         val d = h.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
           .collect()
           .map(r => (r.getAs[String]("token"), r.getAs[Long]("df")))
@@ -824,6 +856,13 @@ object Bm25IndexStore {
     val queryTermCollects = new java.util.concurrent.atomic.AtomicLong(0L)
     val fallbackUnions = new java.util.concurrent.atomic.AtomicLong(0L)
     val rebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** Round 22: the serves' pruned postings scan rides a lazy
+      * localCheckpoint, so the FINAL plan shows block reads, not the
+      * parquet scan — specs asserting static bucket pruning flip this on
+      * and read the captured pre-checkpoint scan plan instead. Default
+      * off: zero cost on the serving path. */
+    val capturePlans = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var lastPrunedPostingsPlan: String = ""
     def snapshot(): (Long, Long, Long, Long) =
       (routingCheckpoints.get(), queryTermCollects.get(), fallbackUnions.get(),
         rebuilds.get())
@@ -840,8 +879,13 @@ object Bm25IndexStore {
     * order-stable only under a total-order child Sort, so all are
     * classified unstable outright), and (c) no order-dependent
     * aggregate (`first`/`last`/`any_value`, `collect_*`, and FLOAT
-    * `sum`/`avg`, whose values depend on partition evaluation order).
-    * A frame passing the gate re-evaluates to the same row set under
+    * `sum`/`avg`, whose values depend on partition evaluation order),
+    * and (d) no order-sensitive WINDOW function (round 22, ADVICE r21:
+    * rank-family and offset functions value ties arbitrarily under a
+    * non-total sort — a Filter over such a window is the Limit class —
+    * and row-count frames narrower than the partition slice by
+    * position; range frames and whole-partition aggregates stay
+    * admissible). A frame passing the gate re-evaluates to the same row set under
     * every re-evaluation class the gate models; frames failing it are
     * routed to the one-evaluation rebuild. The gate is deliberately
     * conservative — false "nondeterministic" costs one bounded rebuild,
@@ -879,9 +923,40 @@ object Bm25IndexStore {
       }
       case _ => false
     }
+    // Window functions whose VALUE depends on intra-partition row order
+    // (round 22, ADVICE r21 low): rank-family (`row_number`, `rank`,
+    // `dense_rank`, `percent_rank`, `ntile`, `cume_dist`) and offset
+    // (`lag`/`lead`/`nth_value`) functions assign arbitrary values to
+    // order-key ties unless the sort is total — and a Filter over such a
+    // window (top-k) then picks an arbitrary row SUBSET, the same silent
+    // class as Limit above. Proving a total order needs a uniqueness
+    // oracle this gate doesn't have, so any such window classifies
+    // unstable outright; plain aggregates over windows stay admissible
+    // unless their frame is a row-count frame narrower than the whole
+    // partition (row frames slice by position, which ties make arbitrary
+    // — range frames slice by VALUE and stay set-determined). The
+    // order-dependent AGGREGATE check below already walks into window
+    // expressions (`first`/`collect_*`/float sums over windows).
+    def windowUnstable(
+        we: org.apache.spark.sql.catalyst.expressions.WindowExpression): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      we.windowFunction match {
+        case _: AggregateWindowFunction => true // rank family + ntile/cume_dist
+        case _: OffsetWindowFunction => true    // lag/lead/nth_value
+        case _ =>
+          we.windowSpec.frameSpecification match {
+            case f: SpecifiedWindowFrame =>
+              f.frameType == RowFrame &&
+                !(f.lower == UnboundedPreceding && f.upper == UnboundedFollowing)
+            case _ => false
+          }
+      }
+    }
     !rowSetUnstable && plan.find { node =>
       node.expressions.exists(_.exists {
         case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+        case we: org.apache.spark.sql.catalyst.expressions.WindowExpression
+            if windowUnstable(we) => true
         case ae: AggregateExpression if orderDependent(ae.aggregateFunction) => true
         case e => !e.deterministic
       })

@@ -491,10 +491,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("batched BM25 serving: corpus never shuffles, query side broadcast, per-query window") {
-    val df = SparkEntry.queries("q_bm25_served_batch")(spark, dir)
+    // round 22: the pruned postings scan rides a lazy localCheckpoint
+    // (one scan per batch), so the final plan shows block reads — the
+    // static bucket pruning is asserted on the captured scan plan
+    graft.similarity.Bm25IndexStore.ServeProbe.capturePlans.set(true)
+    val (df, pruned) =
+      try {
+        val d = SparkEntry.queries("q_bm25_served_batch")(spark, dir)
+        (d, graft.similarity.Bm25IndexStore.ServeProbe.lastPrunedPostingsPlan)
+      } finally graft.similarity.Bm25IndexStore.ServeProbe.capturePlans.set(false)
     val plan = finalPlan(df)
-    // the postings read is still statically bucket-pruned
-    assert(plan.contains("PartitionFilters: [") && plan.contains("tok_bucket"), plan)
+    assert(pruned.contains("PartitionFilters: [") && pruned.contains("tok_bucket"), pruned)
     // every query-side join broadcasts — the corpus side never rides a
     // shuffle keyed by token or query
     assert(count(plan, "SortMergeJoin") == 0, plan)
@@ -663,6 +670,27 @@ class PlanShapeSpec extends SparkSpec {
       "select * from psp_engaged where query_id <= (select max(doc_id) from psp_syn)")
     assert(!Bm25IndexStore.planIsDeterministic(withSubquery),
       "a subquery expression must classify nondeterministic (conservative)")
+    // round 22 (ADVICE r21 low): rank-family top-k over a NON-TOTAL sort
+    // picks an arbitrary subset on ties — the Limit class. Any rank-family
+    // window classifies row-set-unstable; a whole-partition aggregate
+    // window (set-determined) stays admissible.
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byConstant = W.partitionBy($"query_id").orderBy(lit(1))
+    val rankTopK = engaged
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byConstant))
+      .filter($"rn" === 1).drop("rn")
+    assert(!Bm25IndexStore.planIsDeterministic(rankTopK),
+      "rank-family window top-k must classify row-set-unstable")
+    val partitionAgg = engaged.withColumn("n",
+      org.apache.spark.sql.functions.count(lit(1)).over(W.partitionBy($"query_id")))
+    assert(Bm25IndexStore.planIsDeterministic(partitionAgg),
+      "a whole-partition count window is set-determined and stays admissible")
+    // row-count frames narrower than the partition slice by position
+    val rowFrame = engaged.withColumn("m",
+      org.apache.spark.sql.functions.max($"query_id")
+        .over(W.partitionBy(lit(1)).orderBy($"query_id").rowsBetween(-1, 0)))
+    assert(!Bm25IndexStore.planIsDeterministic(rowFrame),
+      "a sub-partition row frame must classify row-set-unstable")
     assert(deltas(ndBatch) == ((1L, 1L, 0L, 1L)),
       "a nondeterministic engaged batch must rebuild from the checkpoint")
     val ndRows = Bm25IndexStore

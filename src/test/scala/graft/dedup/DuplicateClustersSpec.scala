@@ -132,6 +132,26 @@ class DuplicateClustersSpec extends SparkSpec {
       s"expected the driver trace, got ${Dedup.lastAutoViaTrace.get}")
   }
 
+  test("driver fast path orders string ids by code point, like Spark's min") {
+    import spark.implicits._
+    // U+10000 is "𐀀" in UTF-16 — its first code UNIT (0xD800)
+    // sorts BELOW U+E000's (0xE000), so java String.compareTo says
+    // U+10000 < U+E000; Spark's min/least compare UTF8String bytes
+    // (code-point order), where U+E000 (0xEE8080) < U+10000 (0xF0908080).
+    // The driver fast path must agree with the distributed contraction on
+    // exactly this divergence (ADVICE r21 medium / VERDICT r21 #5).
+    val hi = "\ud800\udc00" // U+10000, supplementary plane (surrogate pair)
+    val pe = "\ue000"       // U+E000, private use — BMP, above surrogates
+    val pairs = Seq((hi, pe), ("aa", "ab")).toDF("id_a", "id_b")
+    def labels(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val drv = labels(Dedup.connectedComponents(pairs)) // 2 edges: driver path
+    val dist = labels(distributedOnly(Dedup.connectedComponents(pairs)))
+    assert(drv == dist, s"driver/distributed labels diverge: $drv vs $dist")
+    // and both picked the CODE-POINT min member as the label
+    assert(drv(hi) == pe && drv(pe) == pe, s"expected U+E000 as min label, got $drv")
+  }
+
   test("auto minVia: threshold gates the shape; rejects unknown shapes") {
     // the per-round probe itself (degree > threshold -> groupby) cannot
     // be driven end-to-end in a unit test (the threshold sits at 50M

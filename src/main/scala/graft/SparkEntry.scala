@@ -25,13 +25,11 @@ object SparkEntry {
     * is reused (the same once-per-JVM posture as the store-format
     * schemas in the index stores). Keyed on the full path, so multiple
     * sf dirs in one JVM never cross. */
-  private val tblSchemas =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val p = s"$dir/$name.parquet"
-    val schema = tblSchemas.computeIfAbsent(p, q => spark.read.parquet(q).schema)
-    spark.read.schema(schema).parquet(p)
-  }
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    // Round 22 (ADVICE r21): the memo key now carries a freshness token
+    // (file mtime+size), so a testdata parquet regenerated at the same
+    // path in-process re-infers instead of serving a stale schema.
+    graft.util.SchemaMemo.parquet(spark, s"$dir/$name.parquet")
 
   /** Event-time column normalized to TIMESTAMP, robust to the physical
     * parquet encoding of `events.ts` across testdata generations:

@@ -234,13 +234,16 @@ object DedupIndexStore {
 
   /** Flat + streaming-delta trees (same recursive-read posture as the
     * ANN store's code table). */
+  // SchemaMemo (round 22): id-typed schema still comes from the
+  // artifact's own footers, inferred once per file state instead of
+  // once per probe — see graft.util.SchemaMemo's posture notes
   def readSignatures(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(graft.util.ArtifactTree.resolve(spark, path, "signatures"))
+    graft.util.SchemaMemo.parquet(spark,
+      graft.util.ArtifactTree.resolve(spark, path, "signatures"), recursive = true)
 
   def readBands(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(graft.util.ArtifactTree.resolve(spark, path, "bands"))
+    graft.util.SchemaMemo.parquet(spark,
+      graft.util.ArtifactTree.resolve(spark, path, "bands"), recursive = true)
 
   /** Index bookkeeping — the ops surface for the persisted dedup tier:
     * document count, tombstone count (takedown debt the next compaction

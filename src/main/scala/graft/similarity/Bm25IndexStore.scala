@@ -172,7 +172,9 @@ object Bm25IndexStore {
     * any streaming-delta subtree (where `tok_bucket` is a data column —
     * schema-aligned union). */
   private def readPostings(spark: SparkSession, path: String): DataFrame = {
-    val main = spark.read.parquet(
+    // SchemaMemo: doc_id's type still comes from the artifact footers,
+    // inferred once per file state (round 22)
+    val main = graft.util.SchemaMemo.parquet(spark,
       graft.util.ArtifactTree.resolve(spark, path, "postings"))
     graft.util.ArtifactTree.readOptional(spark, path, "postings_deltas") match {
       case None => main
@@ -230,8 +232,8 @@ object Bm25IndexStore {
   }
 
   def readDoclens(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(graft.util.ArtifactTree.resolve(spark, path, "doclens"))
+    graft.util.SchemaMemo.parquet(spark,
+      graft.util.ArtifactTree.resolve(spark, path, "doclens"), recursive = true)
 
   /** Incremental maintenance: tokenize NEW documents under the
     * PERSISTED config and append. Delta-sized tokenize cost. Ids must

@@ -148,8 +148,10 @@ object IndexStore {
   /** The full code table: the build job's flat files plus every
     * committed streaming delta subdirectory. */
   def readCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(graft.util.ArtifactTree.resolve(spark, path, "codes"))
+    // SchemaMemo: neighbor_id's type still comes from the artifact
+    // footers, inferred once per file state (round 22)
+    graft.util.SchemaMemo.parquet(spark,
+      graft.util.ArtifactTree.resolve(spark, path, "codes"), recursive = true)
 
   /** Tombstone vectors out of the index — the takedown/opt-out job
     * (FAISS's `remove_ids`, re-expressed for a persisted distributed
@@ -420,7 +422,7 @@ object IndexStore {
       nProbe: Int = 3): DataFrame = {
     val spark = queries.sparkSession
     val (cents, cbs) = readIvfArtifacts(spark, path)
-    val lists = spark.read.parquet(
+    val lists = graft.util.SchemaMemo.parquet(spark,
       graft.util.ArtifactTree.resolve(spark, path, "ivf_codes"))
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
     // tombstones ride the excludeIds hook (post-cell-join anti-join),
@@ -439,7 +441,7 @@ object IndexStore {
     * compaction reclaims). One codes scan + a broadcast tombstone tag;
     * the aggregate is nCells rows. */
   def describeIvfIndex(spark: SparkSession, path: String): DataFrame = {
-    val codes = spark.read.parquet(
+    val codes = graft.util.SchemaMemo.parquet(spark,
       graft.util.ArtifactTree.resolve(spark, path, "ivf_codes"))
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"))
     val tagged = tombstones(spark, path) match {

@@ -208,7 +208,9 @@ object ArtifactTree {
     * and their plan is byte-identical to the pre-delete-feature one. */
   def readOptional(spark: SparkSession, root: String, subdir: String): Option[DataFrame] =
     if (!exists(spark, root, subdir)) None
-    else Some(spark.read.option("recursiveFileLookup", "true").parquet(s"$root/$subdir"))
+    // SchemaMemo: footer inference once per file state (delta-class
+    // subtrees mutate by whole-file append, which the token sees)
+    else Some(SchemaMemo.parquet(spark, s"$root/$subdir", recursive = true))
 
   /** Remove an artifact subtree (tombstone clearing after a compaction
     * has folded the drops in). */

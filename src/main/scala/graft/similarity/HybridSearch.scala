@@ -37,6 +37,34 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object HybridSearch {
 
+  /** Round 22 (guide §2.6 "overlap independent jobs"): the lexical and
+    * semantic legs of the served fusions are INDEPENDENT until the fuse
+    * — but their driver-side construction (the BM25 serve's bounded
+    * collects + checkpoint materialization; the embed + ANN probe
+    * collects) ran sequentially, leaving the cluster idle during each
+    * leg's driver barriers. With the knob on (default), the legs build
+    * on two driver threads so one leg's jobs back-fill the other's
+    * barriers — Spark's scheduler runs concurrent jobs FIFO by design.
+    * Results are unchanged: the legs share only the eagerly
+    * checkpointed query frame and meet again at the deterministic
+    * fusion. `-Dgraft.hybrid.parallelLegs=0` restores serial
+    * construction (diagnostic/A-B arm). */
+  private def parallelLegs: Boolean =
+    !"0".equals(System.getProperty("graft.hybrid.parallelLegs"))
+
+  /** Build `a` and `b` on two threads when [[parallelLegs]]; serially
+    * otherwise. Exceptions from either leg propagate unchanged. */
+  private def joinLegs[A, B](a: => A, b: => B): (A, B) =
+    if (!parallelLegs) (a, b)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(a)
+      val rb = b
+      (Await.result(fa, Duration.Inf), rb)
+    }
+
   /** Fuse BM25 over `terms` with cosine against `queryText`'s embedding
     * (both embedded under `modelId`). Returns the top `k` as
     * `(doc_id, r_lex, r_sem, rrf)` — list ranks nullable when a document
@@ -140,28 +168,36 @@ object HybridSearch {
       nProbe: Int = 3,
       bm25PruneDf: Long = Bm25IndexStore.PruneDfAuto): DataFrame = {
     import spark.implicits._
-    val lexServed =
-      Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK, roundTo = roundTo,
-        pruneDf = bm25PruneDf)
-    // the fused schema's doc-id type comes from the index artifact,
-    // like everything else served — a hardcoded LongType would break
-    // createDataFrame on an index built over a non-Long id column
-    val idType = lexServed.schema("doc_id").dataType
-    val lexIds: Array[Any] =
-      lexServed
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .select("doc_id")
-        .collect()
-        .map(_.get(0))
-    val qVec: Array[Float] =
-      graft.embed.EmbedderRegistry.ensure(modelId).encodeBatch(Seq(queryText)).head
-    val qDf = Seq((-1L, qVec.toSeq)).toDF("vec_id", "embedding")
-    val semIds: Array[Any] =
-      IndexStore.serveIvfPqTopK(qDf, annDir, k = poolK, nProbe = nProbe)
-        .orderBy(col("rank").asc)
-        .select("neighbor_id")
-        .collect()
-        .map(_.get(0))
+    // the two legs are independent until the fuse — build and collect
+    // them on two driver threads (joinLegs; guide §2.6) so each leg's
+    // bounded driver barriers overlap the other's cluster work
+    val ((lexIds, idType), semIds) = joinLegs(
+      {
+        val lexServed =
+          Bm25IndexStore.serveBm25TopK(spark, bm25Dir, terms, k = poolK,
+            roundTo = roundTo, pruneDf = bm25PruneDf)
+        // the fused schema's doc-id type comes from the index artifact,
+        // like everything else served — a hardcoded LongType would break
+        // createDataFrame on an index built over a non-Long id column
+        val ids: Array[Any] = lexServed
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .select("doc_id")
+          .collect()
+          .map(_.get(0))
+        (ids, lexServed.schema("doc_id").dataType)
+      },
+      {
+        val qVec: Array[Float] =
+          graft.embed.EmbedderRegistry.ensure(modelId).encodeBatch(Seq(queryText)).head
+        val qDf = Seq((-1L, qVec.toSeq)).toDF("vec_id", "embedding")
+        val ids: Array[Any] =
+          IndexStore.serveIvfPqTopK(qDf, annDir, k = poolK, nProbe = nProbe)
+            .orderBy(col("rank").asc)
+            .select("neighbor_id")
+            .collect()
+            .map(_.get(0))
+        ids
+      })
     fuse(spark, lexIds, semIds, idType, k, rrfK, roundTo)
   }
 
@@ -238,41 +274,50 @@ object HybridSearch {
     val q = queries.localCheckpoint(true)
     val qid = col(queryIdCol).as("query_id")
 
-    // lexical ranks: ONE batched BM25 plan, per-query row_number under
-    // the per-call tie rule (batch rows are bitwise the per-call serve's
-    // per query, so ranks coincide with rrfServed's positional ranks)
-    val wLex = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val lex = Bm25IndexStore
-      .serveBm25TopKBatch(q.select(qid, col(termsCol).as("terms")),
-        bm25Dir, k = poolK, roundTo = roundTo, pruneDf = bm25PruneDf)
-      .select(col("query_id"), col("doc_id"),
-        row_number().over(wLex).cast("long").as("r_lex"))
+    // the two legs are independent until the fuse — build them on two
+    // driver threads (joinLegs; guide §2.6): the BM25 serve's bounded
+    // collects and checkpoint materialization overlap the embed + ANN
+    // probe collects instead of serializing behind them
+    val (lex, sem) = joinLegs(
+      {
+        // lexical ranks: ONE batched BM25 plan, per-query row_number
+        // under the per-call tie rule (batch rows are bitwise the
+        // per-call serve's per query, so ranks coincide with
+        // rrfServed's positional ranks)
+        val wLex = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        Bm25IndexStore
+          .serveBm25TopKBatch(q.select(qid, col(termsCol).as("terms")),
+            bm25Dir, k = poolK, roundTo = roundTo, pruneDf = bm25PruneDf)
+          .select(col("query_id"), col("doc_id"),
+            row_number().over(wLex).cast("long").as("r_lex"))
+      },
+      {
+        // synthetic negative ANN ids: distinct query ids, sorted, → −(i+1)
+        val qids = q.select(qid).distinct().orderBy(col("query_id"))
+          .collect().map(_.get(0))
+        val idType = q.schema(queryIdCol).dataType
+        val mapSchema = StructType(Seq(
+          StructField("query_id", idType, nullable = true),
+          StructField("__qvid", LongType, nullable = false)))
+        val qidMap = spark.createDataFrame(
+          qids.zipWithIndex.map { case (id, i) => Row(id, -(i + 1L)) }.toSeq.asJava,
+          mapSchema)
 
-    // synthetic negative ANN ids: distinct query ids, sorted, → −(i+1)
-    val qids = q.select(qid).distinct().orderBy(col("query_id"))
-      .collect().map(_.get(0))
-    val idType = q.schema(queryIdCol).dataType
-    val mapSchema = StructType(Seq(
-      StructField("query_id", idType, nullable = true),
-      StructField("__qvid", LongType, nullable = false)))
-    val qidMap = spark.createDataFrame(
-      qids.zipWithIndex.map { case (id, i) => Row(id, -(i + 1L)) }.toSeq.asJava,
-      mapSchema)
-
-    // semantic ranks: embed the query column once (distributed), ONE
-    // batched ANN serve over the negative-id query table
-    val qVecs = graft.embed.Embedders
-      .embed(q.select(qid, col(textCol).as("__t")), "__t", "embedding", modelId)
-      .join(broadcast(qidMap), Seq("query_id"))
-      .select(col("__qvid"), col("embedding"))
-    val sem = IndexStore
-      .serveIvfPqTopK(qVecs, annDir, idCol = "__qvid", k = poolK, nProbe = nProbe)
-      .select(col("query_id").as("__qvid"), col("neighbor_id").as("doc_id"),
-        col("rank").as("r_sem"))
-      .join(broadcast(qidMap), Seq("__qvid"))
-      .select(col("query_id"), col("doc_id"), col("r_sem"))
+        // semantic ranks: embed the query column once (distributed), ONE
+        // batched ANN serve over the negative-id query table
+        val qVecs = graft.embed.Embedders
+          .embed(q.select(qid, col(textCol).as("__t")), "__t", "embedding", modelId)
+          .join(broadcast(qidMap), Seq("query_id"))
+          .select(col("__qvid"), col("embedding"))
+        IndexStore
+          .serveIvfPqTopK(qVecs, annDir, idCol = "__qvid", k = poolK, nProbe = nProbe)
+          .select(col("query_id").as("__qvid"), col("neighbor_id").as("doc_id"),
+            col("rank").as("r_sem"))
+          .join(broadcast(qidMap), Seq("__qvid"))
+          .select(col("query_id"), col("doc_id"), col("r_sem"))
+      })
 
     // rrf's exact arithmetic: long rank + int rrfK promoted to long,
     // 1.0 / long → double, lex part + sem part in that order, absent

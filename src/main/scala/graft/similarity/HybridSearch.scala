@@ -82,26 +82,29 @@ object HybridSearch {
       roundTo: Int = 6): DataFrame = {
     val spark = df.sparkSession
 
-    // TakeOrdered top-poolK, collected IN rank order (≤ poolK rows each)
-    val lexIds: Array[Any] =
+    // independent legs on two driver threads (joinLegs; guide §2.6) —
+    // both are TakeOrdered top-poolK collects IN rank order (≤ poolK
+    // rows each); the caller's df is read, never mutated
+    val (lexIds, semIds) = joinLegs(
       Bm25.search(df, textCol, idCol, terms, k = poolK, roundTo = roundTo)
         .orderBy(col("score").desc, col("doc_id").asc)
         .select("doc_id")
         .collect()
-        .map(_.get(0))
-
-    val qVec: Array[Float] =
-      graft.embed.EmbedderRegistry.ensure(modelId).encodeBatch(Seq(queryText)).head
-    val semIds: Array[Any] = graft.embed.Embedders
-      .embed(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "__t", "__e", modelId)
-      .select(col("doc_id"),
-        round(Similarity.cosineFast(col("__e"), typedLit(qVec.toSeq)), roundTo).as("__s"))
-      .filter(col("__s").isNotNull)
-      .orderBy(col("__s").desc, col("doc_id").asc)
-      .limit(poolK)
-      .select("doc_id")
-      .collect()
-      .map(_.get(0))
+        .map(_.get(0)): Array[Any],
+      {
+        val qVec: Array[Float] =
+          graft.embed.EmbedderRegistry.ensure(modelId).encodeBatch(Seq(queryText)).head
+        graft.embed.Embedders
+          .embed(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), "__t", "__e", modelId)
+          .select(col("doc_id"),
+            round(Similarity.cosineFast(col("__e"), typedLit(qVec.toSeq)), roundTo).as("__s"))
+          .filter(col("__s").isNotNull)
+          .orderBy(col("__s").desc, col("doc_id").asc)
+          .limit(poolK)
+          .select("doc_id")
+          .collect()
+          .map(_.get(0)): Array[Any]
+      })
 
     fuse(spark, lexIds, semIds, df.schema(idCol).dataType, k, rrfK, roundTo)
   }
